@@ -1,0 +1,287 @@
+"""EPS — the Entangled Plaquette State patch-contraction operator, TPU-first.
+
+Semantics (parity with reference ``dctn/eps.py``): given a dense core of shape
+``(Q,)*(K²·C) + (O,)`` and an input of shape ``(C, B, H, W, Q)``, contract the
+core with every K×K window of rank-one feature vectors, producing
+``(B, H-K+1, W-K+1, O)``.
+
+TPU-first design
+----------------
+Each window is a rank-one tensor ⊗ᵢ vᵢ, so contracting the dense core with it
+is ``vec(⊗ᵢ vᵢ) · core_matrix``. Materializing the full Khatri-Rao vector
+(dim Q^(K²C), e.g. 2¹⁶ for K=4) per window would blow up HBM, so we use the
+half-split factorization (the staged-contraction idea the reference bakes into
+its opt_einsum path, eps.py:25-30, rebuilt here for the MXU):
+
+    u = KR(first ⌈n/2⌉ factors)   — (B,H',W', Q^n1)   cheap VPU broadcasts
+    v = KR(rest)                  — (B,H',W', Q^n2)
+    t = u @ core.reshape(Q^n1, Q^n2·O)        ← ONE large MXU matmul
+    out[..., o] = Σ_b v[..., b] · t[..., b, o] ← fused VPU reduce
+
+All FLOPs land in a single (N, Q^n1) × (Q^n1, Q^n2·O) matmul with N = B·H'·W'
+rows, which XLA tiles straight onto the 128×128 systolic array. The Khatri-Rao
+builds are log-depth elementwise broadcasts that XLA fuses. Everything is
+shape-static, so one compilation per layer spec.
+
+``eps_one_by_one`` keeps the sequential-absorption form (eps.py:43-63) as a
+low-memory oracle used by tests.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .windows import window_views, out_spatial
+
+
+# ---------------------------------------------------------------------------
+# shape helpers
+
+
+def eps_shape(
+    kernel_size: int, in_num_channels: int, in_size: int, out_size: int
+) -> Tuple[int, ...]:
+    """Shape an EPS core with these parameters must have (eps.py:66-70)."""
+    return (in_size,) * (kernel_size**2 * in_num_channels) + (out_size,)
+
+
+def is_eps(a) -> bool:
+    """Whether ``a`` plausibly is an EPS core, judging by shape (eps.py:115)."""
+    return a.ndim >= 2 and all(s == a.shape[0] for s in a.shape[:-1])
+
+
+def matrix_shape(core) -> Tuple[int, int]:
+    """(out_size, total_in_size) of the matricized core (eps.py:99-103)."""
+    assert is_eps(core)
+    return core.shape[-1], math.prod(core.shape[:-1])
+
+
+def total_in_dim_size(kernel_size: int, in_num_channels: int, in_size: int) -> int:
+    return in_size ** (in_num_channels * kernel_size**2)
+
+
+def _infer_kernel_size(core, num_channels: int) -> int:
+    k = math.isqrt((core.ndim - 1) // num_channels)
+    if k * k * num_channels != core.ndim - 1:
+        raise ValueError(
+            f"core ndim {core.ndim} incompatible with {num_channels} channels"
+        )
+    return k
+
+
+# ---------------------------------------------------------------------------
+# the operator
+
+
+def khatri_rao(factors: Sequence[jax.Array]) -> jax.Array:
+    """Row-wise Kronecker product over the last axis: (..., a) ⊗ (..., b) →
+    (..., a·b), with the FIRST factor slowest-varying (row-major), matching a
+    row-major reshape of the dense core's leading dims."""
+    out = factors[0]
+    for f in factors[1:]:
+        out = (out[..., :, None] * f[..., None, :]).reshape(*out.shape[:-1], -1)
+    return out
+
+
+def _balanced_split(n: int, q: int, out_size: int) -> int:
+    """Choose how many factors go in the matmul (u) half.
+
+    Numerically any split is identical; we pick n1 = ⌈n/2⌉ (the reference's
+    half-split) then nudge so the MXU contracting dim q^n1 reaches ≥128 when
+    possible without inflating the (N, q^(n-n1)·O) intermediate's q^(n-n1)
+    above q^n1.
+    """
+    n1 = math.ceil(n / 2)
+    while q**n1 < 128 and n1 < n:
+        n1 += 1
+    return n1
+
+
+@partial(jax.jit, static_argnames=("split", "compute_dtype"))
+def eps(
+    core: jax.Array,
+    x: jax.Array,
+    *,
+    split: Optional[int] = None,
+    compute_dtype=None,
+) -> jax.Array:
+    """Contract an EPS ``core`` with all K×K windows of ``x``.
+
+    ``core``: shape (Q,)*(K²·C) + (O,).   ``x``: shape (C, B, H, W, Q).
+    Returns (B, H-K+1, W-K+1, O). Matches reference ``eps`` (eps.py:19-40).
+
+    ``compute_dtype``: optionally run the Khatri-Rao factors and matmul inputs
+    in a lower precision (e.g. bfloat16) with float32 accumulation.
+    """
+    num_channels, _, _, _, in_size = x.shape
+    kernel_size = _infer_kernel_size(core, num_channels)
+    n = kernel_size**2 * num_channels
+    assert core.shape[:-1] == (in_size,) * n, (core.shape, in_size, n)
+    out_size = core.shape[-1]
+
+    views = window_views(x, kernel_size)  # n arrays (B, H', W', Q)
+    n1 = split if split is not None else _balanced_split(n, in_size, out_size)
+    n1 = max(1, min(n, n1))
+    u = khatri_rao(views[:n1])  # (B, H', W', Q^n1)
+
+    acc_dtype = jnp.promote_types(core.dtype, x.dtype)
+    cm = core.reshape(in_size**n1, in_size ** (n - n1) * out_size)
+    if compute_dtype is not None:
+        u = u.astype(compute_dtype)
+        cm = cm.astype(compute_dtype)
+    t = jax.lax.dot_general(
+        u,
+        cm,
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )  # (B, H', W', Q^(n-n1)·O)
+
+    if n1 == n:
+        return t  # degenerate split: t already is (B, H', W', O)
+
+    v = khatri_rao(views[n1:])  # (B, H', W', Q^(n-n1))
+    if compute_dtype is not None:
+        v = v.astype(compute_dtype)
+    t = t.reshape(*t.shape[:-1], in_size ** (n - n1), out_size)
+    out = jnp.sum(v[..., :, None].astype(acc_dtype) * t, axis=-2)
+    return out
+
+
+def eps_one_by_one(core: jax.Array, x: jax.Array) -> jax.Array:
+    """Sequentially absorb one window factor at a time (oracle; eps.py:43-63).
+
+    Memory-light but produces K²·C small contractions — used for testing and
+    as a fallback for cores too large for the half-split intermediates.
+    """
+    num_channels, batch, height, width, in_size = x.shape
+    kernel_size = _infer_kernel_size(core, num_channels)
+    assert core.shape[:-1] == (in_size,) * (kernel_size**2 * num_channels)
+    views = window_views(x, kernel_size)
+    intermediate = None
+    for view in views:
+        if intermediate is None:
+            # (B,H',W',i) × (i, ...rest, o) -> (B,H',W', ...rest, o)
+            intermediate = jnp.tensordot(view, core, axes=([3], [0]))
+        else:
+            # contract the current leading core dim with the next factor
+            intermediate = jnp.einsum("bhwi,bhwi...->bhw...", view, intermediate)
+    out_h, out_w = out_spatial(height, width, kernel_size)
+    assert intermediate.shape == (batch, out_h, out_w, core.shape[-1])
+    return intermediate
+
+
+# ---------------------------------------------------------------------------
+# EPS algebra (used by composition inner products / regularizers)
+
+
+def contract_on_input_dims(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Matricized AᵀB over the shared input dims: (O_a, O_b) (eps.py:106-112)."""
+    assert is_eps(a) and is_eps(b)
+    return a.reshape(-1, a.shape[-1]).T @ b.reshape(-1, b.shape[-1])
+
+
+def inner_product(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Flattened dot product of two equal-shape EPS cores (eps.py:120-123)."""
+    assert a.shape == b.shape and is_eps(a)
+    return jnp.dot(a.reshape(-1), b.reshape(-1))
+
+
+def absorb_on_input_dims(b: jax.Array, x: jax.Array) -> jax.Array:
+    """Contract matrix ``x`` (old_in, new_in) into EVERY input dim of EPS ``b``.
+
+    result[j₁…jₙ, o] = Σ_{i₁…iₙ} b[i₁…iₙ, o] ∏ₖ x[iₖ, jₖ]
+
+    Implemented as n sequential mode-products (each one an MXU matmul after
+    reshape) instead of one n+1-operand einsum — this is the optimal path and
+    keeps every step a clean dot. Used by the composition inner-product
+    recursion (parity: epses_composition.py:49-58).
+    """
+    assert is_eps(b)
+    n = b.ndim - 1
+    out = b
+    for _ in range(n):
+        # contract current leading input dim i with x[i, j]; the new dim j is
+        # appended at the end, so after n steps dims are (o, j1, ..., jn)
+        out = jnp.tensordot(out, x, axes=([0], [0]))
+    return jnp.moveaxis(out, 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# dataset-scale application
+
+
+def transform_in_slices(
+    core: jax.Array, x: jax.Array, batch_size: int = 128, **eps_kwargs
+) -> jax.Array:
+    """Apply ``eps`` to a whole dataset ``x`` = (C, N, H, W, Q) in batch slices,
+    returning (1, N, H', W', O) (parity: eps.py:126-137). No gradients flow
+    (wrap in stop_gradient); slices bound device memory for large N."""
+    num_channels, n_total, height, width, in_size = x.shape
+    pieces = []
+    for start in range(0, n_total, batch_size):
+        stop = min(start + batch_size, n_total)
+        piece = eps(core, jax.lax.stop_gradient(x[:, start:stop]), **eps_kwargs)
+        pieces.append(piece)
+    return jnp.concatenate(pieces, axis=0)[None]
+
+
+# ---------------------------------------------------------------------------
+# initializers
+
+
+def make_eps_unit_theoretical_output_std(
+    key: jax.Array,
+    kernel_size: int,
+    in_num_channels: int,
+    in_size: int,
+    out_size: int,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """randn · (Q^(C·K²))^(-1/2): preserves std through the forward pass if the
+    input coordinates have μ²+σ²=1 (parity: eps.py:144-160)."""
+    std = total_in_dim_size(kernel_size, in_num_channels, in_size) ** -0.5
+    shape = eps_shape(kernel_size, in_num_channels, in_size, out_size)
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def make_eps_unit_empirical_output_std(
+    key: jax.Array,
+    kernel_size: int,
+    out_size: int,
+    x: jax.Array,
+    dtype=jnp.float32,
+    batch_size: int = 128,
+) -> jax.Array:
+    """Draw a unit-normal core, push the init subset ``x`` (C, N, H, W, Q)
+    through it, and rescale the core by 1/std(output) so the empirical output
+    std is 1 (parity: eps.py:163-181). Uses biased (population) std like the
+    reference's ``std(unbiased=False)``; accumulated in float64 on host across
+    slices for stability."""
+    num_channels, _, _, _, in_size = x.shape
+    shape = eps_shape(kernel_size, num_channels, in_size, out_size)
+    core = jax.random.normal(key, shape, dtype)
+    # stream population std over slices in f64 on host
+    total_n = 0
+    total_sum = 0.0
+    total_sumsq = 0.0
+    n_samples = x.shape[1]
+    for start in range(0, n_samples, batch_size):
+        stop = min(start + batch_size, n_samples)
+        out = eps(core, x[:, start:stop].astype(dtype))
+        s, ss, cnt = (
+            float(jnp.sum(out, dtype=jnp.float32)),
+            float(jnp.sum(out.astype(jnp.float32) ** 2)),
+            out.size,
+        )
+        total_sum += s
+        total_sumsq += ss
+        total_n += cnt
+    mean = total_sum / total_n
+    var = total_sumsq / total_n - mean**2
+    inv_std = float(var) ** -0.5
+    return core * jnp.asarray(inv_std, dtype)

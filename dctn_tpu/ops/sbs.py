@@ -1,0 +1,470 @@
+"""ConvSBS — string-bond-state (tensor-train) patch operator, TPU-first.
+
+A ConvSBS parameterizes the same multilinear window operator as an EPS, but as
+a tensor train: one core per kernel position, of shape
+``(out_q, bond_l, bond_r, Q_in, …, Q_in)`` (one Q_in dim per channel). The
+implied dense tensor is never materialized during the forward pass or for its
+statistics.
+
+Capability parity: reference ``dctn/conv_sbs.py`` + ``dctn/conv_sbs_spec.py``
+(ConvSBS.forward, TT algebra sum/mean/fro-norm/var, as_explicit_tensor,
+as_eps, the four initializers, ManyConvSBS).
+
+TPU-first design
+----------------
+* Per-core input contraction: the C channel views are Khatri-Rao-merged to a
+  (N, Q^C) matrix and hit the matricized core (Q^C, o·l·r) in ONE batched MXU
+  matmul per kernel position (conv_sbs.py:268-281 does this as cached
+  opt_einsum calls).
+* Bond-chain contraction: a left-to-right fold of batched matmuls over the
+  bond dims, accumulating output quantum dims; the ring trace (trace_edge)
+  keeps the first bond dim until the end. Shapes are static → XLA batches the
+  small bond matmuls efficiently.
+* TT-space algebra (sum / squared Frobenius norm) folds per-core transfer
+  matrices — (l, r) for sums, (l·l', r·r') for the doubled-bond norm — with
+  plain matmul chains; nothing of size Q^(K²C) is built.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import reduce
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pos2d import Pos2D, pos_to_index
+from .windows import window_views_at_positions
+from . import eps as eps_mod
+
+
+# ---------------------------------------------------------------------------
+# specs
+
+
+@dataclasses.dataclass(frozen=True)
+class SBSSpecCore:
+    """One TT core's position in the kernel grid and its output quantum dim."""
+
+    position: Pos2D
+    out_quantum_dim_size: int
+
+
+@dataclasses.dataclass(frozen=True)
+class SBSCoreShape:
+    out_quantum_dim_size: int
+    bond_left_size: int
+    bond_right_size: int
+    in_num_channels: int
+    in_quantum_dim_size: int
+
+    def as_tuple(self) -> Tuple[int, ...]:
+        return (
+            self.out_quantum_dim_size,
+            self.bond_left_size,
+            self.bond_right_size,
+        ) + (self.in_quantum_dim_size,) * self.in_num_channels
+
+    @property
+    def total_dangling_dimensions_size(self) -> int:
+        return (
+            self.in_quantum_dim_size**self.in_num_channels * self.out_quantum_dim_size
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SBSSpecString:
+    """Declarative spec of a string of TT cores (conv_sbs_spec.py:41-158).
+
+    ``bond_sizes[i]`` is the LEFT bond of core i; the right bond of core i is
+    ``bond_sizes[i+1]`` (cyclically, so ``bond_sizes[0]`` is also the right
+    bond of the last core — a tensor ring when > 1, i.e. trace_edge).
+    """
+
+    cores: Tuple[SBSSpecCore, ...]
+    bond_sizes: Tuple[int, ...]
+    in_num_channels: int
+    in_quantum_dim_size: int = 2
+
+    def __post_init__(self):
+        if min(c.position.h for c in self.cores) != 0 or min(
+            c.position.w for c in self.cores
+        ) != 0:
+            raise ValueError("positions of cores must start at (0, 0)")
+        if len(self.bond_sizes) != len(self.cores):
+            raise ValueError(
+                f"{len(self.bond_sizes)=} must equal {len(self.cores)=}"
+            )
+
+    def __len__(self) -> int:
+        return len(self.cores)
+
+    @property
+    def shapes(self) -> Tuple[SBSCoreShape, ...]:
+        right = self.bond_sizes[1:] + (self.bond_sizes[0],)
+        return tuple(
+            SBSCoreShape(
+                c.out_quantum_dim_size,
+                left,
+                r,
+                self.in_num_channels,
+                self.in_quantum_dim_size,
+            )
+            for c, left, r in zip(self.cores, self.bond_sizes, right)
+        )
+
+    @property
+    def positions(self) -> Tuple[Pos2D, ...]:
+        return tuple(c.position for c in self.cores)
+
+    @property
+    def max_height_pos(self) -> int:
+        return max(c.position.h for c in self.cores)
+
+    @property
+    def max_width_pos(self) -> int:
+        return max(c.position.w for c in self.cores)
+
+    def get_indices_wrt_standard_order(self) -> Tuple[int, ...]:
+        """For a full rectangular grid: each core's index in raster order
+        (conv_sbs_spec.py:86-93)."""
+        expected = (self.max_width_pos + 1) * (self.max_height_pos + 1)
+        assert len(self) == expected, "cores must tile a full rectangle"
+        return tuple(pos_to_index(self.max_width_pos, p) for p in self.positions)
+
+    @property
+    def out_total_quantum_dim_size(self) -> int:
+        return math.prod(c.out_quantum_dim_size for c in self.cores)
+
+    @property
+    def nelement(self) -> int:
+        """Total number of elements of the implied dense tensor."""
+        return math.prod(s.total_dangling_dimensions_size for s in self.shapes)
+
+    @property
+    def in_total_dim_size(self) -> int:
+        return self.in_quantum_dim_size ** (self.in_num_channels * len(self))
+
+
+SBSCores = Tuple[jax.Array, ...]
+
+
+def validate_cores(spec: SBSSpecString, cores: Sequence[jax.Array]) -> None:
+    assert len(cores) == len(spec)
+    for core, shape in zip(cores, spec.shapes):
+        assert tuple(core.shape) == shape.as_tuple(), (core.shape, shape.as_tuple())
+
+
+# ---------------------------------------------------------------------------
+# initializers (conv_sbs.py:27-159)
+
+
+def init_dumb_normal(
+    key: jax.Array, spec: SBSSpecString, std: float = 0.9, dtype=jnp.float32
+) -> SBSCores:
+    keys = jax.random.split(key, len(spec))
+    return tuple(
+        std * jax.random.normal(k, s.as_tuple(), dtype)
+        for k, s in zip(keys, spec.shapes)
+    )
+
+
+def khrulkov_core_std(spec: SBSSpecString, std_of_matrix: Optional[float]) -> float:
+    """Per-core element std for the Khrulkov TT-aware initialization
+    (conv_sbs.py:88-108): the desired dense-matrix element variance is split
+    evenly across cores and divided by the product of bond ranks."""
+    if std_of_matrix is not None:
+        var_matrix = std_of_matrix**2
+    else:
+        rows = spec.out_total_quantum_dim_size
+        cols = spec.in_total_dim_size
+        var_matrix = 2.0 / (cols + rows)
+    prod_ranks = math.prod(spec.bond_sizes)
+    n = len(spec)
+    var_cores = var_matrix ** (1.0 / n) / prod_ranks ** (1.0 / n)
+    return math.sqrt(var_cores)
+
+
+def init_khrulkov_normal(
+    key: jax.Array,
+    spec: SBSSpecString,
+    std_of_matrix: Optional[float] = None,
+    dtype=jnp.float32,
+) -> SBSCores:
+    std = khrulkov_core_std(spec, std_of_matrix)
+    keys = jax.random.split(key, len(spec))
+    return tuple(
+        std * jax.random.normal(k, s.as_tuple(), dtype)
+        for k, s in zip(keys, spec.shapes)
+    )
+
+
+def init_normal_preserving_output_std(
+    key: jax.Array, spec: SBSSpecString, dtype=jnp.float32
+) -> SBSCores:
+    """Khrulkov init with matrix std (Q^(C·#cores))^(-1/2): if input windows
+    have i.i.d. coordinates with μ, σ, output coordinates get std √(σ²+μ²)
+    (conv_sbs.py:110-115)."""
+    return init_khrulkov_normal(
+        key, spec, spec.in_total_dim_size**-0.5, dtype=dtype
+    )
+
+
+def init_min_random_eye(
+    key: jax.Array, spec: SBSSpecString, base_std: float, dtype=jnp.float32
+) -> SBSCores:
+    """Identity-like + noise initialization (conv_sbs.py:117-159): middle cores
+    get a truncated scaled identity over (bond_l, bond_r); the first and last
+    cores get a single 1/Q^C entry at [0,0,0]; all get N(0, base_std/Q^C)."""
+    assert spec.bond_sizes[0] == 1, "min_random_eye can't work with a tensor ring"
+    inner = spec.bond_sizes[1:]
+    assert all(b == inner[0] for b in inner), "all inner bonds must match"
+    bond = inner[0] if inner else 1
+    out_dim = spec.out_total_quantum_dim_size
+    assert out_dim == max(s.out_quantum_dim_size for s in spec.shapes), (
+        "min_random_eye needs a single core carrying the whole output dim"
+    )
+    q_total = spec.in_quantum_dim_size**spec.in_num_channels
+    m = min(bond, out_dim)
+    eye = jnp.zeros((bond, bond), dtype).at[:m, :m].set(
+        jnp.eye(m, dtype=dtype) / q_total
+    )
+    keys = jax.random.split(key, len(spec))
+    cores = []
+    for i, (k, shape) in enumerate(zip(keys, spec.shapes)):
+        noise = jax.random.normal(k, shape.as_tuple(), dtype) * (base_std / q_total)
+        if i == 0 or i == len(spec) - 1:
+            base = jnp.zeros(shape.as_tuple(), dtype)
+            idx = (0, 0, 0) + (0,) * spec.in_num_channels
+            base = base.at[idx].set(1.0 / q_total)
+        else:
+            base = jnp.broadcast_to(
+                eye.reshape(
+                    (1, bond, bond) + (1,) * spec.in_num_channels
+                ),
+                shape.as_tuple(),
+            )
+        cores.append(base + noise)
+    return tuple(cores)
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def _merge_channels(views: Sequence[jax.Array], num_channels: int, i: int):
+    """Khatri-Rao the C channel views of kernel position i → (B,H',W',Q^C)."""
+    group = views[i * num_channels : (i + 1) * num_channels]
+    return eps_mod.khatri_rao(group)
+
+
+def conv_sbs(
+    spec: SBSSpecString, cores: Sequence[jax.Array], x: jax.Array
+) -> jax.Array:
+    """Forward pass of the string over all windows of ``x``.
+
+    ``x``: (C, B, H, W, Q) → (B, H', W', ∏ out_q) where H' = H - max_h etc.
+    (parity: conv_sbs.py:258-304).
+    """
+    validate_cores(spec, cores)
+    num_channels = spec.in_num_channels
+    views = window_views_at_positions(x, spec.positions)
+    acc_dtype = jnp.promote_types(cores[0].dtype, x.dtype)
+
+    # Step 1: per-position batched contraction (one MXU matmul each):
+    # (B,H',W',Q^C) @ (Q^C, o·l·r) → (B,H',W',o,l,r)
+    tt_mats = []
+    for i, (core, shape) in enumerate(zip(cores, spec.shapes)):
+        inp = _merge_channels(views, num_channels, i)
+        o, l, r = (
+            shape.out_quantum_dim_size,
+            shape.bond_left_size,
+            shape.bond_right_size,
+        )
+        cm = core.reshape(o * l * r, -1).T  # (Q^C, o·l·r)
+        m = jax.lax.dot_general(
+            inp, cm, (((3,), (0,)), ((), ())), preferred_element_type=acc_dtype
+        )
+        tt_mats.append(m.reshape(*m.shape[:-1], o, l, r))
+
+    # Step 2: bond-chain fold. acc: (B,H',W', O_so_far, bond0, r_current);
+    # the first core's (o0, l0, r0) already has that layout.
+    acc = tt_mats[0]
+    for m in tt_mats[1:]:
+        # acc: (..., O, b0, r) ; m: (..., o, r, s) → (..., O·o, b0, s)
+        acc = jnp.einsum("...xar,...yrs->...xyas", acc, m)
+        b, h, w = acc.shape[:3]
+        acc = acc.reshape(
+            b, h, w, acc.shape[3] * acc.shape[4], acc.shape[5], acc.shape[6]
+        )
+    # Step 3: ring trace over (b0, r) — trivial squeeze when bond0 == 1.
+    out = jnp.trace(acc, axis1=-2, axis2=-1)
+    return out
+
+
+def many_conv_sbs(
+    specs: Sequence[SBSSpecString],
+    cores_per_string: Sequence[Sequence[jax.Array]],
+    x: jax.Array,
+) -> Tuple[jax.Array, ...]:
+    """Run several strings over the same input (ManyConvSBS, conv_sbs.py:314)."""
+    return tuple(
+        conv_sbs(spec, cores, x) for spec, cores in zip(specs, cores_per_string)
+    )
+
+
+def make_many_specs(
+    in_num_channels: int,
+    in_quantum_dim_size: int,
+    bond_dim_size: int,
+    trace_edge: bool,
+    cores_specs: Sequence[Tuple[SBSSpecCore, ...]],
+) -> Tuple[SBSSpecString, ...]:
+    """Build the strings' specs the way ManyConvSBS does (conv_sbs.py:339-355):
+    first bond is 1 unless trace_edge; all strings must agree on the total
+    output quantum dim."""
+    specs = tuple(
+        SBSSpecString(
+            tuple(cs),
+            (bond_dim_size if trace_edge else 1,) + (bond_dim_size,) * (len(cs) - 1),
+            in_num_channels,
+            in_quantum_dim_size,
+        )
+        for cs in cores_specs
+    )
+    sizes = {s.out_total_quantum_dim_size for s in specs}
+    assert len(sizes) == 1, "all strings must have the same total output dim"
+    return specs
+
+
+# ---------------------------------------------------------------------------
+# TT-space algebra (nothing of size Q^(K²C) is built)
+
+
+def tt_sum(spec: SBSSpecString, cores: Sequence[jax.Array]) -> jax.Array:
+    """Sum of all elements of the implied dense tensor (conv_sbs.py:161-169):
+    fold per-core transfer matrices t_i[l, r] = Σ_{o,q…} core[o,l,r,q…]."""
+    transfer = [
+        jnp.sum(c, axis=tuple([0] + list(range(3, c.ndim)))) for c in cores
+    ]
+    chain = reduce(jnp.matmul, transfer)
+    return jnp.trace(chain)
+
+
+def tt_mean(spec: SBSSpecString, cores: Sequence[jax.Array]) -> jax.Array:
+    return tt_sum(spec, cores) / float(spec.nelement)
+
+
+def tt_squared_fro_norm(spec: SBSSpecString, cores: Sequence[jax.Array]) -> jax.Array:
+    """‖T‖²_F via the doubled-bond chain (conv_sbs.py:175-191): per core,
+    t_i[(l,l'), (r,r')] = Σ_{o,q…} core[o,l,r,q…]·core[o,l',r',q…]."""
+    transfer = []
+    for c in cores:
+        o, l, r = c.shape[:3]
+        flat = c.reshape(o, l, r, -1)
+        t = jnp.einsum("olrq,omsq->lmrs", flat, flat).reshape(l * l, r * r)
+        transfer.append(t)
+    chain = reduce(jnp.matmul, transfer)
+    b0 = cores[0].shape[1]
+    # chain rows are (l, l') pairs, cols are (r, r'); the ring trace pairs
+    # l with r and l' with r'.
+    return jnp.einsum("lmlm->", chain.reshape(b0, b0, b0, b0))
+
+
+def tt_fro_norm(spec: SBSSpecString, cores: Sequence[jax.Array]) -> jax.Array:
+    return tt_squared_fro_norm(spec, cores) ** 0.5
+
+
+def tt_var(
+    spec: SBSSpecString, cores: Sequence[jax.Array], unbiased: bool = True
+) -> jax.Array:
+    """Variance of the elements of the implied dense tensor (conv_sbs.py:197)."""
+    total = tt_sum(spec, cores)
+    n = spec.nelement
+    mean = total / n
+    divisor = n - 1 if unbiased else n
+    return (
+        tt_squared_fro_norm(spec, cores) / divisor
+        - 2 * total / divisor * mean
+        + n / divisor * mean**2
+    )
+
+
+def tt_std(
+    spec: SBSSpecString, cores: Sequence[jax.Array], unbiased: bool = True
+) -> jax.Array:
+    return tt_var(spec, cores, unbiased) ** 0.5
+
+
+def multiply_by_scalar(
+    spec: SBSSpecString, cores: Sequence[jax.Array], scalar: float
+) -> SBSCores:
+    """Scale the implied dense tensor by ``scalar``, distributing the factor
+    evenly across cores (conv_sbs.py:306-311). Requires scalar ≥ 0 unless the
+    number of cores is odd."""
+    factor = scalar ** (1.0 / len(cores)) if scalar >= 0 else -(
+        (-scalar) ** (1.0 / len(cores))
+    )
+    if scalar < 0 and len(cores) % 2 == 0:
+        raise ValueError("cannot distribute a negative scalar over an even chain")
+    return tuple(c * factor for c in cores)
+
+
+# ---------------------------------------------------------------------------
+# densification
+
+
+def as_explicit_tensor(spec: SBSSpecString, cores: Sequence[jax.Array]) -> jax.Array:
+    """Dense tensor with dims ordered: per-core input quantum dims (core-major,
+    channel-minor), then all out dims (conv_sbs.py:209-224)."""
+    validate_cores(spec, cores)
+    n = len(spec)
+    # fold left-to-right keeping dangling dims:
+    # acc: (b0, in_dims..., out_dims..., r)
+    acc = None
+    for c in cores:
+        # c: (o, l, r, q1..qC) → (l, q1..qC, o, r)
+        perm = (1,) + tuple(range(3, c.ndim)) + (0, 2)
+        ct = jnp.transpose(c, perm)
+        if acc is None:
+            acc = ct  # (b0, q.., o, r)
+        else:
+            # acc (b0, ..., r) × ct (l=r, q.., o, s) → (b0, ..., q.., o, s)
+            acc = jnp.tensordot(acc, ct, axes=([-1], [0]))
+    # trace over (b0, last r)
+    acc = jnp.trace(acc, axis1=0, axis2=-1)
+    # dims now: for each core i: (q_i1..q_iC, o_i). Move all o dims to the end.
+    num_channels = spec.in_num_channels
+    in_dims, out_dims = [], []
+    pos = 0
+    for _ in range(n):
+        in_dims.extend(range(pos, pos + num_channels))
+        out_dims.append(pos + num_channels)
+        pos += num_channels + 1
+    return jnp.transpose(acc, in_dims + out_dims)
+
+
+def as_eps(spec: SBSSpecString, cores: Sequence[jax.Array]) -> jax.Array:
+    """Convert a square-grid string to an explicit EPS core: input dims
+    reordered to raster order, output dims collapsed to one
+    (conv_sbs.py:226-256)."""
+    assert spec.max_height_pos == spec.max_width_pos
+    dense = as_explicit_tensor(spec, cores)
+    n = len(spec)
+    num_channels = spec.in_num_channels
+    q = spec.in_quantum_dim_size
+    # collapse out dims into one trailing dim
+    dense = dense.reshape((q,) * (num_channels * n) + (-1,))
+    # current input-dim groups are ordered by core index in the STRING's order;
+    # group g sits at slots [g*C, (g+1)*C). Its raster position is
+    # standard_order[g]; we need groups sorted by raster position.
+    standard = spec.get_indices_wrt_standard_order()
+    perm = []
+    # For each raster slot s, find the string core g with standard[g] == s.
+    order = sorted(range(n), key=lambda g: standard[g])
+    for g in order:
+        perm.extend(range(g * num_channels, (g + 1) * num_channels))
+    perm.append(num_channels * n)  # out dim stays last
+    return jnp.transpose(dense, perm)

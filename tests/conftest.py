@@ -1,0 +1,26 @@
+"""Test harness: force an 8-device virtual CPU mesh (multi-chip sharding tests
+run without real TPU hardware) and enable float64 for densified oracles.
+
+Must configure jax before any backend is initialized, hence module level.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # backend already initialized (e.g. re-entrant run); tests that need
+    # 8 devices will skip themselves
+jax.config.update("jax_enable_x64", True)
+
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(0)
