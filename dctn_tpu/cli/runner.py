@@ -1,0 +1,386 @@
+"""The experiment runner CLI — capability parity with reference
+``new_runner.py`` (the primary entry point, README.org:10-14).
+
+Differences from the reference, by design:
+- ``--eval-schedule`` is parsed with ast.literal_eval, NOT eval (the reference
+  uses ``type=eval``, an arbitrary-code hazard flagged in SURVEY §5).
+- ``--device`` is replaced by ``--mesh`` (TPU mesh shape for data
+  parallelism); single-chip is the default.
+- checkpoints are .npz pytrees, written asynchronously.
+- everything runs through the jitted step / device-resident splits.
+
+Run: ``python -m dctn_tpu.cli.runner --experiments-dir ... --ds-type
+fashionmnist --ds-path synthetic --epses-specs "(4,4),(3,6)" --batch-size 128
+--optimizer adam --lr 3e-3 --init-epses-composition-unit-empirical-output-std``
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import json
+import logging
+import os
+import re
+import subprocess
+import time
+from functools import partial
+from typing import List, Optional, Tuple
+
+import click
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import load_dataset, Batcher
+from ..models import (
+    EPSesPlusLinearConfig,
+    init_eps_plus_linear,
+    intermediate_reps_stats,
+)
+from ..ops import composition
+from ..train import (
+    make_optimizer,
+    every_n_iters_intervals,
+    make_score_fn,
+    make_train_step,
+    TrainLoopState,
+    train,
+    LastModelsCheckpointer,
+    BestModelCheckpointer,
+    ValuesNotImprovingEarlyStopper,
+    make_stopper_after_n_iters,
+    make_stopper_on_nan_loss,
+    log_parameters_stats,
+    save_pytree,
+    load_pytree,
+)
+from ..train.step import make_gather_batch
+from ..train.checkpoint import AsyncWriter
+from ..utils.misc import (
+    implies,
+    xor,
+    exactly_one_true,
+    ZeroCenteredNormalInit,
+    ZeroCenteredUniformInit,
+    FromFileInit,
+)
+
+DIFF_FNAME = "git_diff_with_HEAD.patch"
+RUN_INFO_FNAME = "run_info.txt"
+LOG_FNAME = "log.log"
+
+logger = logging.getLogger(__name__)
+
+
+def parse_epses_specs(s: str) -> Tuple[Tuple[int, int], ...]:
+    """'(4,4),(3,6)' → ((4, 4), (3, 6)) (new_runner.py:81-84 format)."""
+    if re.match(r"^\((\d+),(\d+)\)(,\((\d+),(\d+)\))*$", s) is None:
+        raise click.BadParameter(f"bad epses specs {s!r}")
+    nums = [int(x) for x in re.findall(r"\d+", s)]
+    return tuple((nums[i], nums[i + 1]) for i in range(0, len(nums), 2))
+
+
+def parse_eval_schedule(s: str):
+    value = ast.literal_eval(s)
+    assert isinstance(value, tuple)
+    return value
+
+
+def save_git_provenance(output_dir: str) -> str:
+    """run_info commit line + working-tree diff (new_runner.py:63-78)."""
+    try:
+        commit = subprocess.run(
+            ("git", "show", "--format=oneline", "-s"),
+            text=True, capture_output=True, check=True,
+        ).stdout.strip()
+        diff = subprocess.run(
+            ("git", "diff", "HEAD"), capture_output=True, check=True
+        ).stdout
+        with open(os.path.join(output_dir, DIFF_FNAME), "wb") as f:
+            f.write(diff)
+    except Exception as e:  # not a git checkout — still record why
+        commit = f"<no git: {e}>"
+    return commit
+
+
+@click.command()
+@click.option("--experiments-dir", type=click.Path(file_okay=False), required=True)
+@click.option("--ds-type", type=click.Choice((
+    "mnist", "fashionmnist", "cifar10_28x28_grayscale",
+    "cifar10_32x32_grayscale", "cifar10_rgb", "cifar10_YCbCr"),
+    case_sensitive=False), required=True)
+@click.option("--ds-path", type=str, required=True,
+              help="dataset root, or 'synthetic' for generated data")
+@click.option("--seed", type=int, default=0)
+@click.option("-v", "--verbosity", default="INFO")
+@click.option("--epses-specs", type=parse_epses_specs, required=True,
+              help="e.g. (4,4),(3,6)")
+@click.option("--batch-size", type=int, required=True)
+@click.option("--load-model-state", type=click.Path(exists=True, dir_okay=False))
+@click.option("--optimizer", "optimizer_name",
+              type=click.Choice(("adam", "sgd"), case_sensitive=False), default="adam")
+@click.option("--lr", type=float, default=1e-3)
+@click.option("--reg-type", type=click.Choice(("epswise", "epses_composition")),
+              default="epses_composition")
+@click.option("--reg-coeff", type=float, default=0.0)
+@click.option("--wd", type=float, default=0.0, help="weight decay")
+@click.option("--es-train-acc/--no-es-train-acc", default=True)
+@click.option("--es-val-acc/--no-es-val-acc", default=True)
+@click.option("--es-train-mean-ce/--no-es-train-mean-ce", default=True)
+@click.option("--es-val-mean-ce/--no-es-val-mean-ce", default=True)
+@click.option("--patience", type=int, default=20)
+@click.option("--max-num-iters", type=int, default=None)
+@click.option("--keep-last-models", type=int, default=10)
+@click.option("--init-epses-composition-unit-theoretical-output-std/"
+              "--no-init-epses-composition-unit-theoretical-output-std", default=False)
+@click.option("--init-epses-composition-unit-empirical-output-std/"
+              "--no-init-epses-composition-unit-empirical-output-std", default=False)
+@click.option("--init-epses-composition-unit-empirical-output-std-subset-size",
+              type=int, default=10880)
+@click.option("--dropout-p", type=float, default=1.0)
+@click.option("--eval-schedule", type=parse_eval_schedule,
+              default="((10, 1), (100, 10), (1000, 100), (20000, 500), (None, 5000))")
+@click.option("--phi-multiplier", type=float, default=None, help="ν")
+@click.option("--center-and-normalize-each-channel/"
+              "--no-center-and-normalize-each-channel", default=False)
+@click.option("--nu-per-channel", nargs=3, type=float, default=None)
+@click.option("--add-constant-channel", type=float, default=None)
+@click.option("--init-eps-zero-centered-normal-std", nargs=2, type=(int, float),
+              multiple=True)
+@click.option("--init-eps-from-file", nargs=2,
+              type=(int, click.Path(exists=True, dir_okay=False)), multiple=True)
+@click.option("--init-linear-weight-zero-centered-uniform", type=float, default=None)
+@click.option("--init-linear-weight-zero-centered-normal-std", type=float, default=None)
+@click.option("--init-linear-bias-zero-centered-uniform", type=float, default=None)
+@click.option("--freeze-eps", type=int, multiple=True)
+@click.option("--log-intermediate-reps-stats-batch-size", type=int, default=None)
+@click.option("--compute-dtype", type=click.Choice(("float32", "bfloat16")),
+              default="float32",
+              help="MXU input precision for EPS contractions (f32 accumulate)")
+@click.option("--synthetic-sizes", nargs=3, type=int, default=(8192, 2048, 2048),
+              help="train/val/test sizes when --ds-path synthetic")
+@click.option("--eval-train-subset", type=int, default=None,
+              help="score only this many train samples per eval (full set if unset)")
+def main(**kwargs) -> None:
+    run(**kwargs)
+
+
+def run(**kwargs) -> TrainLoopState:
+    """Programmatic entry (experiment scripts call this directly, the way the
+    reference's small_experiments drive new_runner.main). Unspecified options
+    take the CLI defaults."""
+    for param in main.params:
+        if param.name not in kwargs:
+            default = param.default
+            if type(default).__name__ == "Sentinel":  # click's "no default"
+                default = () if param.multiple else None
+            elif isinstance(default, str) and callable(
+                getattr(param.type, "convert", None)
+            ):
+                default = param.type.convert(default, param, None)
+            kwargs[param.name] = default
+    ts = time.strftime("%Y-%m-%d-%H-%M-%S")
+    output_dir = os.path.join(kwargs["experiments_dir"], ts)
+    assert not os.path.exists(output_dir)
+    os.makedirs(output_dir)
+    kwargs["output_dir"] = output_dir
+
+    # --- flag-interaction validation (new_runner.py:289-321) ---
+    specs = kwargs["epses_specs"]
+    chosen_individual: List[bool] = [False] * len(specs)
+    for eps_index, _ in list(kwargs["init_eps_zero_centered_normal_std"]) + list(
+        kwargs["init_eps_from_file"]
+    ):
+        assert not chosen_individual[eps_index]
+        chosen_individual[eps_index] = True
+    per_param = all(chosen_individual) if chosen_individual else False
+    assert all(chosen_individual) or not any(chosen_individual)
+    assert implies(
+        kwargs["init_linear_weight_zero_centered_uniform"] is not None, per_param
+    )
+    assert per_param == xor(
+        kwargs["init_linear_weight_zero_centered_uniform"] is not None,
+        kwargs["init_linear_weight_zero_centered_normal_std"] is not None,
+    ) == (kwargs["init_linear_bias_zero_centered_uniform"] is not None)
+    assert exactly_one_true(
+        kwargs["init_epses_composition_unit_theoretical_output_std"],
+        kwargs["init_epses_composition_unit_empirical_output_std"],
+        per_param,
+    )
+    colored = kwargs["ds_type"] in ("cifar10_rgb", "cifar10_YCbCr")
+    assert implies(kwargs["center_and_normalize_each_channel"], colored)
+    assert implies(bool(kwargs["nu_per_channel"]), colored)
+    assert implies(kwargs["phi_multiplier"] is not None, not colored)
+    assert implies(kwargs["add_constant_channel"] is not None, colored)
+
+    # --- provenance + logging (new_runner.py:326-341) ---
+    commit = save_git_provenance(output_dir)
+    with open(os.path.join(output_dir, RUN_INFO_FNAME), "w") as f:
+        json.dump(
+            {k: repr(v) if not isinstance(v, (int, float, str, bool, type(None))) else v
+             for k, v in kwargs.items()} | {"commit": commit},
+            f, indent=2,
+        )
+    logging.basicConfig(
+        level=getattr(logging, str(kwargs["verbosity"]).upper(), logging.INFO),
+        handlers=(
+            logging.StreamHandler(),
+            logging.FileHandler(os.path.join(output_dir, LOG_FNAME), "w", "utf-8"),
+        ),
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+        force=True,
+    )
+    logger.info("output_dir=%r", output_dir)
+
+    # --- data (new_runner.py:345-376) ---
+    autoscale = None
+    if kwargs["phi_multiplier"] is None and not kwargs["nu_per_channel"]:
+        autoscale = specs[0][0]
+    splits = load_dataset(
+        kwargs["ds_type"],
+        kwargs["ds_path"],
+        phi_multiplier=kwargs["phi_multiplier"],
+        autoscale_kernel_size=autoscale,
+        center_and_normalize_each_channel=kwargs["center_and_normalize_each_channel"],
+        add_constant_channel=kwargs["add_constant_channel"],
+        nu_per_channel=kwargs["nu_per_channel"] or None,
+        synthetic_sizes=tuple(kwargs["synthetic_sizes"]),
+    )
+
+    image_size = splits.train.x.shape[2]
+    q0 = splits.train.x.shape[-1]
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=specs,
+        image_size=image_size,
+        q0=q0,
+        dropout_p=kwargs["dropout_p"],
+        compute_dtype=jnp.bfloat16
+        if kwargs["compute_dtype"] == "bfloat16"
+        else None,
+    )
+
+    # --- model init (new_runner.py:378-431) ---
+    key = jax.random.PRNGKey(kwargs["seed"])
+    k_init, k_train = jax.random.split(key)
+    subset = kwargs["init_epses_composition_unit_empirical_output_std_subset_size"]
+    x_init = jnp.asarray(splits.train.x[:, :subset])
+    if kwargs["init_epses_composition_unit_empirical_output_std"]:
+        params = init_eps_plus_linear(
+            k_init, cfg, "unit_empirical_output_std",
+            init_input=x_init, init_batch_size=kwargs["batch_size"],
+        )
+    elif kwargs["init_epses_composition_unit_theoretical_output_std"]:
+        params = init_eps_plus_linear(k_init, cfg, "unit_theoretical_output_std")
+    else:
+        eps_inits = [None] * len(specs)
+        for i, std in kwargs["init_eps_zero_centered_normal_std"]:
+            eps_inits[i] = ZeroCenteredNormalInit(std)
+        for i, path in kwargs["init_eps_from_file"]:
+            eps_inits[i] = FromFileInit(path)
+        w_init = (
+            ZeroCenteredUniformInit(kwargs["init_linear_weight_zero_centered_uniform"])
+            if kwargs["init_linear_weight_zero_centered_uniform"] is not None
+            else ZeroCenteredNormalInit(
+                kwargs["init_linear_weight_zero_centered_normal_std"]
+            )
+        )
+        b_init = ZeroCenteredUniformInit(
+            kwargs["init_linear_bias_zero_centered_uniform"]
+        )
+        params = init_eps_plus_linear(
+            k_init, cfg, "manual", eps_inits=tuple(eps_inits),
+            linear_weight_init=w_init, linear_bias_init=b_init,
+        )
+    if kwargs["load_model_state"]:
+        params = load_pytree(params, kwargs["load_model_state"])
+        logger.info("loaded model state from %s", kwargs["load_model_state"])
+    logger.info(
+        "inner_product(epses, epses)=%.4e",
+        float(composition.inner_product(params["epses"], params["epses"])),
+    )
+    stats_bs = kwargs["log_intermediate_reps_stats_batch_size"] or kwargs["batch_size"] // 2
+    intermediate_reps_stats(params, x_init, cfg, stats_bs)
+
+    # --- training assembly (new_runner.py:443-546) ---
+    optimizer = make_optimizer(kwargs["optimizer_name"], kwargs["lr"], kwargs["wd"])
+    opt_state = optimizer.init(params)
+    step = make_train_step(
+        cfg, optimizer, kwargs["reg_type"], kwargs["reg_coeff"],
+        frozen_eps_indices=kwargs["freeze_eps"],
+    )
+    x_tr = jnp.asarray(splits.train.x)
+    y_tr = jnp.asarray(splits.train.y)
+    x_val = jnp.asarray(splits.val.x)
+    y_val = jnp.asarray(splits.val.y)
+    gather = make_gather_batch(x_tr, y_tr)
+    score = make_score_fn(cfg, kwargs["batch_size"])
+
+    n_eval_train = kwargs["eval_train_subset"] or y_tr.shape[0]
+    x_tr_eval, y_tr_eval = x_tr[:, :n_eval_train], y_tr[:n_eval_train]
+
+    schedule = every_n_iters_intervals(*kwargs["eval_schedule"])
+
+    def evaluate_and_log(state: TrainLoopState) -> None:
+        trm, tra = score(state.params, x_tr_eval, y_tr_eval)
+        vm, va = score(state.params, x_val, y_val)
+        state.iter_metrics.update(
+            train_mean_ce=float(trm), train_acc=float(tra),
+            val_mean_ce=float(vm), val_acc=float(va),
+        )
+        if state.device_metrics is not None:
+            reg_term = float(state.device_metrics["reg_term"])
+        else:
+            from ..train.step import REGULARIZERS
+
+            reg_term = float(REGULARIZERS[kwargs["reg_type"]](state.params))
+        # exact reference eval-line format (new_runner.py:468-473), parsed by
+        # viz.log_parsing
+        logger.info(
+            "After %07d iters: train/val mean_ce=%.5f/%.5f acc=%.2f%%/%.2f%% "
+            "reg_term=%.2e",
+            state.num_iters_done,
+            state.iter_metrics["train_mean_ce"],
+            state.iter_metrics["val_mean_ce"],
+            state.iter_metrics["train_acc"] * 100,
+            state.iter_metrics["val_acc"] * 100,
+            reg_term,
+        )
+
+    writer = AsyncWriter()
+    last_ckpt = LastModelsCheckpointer(output_dir, kwargs["keep_last_models"], writer)
+    metrics = (
+        ("train_acc", False), ("val_acc", False),
+        ("train_mean_ce", True), ("val_mean_ce", True),
+    )
+    best_ckpts = [BestModelCheckpointer(output_dir, k, low, writer) for k, low in metrics]
+    es_metrics = tuple(
+        (name, low) for name, low in metrics if kwargs[f"es_{name}"]
+    )
+    at_iter_start = [schedule(evaluate_and_log), schedule(log_parameters_stats),
+                     schedule(last_ckpt)] + [schedule(c) for c in best_ckpts]
+    if es_metrics:
+        at_iter_start.append(schedule(ValuesNotImprovingEarlyStopper(
+            kwargs["patience"], es_metrics)))
+    if kwargs["max_num_iters"] is not None:
+        at_iter_start.append(schedule(
+            make_stopper_after_n_iters(kwargs["max_num_iters"])))
+    after_step = [schedule(make_stopper_on_nan_loss(output_dir))]
+
+    batcher = Batcher(
+        splits.train, kwargs["batch_size"], shuffle=True, drop_last=True,
+        seed=kwargs["seed"],
+    )
+    state = TrainLoopState(params=params, opt_state=opt_state, rng=k_train)
+    state.extras["output_dir"] = output_dir
+    state.extras["cfg"] = cfg
+    train(state, step, gather, batcher.indices_forever(),
+          at_iter_start=at_iter_start, after_step=after_step)
+    writer.wait()
+    logger.info("training stopped: %s at %d iters", state.stop_reason,
+                state.num_iters_done)
+    return state
+
+
+if __name__ == "__main__":
+    main()

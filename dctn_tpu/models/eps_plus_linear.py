@@ -1,0 +1,249 @@
+"""EPSesPlusLinear — N EPS layers followed by a linear classifier, pure-JAX.
+
+Capability parity: reference ``dctn/eps_plus_linear.py`` (the current model of
+the 90.19% FashionMNIST run): three init families, the custom linear init,
+PARAMETER dropout (Bernoulli masks on the EPS core components, scaled 1/p —
+not activation dropout), the two L2 regularizers, and intermediate-rep
+statistics logging.
+
+TPU-first design: parameters are a plain pytree
+``{"epses": (core_0, …), "linear": {"w": (in, 10), "b": (10,)}}``; the forward
+is a pure function of (params, x, rng) so it jits/vmaps/shards without any
+module machinery, and dropout masks are drawn from an explicit PRNG key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import eps as eps_mod
+from ..ops import composition
+from ..ops.windows import make_windows
+from ..utils.misc import (
+    OneTensorInit,
+    ZeroCenteredNormalInit,
+    ZeroCenteredUniformInit,
+)
+
+logger = logging.getLogger(__name__)
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class EPSesPlusLinearConfig:
+    epses_specs: Tuple[Tuple[int, int], ...]  # ((K, Q_out), ...)
+    image_size: int = 28
+    q0: int = 2
+    num_classes: int = 10
+    dropout_p: float = 1.0  # probability of KEEPING a core component
+    dtype: Any = jnp.float32
+    compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for MXU inputs
+
+    def __post_init__(self):
+        assert 0.0 < self.dropout_p <= 1.0
+
+    @property
+    def pre_linear_image_size(self) -> int:
+        ks = tuple(k for k, _ in self.epses_specs)
+        return self.image_size - sum(ks) + len(ks)
+
+    @property
+    def linear_in_features(self) -> int:
+        out_q = self.epses_specs[-1][1]
+        return self.pre_linear_image_size**2 * out_q
+
+
+# ---------------------------------------------------------------------------
+# initialization
+
+
+def _init_linear(
+    key: jax.Array,
+    cfg: EPSesPlusLinearConfig,
+    weight_init: Optional[OneTensorInit] = None,
+    bias_init: Optional[OneTensorInit] = None,
+) -> Dict[str, jax.Array]:
+    """Default: w = randn·in^(-1/2)/4, b ~ U(-in^(-1/2), in^(-1/2))
+    (eps_plus_linear.py:120-133); or manually chosen distributions."""
+    kw, kb = jax.random.split(key)
+    n_in, n_out = cfg.linear_in_features, cfg.num_classes
+    if weight_init is None:
+        w_std = n_in**-0.5 / 4.0
+        w = jax.random.normal(kw, (n_in, n_out), cfg.dtype) * w_std
+        logger.info("initialized linear.weight as randn * %.30e", w_std)
+    elif isinstance(weight_init, ZeroCenteredNormalInit):
+        w = jax.random.normal(kw, (n_in, n_out), cfg.dtype) * weight_init.std
+    elif isinstance(weight_init, ZeroCenteredUniformInit):
+        w = jax.random.uniform(
+            kw, (n_in, n_out), cfg.dtype, -weight_init.maximum, weight_init.maximum
+        )
+    else:
+        raise ValueError(f"unsupported linear weight init {weight_init!r}")
+    if bias_init is None:
+        b_max = n_in**-0.5
+        b = jax.random.uniform(kb, (n_out,), cfg.dtype, -b_max, b_max)
+        logger.info("initialized linear.bias from U[±%.30e]", b_max)
+    elif isinstance(bias_init, ZeroCenteredUniformInit):
+        b = jax.random.uniform(
+            kb, (n_out,), cfg.dtype, -bias_init.maximum, bias_init.maximum
+        )
+    elif isinstance(bias_init, ZeroCenteredNormalInit):
+        b = jax.random.normal(kb, (n_out,), cfg.dtype) * bias_init.std
+    else:
+        raise ValueError(f"unsupported linear bias init {bias_init!r}")
+    return {"w": w, "b": b}
+
+
+def init_eps_plus_linear(
+    key: jax.Array,
+    cfg: EPSesPlusLinearConfig,
+    initialization: str = "unit_theoretical_output_std",
+    *,
+    init_input: Optional[jax.Array] = None,
+    init_batch_size: int = 128,
+    eps_inits: Optional[Sequence[OneTensorInit]] = None,
+    linear_weight_init: Optional[OneTensorInit] = None,
+    linear_bias_init: Optional[OneTensorInit] = None,
+) -> Params:
+    """Build the parameter pytree.
+
+    ``initialization``:
+    - "unit_theoretical_output_std": He-like (eps_plus_linear.py:36)
+    - "unit_empirical_output_std": data-dependent per-layer rescaling on
+      ``init_input`` (C, N, H, W, Q) (eps_plus_linear.py:31, SURVEY §3.2)
+    - "manual": per-tensor ``eps_inits`` + linear overrides
+      (eps_plus_linear.py:41)
+    """
+    k_eps, k_lin = jax.random.split(key)
+    if initialization == "unit_empirical_output_std":
+        assert init_input is not None
+        assert init_input.shape[2] == cfg.image_size
+        epses = composition.make_unit_empirical_output_std(
+            k_eps, cfg.epses_specs, init_input, cfg.dtype, init_batch_size
+        )
+    elif initialization == "unit_theoretical_output_std":
+        epses = composition.make_unit_theoretical_output_std(
+            k_eps, cfg.epses_specs, cfg.q0, cfg.dtype
+        )
+    elif initialization == "manual":
+        assert eps_inits is not None
+        epses = composition.make_manually_chosen(
+            k_eps, cfg.epses_specs, eps_inits, cfg.q0, cfg.dtype
+        )
+    else:
+        raise ValueError(f"unknown initialization {initialization!r}")
+    linear = _init_linear(k_lin, cfg, linear_weight_init, linear_bias_init)
+    return {"epses": tuple(epses), "linear": linear}
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def _dropout_epses(
+    epses: Tuple[jax.Array, ...], p: float, rng: jax.Array
+) -> Tuple[jax.Array, ...]:
+    """Bernoulli-mask EPS core COMPONENTS, scaled by 1/p
+    (eps_plus_linear.py:139-143)."""
+    keys = jax.random.split(rng, len(epses))
+    return tuple(
+        core * jax.random.bernoulli(k, p, core.shape).astype(core.dtype) / p
+        for core, k in zip(epses, keys)
+    )
+
+
+def eps_plus_linear_forward(
+    params: Params,
+    x: jax.Array,
+    cfg: EPSesPlusLinearConfig,
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """``x``: (C, B, H, W, Q₀) → logits (B, num_classes)
+    (eps_plus_linear.py:138-147)."""
+    epses = params["epses"]
+    if cfg.dropout_p < 1.0 and training:
+        assert rng is not None, "dropout needs an rng key in training mode"
+        epses = _dropout_epses(epses, cfg.dropout_p, rng)
+    intermediate = x
+    for core in epses:
+        intermediate = eps_mod.eps(
+            core, intermediate, compute_dtype=cfg.compute_dtype
+        )[None]
+    h = intermediate[0]  # (B, H', W', Q_out)
+    flat = h.reshape(h.shape[0], -1)  # b (h w q) — row-major like the reference
+    return flat @ params["linear"]["w"] + params["linear"]["b"]
+
+
+# ---------------------------------------------------------------------------
+# regularizers (eps_plus_linear.py:149-159)
+
+
+def epswise_l2_regularizer(params: Params) -> jax.Array:
+    return jnp.sum(params["linear"]["w"] ** 2) + composition.epswise_squared_fro_norm(
+        params["epses"]
+    )
+
+
+def epses_composition_l2_regularizer(params: Params) -> jax.Array:
+    return jnp.sum(params["linear"]["w"] ** 2) + composition.inner_product(
+        params["epses"], params["epses"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# intermediate representation statistics (eps_plus_linear.py:161-196)
+
+
+def intermediate_reps_stats(
+    params: Params,
+    x: jax.Array,
+    cfg: EPSesPlusLinearConfig,
+    batch_size: int = 128,
+) -> Dict[str, Dict[str, float]]:
+    """Statistics (μ, σ, μ²+σ²) of every intermediate representation x_n, of
+    the window rank-one batches w_n, and of the linear layer's output, as if
+    training were off. Returns a dict and logs each line."""
+    stats: Dict[str, Dict[str, float]] = {}
+
+    def one(name: str, mu: float, sigma: float, extra: str = "") -> None:
+        stats[name] = {"mean": mu, "std": sigma, "second_moment": mu**2 + sigma**2}
+        logger.info(
+            "%s: μ=%.7e, σ=%.7e, μ²+σ²=%.7e%s", name, mu, sigma, mu**2 + sigma**2, extra
+        )
+
+    for n, core in enumerate(params["epses"]):
+        mu = float(jnp.mean(x))
+        sigma = float(jnp.std(x))
+        one(f"x_{n}", mu, sigma, f", shape={tuple(x.shape)}")
+        kernel_size = math.isqrt(core.ndim - 1)
+        w = make_windows(x, kernel_size)
+        one(
+            f"w_{n}",
+            float(w.mean_over_batch()),
+            float(w.std_over_batch(unbiased=False)),
+        )
+        x = eps_mod.transform_in_slices(core, x, batch_size)
+    flat = x[0].reshape(x.shape[1], -1)
+    one(f"x_{len(params['epses'])}", float(jnp.mean(flat)), float(jnp.std(flat)))
+    no_bias = flat @ params["linear"]["w"]
+    one(
+        "output_of_linear_without_bias",
+        float(jnp.mean(no_bias)),
+        float(jnp.std(no_bias)),
+    )
+    with_bias = no_bias + params["linear"]["b"]
+    one(
+        "output_of_linear_with_bias",
+        float(jnp.mean(with_bias)),
+        float(jnp.std(with_bias)),
+    )
+    return stats

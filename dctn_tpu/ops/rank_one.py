@@ -84,10 +84,12 @@ class RankOneTensorsBatch:
         return jnp.sum(self.sum_per_tensor())
 
     def mean_per_tensor(self):
-        return self.sum_per_tensor() / self.ncoordinates
+        # ncoordinates is a (possibly huge, e.g. 2^16) static Python int —
+        # convert to float so it never hits int32 tracing limits
+        return self.sum_per_tensor() / float(self.ncoordinates)
 
     def mean_over_batch(self):
-        return self.sum_over_batch() / (self.ntensors * self.ncoordinates)
+        return self.sum_over_batch() / float(self.ntensors * self.ncoordinates)
 
     def squared_fro_norm_per_tensor(self):
         return self._squeeze_both(
@@ -105,8 +107,8 @@ class RankOneTensorsBatch:
         """Variance over the implied dense batch via the sum/norm identities."""
         total = self.sum_over_batch()
         mean = self.mean_over_batch()
-        nelement = self.ntensors * self.ncoordinates
-        divisor = nelement - 1 if unbiased else nelement
+        nelement = float(self.ntensors * self.ncoordinates)
+        divisor = nelement - 1.0 if unbiased else nelement
         return (
             self.squared_fro_norm_over_batch() / divisor
             - 2 * total / divisor * mean

@@ -382,9 +382,9 @@ def tt_var(
 ) -> jax.Array:
     """Variance of the elements of the implied dense tensor (conv_sbs.py:197)."""
     total = tt_sum(spec, cores)
-    n = spec.nelement
+    n = float(spec.nelement)  # huge static int → float before traced math
     mean = total / n
-    divisor = n - 1 if unbiased else n
+    divisor = n - 1.0 if unbiased else n
     return (
         tt_squared_fro_norm(spec, cores) / divisor
         - 2 * total / divisor * mean

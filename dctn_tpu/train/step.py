@@ -1,0 +1,87 @@
+"""The jitted training step.
+
+Replaces the reference's imperative forward/backward/step
+(dctn/training.py:65-87) with ONE compiled XLA program per step: dropout mask
+draw, forward, CE + reg, backward, frozen-core masking, optimizer update —
+all fused on device. Batches are gathered on device from the resident split
+(no host↔device copies in steady state).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.eps_plus_linear import (
+    EPSesPlusLinearConfig,
+    eps_plus_linear_forward,
+    epswise_l2_regularizer,
+    epses_composition_l2_regularizer,
+)
+
+REGULARIZERS = {
+    "epswise": epswise_l2_regularizer,
+    "epses_composition": epses_composition_l2_regularizer,
+}
+
+
+def make_train_step(
+    cfg: EPSesPlusLinearConfig,
+    optimizer: optax.GradientTransformation,
+    reg_type: str = "epses_composition",
+    reg_coeff: float = 0.0,
+    frozen_eps_indices: Sequence[int] = (),
+    donate: bool = True,
+):
+    """Returns step(params, opt_state, rng, xb, yb) →
+    (params, opt_state, metrics) with metrics = {loss, ce, reg_term} scalars.
+
+    Frozen EPS cores (``--freeze-eps`` parity, new_runner.py:443-444) get
+    their gradients zeroed before the optimizer update, so moments stay
+    untouched too.
+    """
+    reg_fn = REGULARIZERS[reg_type]
+    frozen = frozenset(frozen_eps_indices)
+
+    def loss_fn(params, xb, yb, rng):
+        logits = eps_plus_linear_forward(params, xb, cfg, training=True, rng=rng)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=1))
+        reg = reg_fn(params) if reg_coeff != 0.0 else jnp.zeros((), logits.dtype)
+        return ce + reg_coeff * reg, (ce, reg)
+
+    def mask_frozen(grads):
+        if not frozen:
+            return grads
+        epses = tuple(
+            jnp.zeros_like(g) if i in frozen else g
+            for i, g in enumerate(grads["epses"])
+        )
+        return {**grads, "epses": epses}
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step(params, opt_state, rng, xb, yb):
+        (loss, (ce, reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, xb, yb, rng
+        )
+        grads = mask_frozen(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "ce": ce, "reg_term": reg}
+
+    return step
+
+
+def make_gather_batch(x_full: jax.Array, y_full: jax.Array):
+    """Device-side batch gather from the resident split: idx (B,) → (xb, yb).
+    Jitted; the split arrays stay on device across all calls."""
+
+    @jax.jit
+    def gather(idx):
+        return jnp.take(x_full, idx, axis=1), jnp.take(y_full, idx, axis=0)
+
+    return gather

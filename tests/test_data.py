@@ -1,0 +1,143 @@
+"""Data pipeline: feature maps, IDX parsing, ν scaling vs the rank-one oracle,
+deterministic shuffles and batching (strategies: reference dataset regression
+asserts + recorded shuffle indices)."""
+
+import os
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dctn_tpu.data import (
+    apply_feature_map,
+    phi_cos_sin_squared_1,
+    calc_scaling_factor,
+    load_dataset,
+    Batcher,
+)
+from dctn_tpu.data import io as data_io
+from dctn_tpu.data.pipeline import _seed0_shuffled_indices
+from dctn_tpu.ops.windows import make_windows
+
+
+def test_feature_map_values():
+    x = np.array([[[0.0, 1.0], [0.5, 0.25]]], dtype=np.float32)
+    q = apply_feature_map(x)
+    assert q.shape == (1, 1, 2, 2, 2)
+    np.testing.assert_allclose(q[0, 0, 0, 0], [0.0, 2.0], atol=1e-6)  # φ(0)
+    np.testing.assert_allclose(q[0, 0, 0, 1], [2.0, 0.0], atol=1e-6)  # φ(1)
+    np.testing.assert_allclose(q[0, 0, 1, 0], [1.0, 1.0], atol=1e-6)  # φ(0.5)
+    # μ²+... the map satisfies φ₁+φ₂ = 2 exactly
+    np.testing.assert_allclose(q.sum(-1), 2.0, atol=1e-6)
+
+
+def test_seed0_shuffle_matches_reference_recorded_indices():
+    idx = _seed0_shuffled_indices(50000)
+    # recorded in reference dataset_loading.py:160
+    assert idx[:10] == [25247, 49673, 27562, 2653, 16968, 33506, 31845, 26537, 19877, 31234]
+
+
+def test_idx_roundtrip(tmp_path):
+    images = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    labels = np.array([7, 1], dtype=np.uint8)
+    img_path = tmp_path / "train-images-idx3-ubyte"
+    lbl_path = tmp_path / "train-labels-idx1-ubyte"
+    with open(img_path, "wb") as f:
+        f.write(struct.pack(">IIII", 2051, 2, 3, 4))
+        f.write(images.tobytes())
+    with open(lbl_path, "wb") as f:
+        f.write(struct.pack(">II", 2049, 2))
+        f.write(labels.tobytes())
+    got_img, got_lbl = data_io.load_mnist_like(str(tmp_path), "MNIST", train=True)
+    np.testing.assert_array_equal(got_img, images)
+    np.testing.assert_array_equal(got_lbl, labels)
+
+
+def test_calc_scaling_factor_vs_rank_one_oracle(rng):
+    """ν computed by the host numpy path equals the value derived from the
+    jax RankOneTensorsBatch statistics directly."""
+    x = np.asarray(jax.random.uniform(rng, (1, 20, 6, 6, 2), jnp.float64)) * 1.5
+    k = 3
+    nu = calc_scaling_factor(x, k)
+    w = make_windows(jnp.asarray(x), k)
+    mu = float(w.mean_over_batch())
+    var = float(w.var_over_batch(unbiased=True))
+    expected = (mu**2 + var) ** (-1 / (2 * k**2))
+    np.testing.assert_allclose(nu, expected, rtol=1e-10)
+    # after scaling, windows have μ²+σ² == 1
+    w2 = make_windows(jnp.asarray(x * nu), k)
+    m2 = float(w2.mean_over_batch())
+    v2 = float(w2.var_over_batch(unbiased=True))
+    np.testing.assert_allclose(m2**2 + v2, 1.0, rtol=1e-9)
+
+
+def test_synthetic_determinism_and_disjointness():
+    a1, y1 = data_io.synthetic_mnist_like(16, seed=5)
+    a2, y2 = data_io.synthetic_mnist_like(16, seed=5)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(y1, y2)
+    b, yb = data_io.synthetic_mnist_like(16, seed=5, offset=16)
+    assert not np.array_equal(a1, b)
+    assert a1.min() >= 0.0 and a1.max() <= 1.0
+
+
+def test_load_dataset_synthetic_autoscale():
+    splits = load_dataset(
+        "fashionmnist",
+        "synthetic",
+        autoscale_kernel_size=4,
+        synthetic_sizes=(64, 32, 32),
+    )
+    assert splits.train.x.shape == (1, 64, 28, 28, 2)
+    assert splits.val.x.shape[1] == 32
+    assert splits.nu is not None and len(splits.nu) == 1
+    # windows of the scaled train set have μ²+σ²≈1
+    w = make_windows(jnp.asarray(splits.train.x, jnp.float64), 4)
+    m = float(w.mean_over_batch())
+    v = float(w.var_over_batch(unbiased=True))
+    np.testing.assert_allclose(m**2 + v, 1.0, rtol=1e-5)
+
+
+def test_phi_multiplier_replaces_factor_2():
+    splits = load_dataset(
+        "mnist", "synthetic", phi_multiplier=0.5, synthetic_sizes=(8, 4, 4)
+    )
+    # φ = (0.5·sin², 0.5·cos²) so coordinates sum to 0.5 everywhere
+    np.testing.assert_allclose(splits.train.x.sum(-1), 0.5, atol=1e-6)
+
+
+def test_colored_synthetic_pipeline():
+    splits = load_dataset(
+        "cifar10_rgb",
+        "synthetic",
+        center_and_normalize_each_channel=True,
+        add_constant_channel=1.0,
+        nu_per_channel=(1.1, 1.2, 1.3),
+        synthetic_sizes=(32, 8, 8),
+    )
+    assert splits.train.x.shape == (1, 32, 32, 32, 4)  # 3 colors + constant
+    assert splits.nu == (1.1, 1.2, 1.3, 1.0)
+    # constant channel was 1.0, ν for it is 1.0
+    np.testing.assert_allclose(splits.train.x[..., 3], 1.0, atol=1e-6)
+    # normalized channels: train μ≈0 (before constant/ν) — check channel 0 μ
+    ch0 = splits.train.x[..., 0] / 1.1
+    assert abs(ch0.mean()) < 1e-4
+
+
+def test_batcher():
+    splits = load_dataset("mnist", "synthetic", synthetic_sizes=(20, 8, 8))
+    b = Batcher(splits.train, batch_size=6, shuffle=True, drop_last=True, seed=3)
+    batches = list(b)
+    assert len(batches) == 3  # 20//6, last dropped
+    x, y, idx = batches[0]
+    assert x.shape == (1, 6, 28, 28, 2)
+    assert y.shape == (6,) and idx.shape == (6,)
+    # reshuffles across epochs deterministically given the seed
+    order1 = [tuple(bt[2]) for bt in b]
+    order2 = [tuple(bt[2]) for bt in b]
+    assert order1 != order2
+    b_fixed = Batcher(splits.val, batch_size=3, shuffle=False, drop_last=False)
+    vb = list(b_fixed)
+    assert len(vb) == 3 and vb[-1][1].shape == (2,)  # ragged final batch kept

@@ -1,0 +1,63 @@
+"""End-to-end runner smoke test: full CLI pipeline on synthetic data, then
+parse the produced log.log back (the round-trip contract with viz)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dctn_tpu.cli.runner import run, parse_epses_specs
+from dctn_tpu.viz import load_records, get_increasing_subsequence, Record
+
+
+def test_parse_epses_specs():
+    assert parse_epses_specs("(4,4),(3,6)") == ((4, 4), (3, 6))
+    assert parse_epses_specs("(2,12)") == ((2, 12),)
+    with pytest.raises(Exception):
+        parse_epses_specs("4,4")
+
+
+def test_runner_end_to_end(tmp_path):
+    state = run(
+        experiments_dir=str(tmp_path),
+        ds_type="fashionmnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=32,
+        optimizer_name="adam",
+        lr=3e-3,
+        init_epses_composition_unit_empirical_output_std=True,
+        init_epses_composition_unit_empirical_output_std_subset_size=128,
+        eval_schedule=((None, 10),),
+        max_num_iters=30,
+        keep_last_models=2,
+        synthetic_sizes=(128, 64, 64),
+        patience=50,
+        reg_coeff=1e-6,
+    )
+    assert state.stop_reason == "max_iters"
+    out_dirs = os.listdir(str(tmp_path))
+    assert len(out_dirs) == 1
+    out = os.path.join(str(tmp_path), out_dirs[0])
+    files = os.listdir(out)
+    assert "run_info.txt" in files and "log.log" in files
+    with open(os.path.join(out, "run_info.txt")) as f:
+        info = json.load(f)
+    assert info["batch_size"] == 32
+    # checkpoints were produced
+    assert sum(f.startswith("model_nitd") for f in files) == 2
+    assert any(f.startswith("model_best_val_acc") for f in files)
+    # the log round-trips through the parser
+    records = load_records(os.path.join(out, "log.log"))
+    assert len(records) == 4  # iters 0, 10, 20, 30
+    assert records[0].nitd == 0 and records[-1].nitd == 30
+    assert 0.0 <= records[-1].vacc <= 1.0
+    # learning happened on the synthetic problem
+    assert records[-1].trmce < records[0].trmce
+
+
+def test_increasing_subsequence():
+    recs = [Record(i, 0, 0, t, 0) for i, t in enumerate([0.1, 0.3, 0.2, 0.4])]
+    inc = list(get_increasing_subsequence(recs, lambda r: r.tracc))
+    assert [r.tracc for r in inc] == [0.1, 0.3, 0.4]
