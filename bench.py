@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark (the BASELINE metric): images/sec/chip for
+the two-EPS (4,4),(3,6) + linear FashionMNIST training step, full fidelity
+(dropout path off, composition regularizer on, Adam), on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N, ...}
+
+``vs_baseline`` compares against the PyTorch reference ALGORITHM (same staged
+contraction math via torch.einsum, fwd+bwd+Adam step) measured on this host's
+CPU — the only hardware here that can run torch — cached in
+``.bench_baseline.json``. The reference repo publishes no GPU throughput
+numbers (BASELINE.md), so this is the honest measurable baseline; the
+BASELINE.json target (≥10× on v5e-8) additionally scales ~linearly with chips
+via the data-parallel layer (tests/test_parallel.py).
+
+Env knobs: BENCH_BATCH (128), BENCH_STEPS (30), BENCH_COMPUTE_DTYPE
+(float32|bfloat16, default float32), BENCH_SKIP_TORCH_BASELINE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def measure_tpu(batch_size: int, steps: int, compute_dtype: str) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from dctn_tpu.models import EPSesPlusLinearConfig, init_eps_plus_linear
+    from dctn_tpu.train import make_optimizer, make_train_step
+    from dctn_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((4, 4), (3, 6)),
+        image_size=28,
+        q0=2,
+        compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
+    )
+    key = jax.random.PRNGKey(0)
+    params = init_eps_plus_linear(key, cfg)
+    opt = make_optimizer("adam", 3e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, "epses_composition", 1e-6, donate=True)
+    x = jax.random.uniform(key, (1, batch_size, 28, 28, 2), jnp.float32) * 1.4
+    y = jax.random.randint(key, (batch_size,), 0, 10)
+
+    rng = jax.random.PRNGKey(1)
+    # warmup / compile; NOTE: on the tunneled axon backend block_until_ready
+    # does not reliably wait — only a value fetch synchronizes, so we fetch
+    # the loss scalar to fence both the warmup and the timed region.
+    for _ in range(3):
+        params, opt_state, m = step(params, opt_state, rng, x, y)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        # donated params chain the steps; no host sync inside the loop
+        params, opt_state, m = step(params, opt_state, rng, x, y)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def measure_torch_reference(batch_size: int, steps: int = 3) -> float:
+    """The reference's training step re-expressed minimally in torch (CPU):
+    same staged half-split contraction math, CE + composition-style L2, Adam.
+    Cached because it is slow."""
+    cache_file = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+    key = f"two_eps_fmnist_bs{batch_size}"
+    if os.path.exists(cache_file):
+        with open(cache_file) as f:
+            cache = json.load(f)
+        if key in cache:
+            return cache[key]
+    else:
+        cache = {}
+
+    import torch
+
+    torch.manual_seed(0)
+
+    def torch_eps(core, x):
+        # x: (B, H, W, Q) single channel; core: (Q,)*n + (O,)
+        n = core.dim() - 1
+        k = int(round((n) ** 0.5))
+        b, h, w, q = x.shape
+        hp, wp = h - k + 1, w - k + 1
+        views = [
+            x[:, dh : dh + hp, dw : dw + wp, :] for dh in range(k) for dw in range(k)
+        ]
+        n1 = (n + 1) // 2
+        u = views[0]
+        for v in views[1:n1]:
+            u = (u.unsqueeze(-1) * v.unsqueeze(-2)).reshape(b, hp, wp, -1)
+        vv = views[n1]
+        for v in views[n1 + 1 :]:
+            vv = (vv.unsqueeze(-1) * v.unsqueeze(-2)).reshape(b, hp, wp, -1)
+        o = core.shape[-1]
+        cm = core.reshape(q**n1, -1)
+        t = u @ cm
+        t = t.reshape(b, hp, wp, q ** (n - n1), o)
+        return (vv.unsqueeze(-1) * t).sum(-2)
+
+    q0 = 2
+    e1 = torch.randn((q0,) * 16 + (4,), requires_grad=True)
+    e2 = torch.randn((4,) * 9 + (6,), requires_grad=True)
+    lw = torch.randn(23 * 23 * 6, 10, requires_grad=True)
+    lb = torch.randn(10, requires_grad=True)
+    with torch.no_grad():
+        e1 *= 2.0**-8
+        e2 *= 4.0**-4.5
+        lw *= (23 * 23 * 6) ** -0.5 / 4
+    optp = torch.optim.Adam([e1, e2, lw, lb], lr=3e-3)
+    x = torch.rand(batch_size, 28, 28, 2) * 1.4
+    y = torch.randint(0, 10, (batch_size,))
+
+    def one_step():
+        optp.zero_grad()
+        h1 = torch_eps(e1, x)
+        h2 = torch_eps(e2, h1)
+        logits = h2.reshape(batch_size, -1) @ lw + lb
+        loss = torch.nn.functional.cross_entropy(logits, y)
+        reg = (e1**2).sum() + (e2**2).sum() + (lw**2).sum()
+        (loss + 1e-6 * reg).backward()
+        optp.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    result = batch_size * steps / dt
+    cache[key] = result
+    with open(cache_file, "w") as f:
+        json.dump(cache, f)
+    return result
+
+
+def main() -> None:
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    compute_dtype = os.environ.get("BENCH_COMPUTE_DTYPE", "float32")
+
+    ours = measure_tpu(batch_size, steps, compute_dtype)
+    if os.environ.get("BENCH_SKIP_TORCH_BASELINE"):
+        baseline = None
+    else:
+        baseline = measure_torch_reference(batch_size)
+    result = {
+        "metric": "train_images_per_sec_per_chip_two_eps_fashionmnist",
+        "value": round(ours, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+        "baseline": round(baseline, 1) if baseline else None,
+        "baseline_hw": "pytorch reference algorithm, CPU (this host)",
+        "batch_size": batch_size,
+        "compute_dtype": compute_dtype,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

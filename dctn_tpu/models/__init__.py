@@ -1,3 +1,9 @@
+from .conv_sbs_model import (
+    ConvSBSModelConfig,
+    init_conv_sbs_model,
+    conv_sbs_model_forward,
+    scale_layers_using_batch,
+)
 from .eps_plus_linear import (
     EPSesPlusLinearConfig,
     init_eps_plus_linear,

@@ -1,0 +1,192 @@
+"""The legacy ConvSBS MNIST model family (reference ``mnist.py:169-284``),
+functional-style.
+
+Architecture: a stack of ManyConvSBS layers over 3×3 patches. The first
+``num_sbs_layers - 1`` layers each run TWO strings whose cores visit the grid
+in two different snake orders (the middle core carries out-dim 2); their two
+outputs become the 2 input channels of the next layer. The final layer is ONE
+string whose middle core emits ``num_labels``; logits are the mean over the
+remaining spatial positions.
+
+Also provides the legacy quantum map (sin/cos or sin²/cos², times a
+multiplier — no factor 2, mnist.py:132-141), the window-std input scaling
+statistic (mnist.py:144-166), data-dependent layer rescaling
+(``scale_layers_using_batch``, mnist.py:265-284), and the LR warmup schedule
+(mnist.py:489-499).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sbs
+from ..ops.windows import make_windows
+from ..utils.pos2d import Pos2D
+
+logger = logging.getLogger(__name__)
+
+NUM_LABELS = 10
+
+# The two snake orders of the reference's 3×3 strings (mnist.py:190-216);
+# position of each core in grid coordinates, middle core carries the out dim.
+SNAKE_ROW_MAJOR = (
+    Pos2D(0, 0), Pos2D(0, 1), Pos2D(0, 2), Pos2D(1, 2), Pos2D(1, 1),
+    Pos2D(1, 0), Pos2D(2, 0), Pos2D(2, 1), Pos2D(2, 2),
+)
+SNAKE_COL_MAJOR = (
+    Pos2D(0, 0), Pos2D(1, 0), Pos2D(2, 0), Pos2D(2, 1), Pos2D(1, 1),
+    Pos2D(0, 1), Pos2D(0, 2), Pos2D(1, 2), Pos2D(2, 2),
+)
+
+
+def snake_cores_spec(
+    positions: Sequence[Pos2D], middle_out: int
+) -> Tuple[sbs.SBSSpecCore, ...]:
+    return tuple(
+        sbs.SBSSpecCore(p, middle_out if p == Pos2D(1, 1) else 1) for p in positions
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSBSModelConfig:
+    num_sbs_layers: int
+    bond_dim_size: int
+    trace_edge: bool = False
+    cos_sin_squared: bool = False
+    input_multiplier: float = 1.0
+    num_labels: int = NUM_LABELS
+
+    def __post_init__(self):
+        assert self.num_sbs_layers >= 2
+
+    def layer_specs(self) -> Tuple[Tuple[sbs.SBSSpecString, ...], ...]:
+        two_string = (
+            snake_cores_spec(SNAKE_ROW_MAJOR, 2),
+            snake_cores_spec(SNAKE_COL_MAJOR, 2),
+        )
+        final = (snake_cores_spec(SNAKE_ROW_MAJOR, self.num_labels),)
+        layers = []
+        for i in range(self.num_sbs_layers):
+            in_channels = 1 if i == 0 else 2
+            cores_specs = final if i == self.num_sbs_layers - 1 else two_string
+            layers.append(
+                sbs.make_many_specs(
+                    in_channels, 2, self.bond_dim_size, self.trace_edge, cores_specs
+                )
+            )
+        return tuple(layers)
+
+
+# params: tuple over layers of tuple over strings of tuple of core arrays
+ConvSBSModelParams = Tuple[Tuple[sbs.SBSCores, ...], ...]
+
+
+def init_conv_sbs_model(
+    key: jax.Array,
+    cfg: ConvSBSModelConfig,
+    init_fn: Callable[..., sbs.SBSCores] = sbs.init_khrulkov_normal,
+    dtype=jnp.float32,
+    **init_kwargs,
+) -> ConvSBSModelParams:
+    layers = []
+    for li, layer_spec in enumerate(cfg.layer_specs()):
+        strings = []
+        for si, string_spec in enumerate(layer_spec):
+            k = jax.random.fold_in(jax.random.fold_in(key, li), si)
+            strings.append(init_fn(k, string_spec, dtype=dtype, **init_kwargs))
+        layers.append(tuple(strings))
+    return tuple(layers)
+
+
+def batch_to_quantum(
+    x: jax.Array, cos_sin_squared: bool, multiplier: float
+) -> jax.Array:
+    """(B, H, W) pixel batch → (1, B, H, W, 2) quantum features
+    (mnist.py:132-141; sin/cos WITHOUT squaring unless cos_sin_squared)."""
+    if cos_sin_squared:
+        q = jnp.stack((jnp.sin(x) ** 2, jnp.cos(x) ** 2), axis=-1)
+    else:
+        q = jnp.stack((jnp.sin(x), jnp.cos(x)), axis=-1)
+    return (q * multiplier)[None]
+
+
+def calc_std_of_coordinates_of_windows(
+    x: jax.Array, kernel_size: int, cos_sin_squared: bool, multiplier: float = 1.0
+) -> jax.Array:
+    """std over the window rank-one-tensor batch of a quantumized pixel batch
+    (mnist.py:144-166) — used to choose the input multiplier."""
+    q = batch_to_quantum(x, cos_sin_squared, multiplier)
+    return make_windows(q, kernel_size).std_over_batch()
+
+
+def _forward_layers(
+    params: ConvSBSModelParams, cfg: ConvSBSModelConfig, quantum: jax.Array
+):
+    """Yield each layer's tuple-of-strings output. Between layers the string
+    outputs are stacked as channels (ManyConvSBS chaining, mnist.py:255-263)."""
+    specs = cfg.layer_specs()
+    intermediate = quantum  # (C, B, H, W, Q)
+    for layer_spec, layer_params in zip(specs, params):
+        outs = sbs.many_conv_sbs(layer_spec, layer_params, intermediate)
+        yield outs
+        intermediate = jnp.stack(outs, axis=0)
+
+
+def conv_sbs_model_forward(
+    params: ConvSBSModelParams, cfg: ConvSBSModelConfig, x: jax.Array
+) -> jax.Array:
+    """(B, H, W) pixels → (B, num_labels) logits: quantum map, SBS stack,
+    mean over spatial dims (mnist.py:255-263)."""
+    quantum = batch_to_quantum(x, cfg.cos_sin_squared, cfg.input_multiplier)
+    outs = None
+    for outs in _forward_layers(params, cfg, quantum):
+        pass
+    (result,) = outs
+    return jnp.mean(result, axis=(1, 2))
+
+
+def scale_layers_using_batch(
+    params: ConvSBSModelParams, cfg: ConvSBSModelConfig, x: jax.Array
+) -> ConvSBSModelParams:
+    """Data-dependent rescaling (mnist.py:265-284): layer by layer, divide
+    each string (as a TN, factor spread across cores) by its output std on the
+    batch, then recompute the layer output with the SCALED cores before moving
+    on. Returns new params (functional, no mutation)."""
+    specs = cfg.layer_specs()
+    quantum = batch_to_quantum(x, cfg.cos_sin_squared, cfg.input_multiplier)
+    intermediate = quantum
+    new_params = []
+    for layer_spec, layer_params in zip(specs, params):
+        outs = sbs.many_conv_sbs(layer_spec, layer_params, intermediate)
+        scaled_strings = []
+        for string_spec, cores, out in zip(layer_spec, layer_params, outs):
+            std = float(jnp.std(out))
+            if std != 0.0:
+                scaled_strings.append(
+                    sbs.multiply_by_scalar(string_spec, cores, 1.0 / std)
+                )
+                logger.info("Divided a ConvSBS by %s", std)
+            else:
+                scaled_strings.append(cores)
+                logger.warning("std == 0.0, not scaling")
+        new_layer = tuple(scaled_strings)
+        new_params.append(new_layer)
+        outs = sbs.many_conv_sbs(layer_spec, new_layer, intermediate)
+        intermediate = jnp.stack(outs, axis=0)
+    return tuple(new_params)
+
+
+def make_warmup_lr_schedule(base_lr: float, warmup_iters: int):
+    """Linear warmup from ~0 to base_lr over ``warmup_iters`` steps, constant
+    afterwards (the legacy runner's scheduler, mnist.py:489-499)."""
+
+    def schedule(step):
+        frac = jnp.minimum((step + 1) / max(warmup_iters, 1), 1.0)
+        return base_lr * frac
+
+    return schedule

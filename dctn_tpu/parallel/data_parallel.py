@@ -1,0 +1,243 @@
+"""Batch-sharded data-parallel training and evaluation via shard_map.
+
+Design (SURVEY §2.3 / §7.3 — the component the reference lacks entirely):
+
+- The DATASET is sharded along its sample axis across the ``data`` mesh axis:
+  each device holds N/ndev samples in its own HBM, so capacity scales with
+  the slice. Per-step batch indices are drawn PER SHARD on the host (shape
+  (ndev, per_device_batch), values local to each shard) and each device
+  gathers its sub-batch locally — zero data movement over ICI for inputs.
+- PARAMETERS and optimizer state are replicated. Each device computes the
+  loss/grads of its sub-batch; gradients are averaged with ``jax.lax.pmean``
+  over the axis (one ICI all-reduce per step — the only collective in the hot
+  path), then the identical optimizer update runs everywhere. The dropout key
+  is replicated so every device draws the SAME parameter mask (dropout masks
+  parameters, not activations).
+- Evaluation shards the split the same way and psums (ce_sum, correct).
+
+With per-device batch b, global batch = ndev·b: numerically this matches
+single-device training on the global batch exactly (mean-CE gradients are
+pmean'd; regularizer gradients are identical on every device and unaffected
+by pmean since pmean of identical values is the value).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.eps_plus_linear import (
+    EPSesPlusLinearConfig,
+    eps_plus_linear_forward,
+)
+from ..train.step import REGULARIZERS
+
+
+# ---------------------------------------------------------------------------
+# dataset sharding
+
+
+@dataclasses.dataclass
+class ShardedSplit:
+    """A split laid out across the mesh: x (C, ndev·n_local, H, W, Q) sharded
+    on dim 1, y (ndev·n_local,) sharded on dim 0. ``n_valid`` is the true
+    sample count before padding to a multiple of ndev."""
+
+    x: jax.Array
+    y: jax.Array
+    n_valid: int
+    n_local: int
+    mesh: Mesh
+
+
+def shard_split(mesh: Mesh, x: np.ndarray, y: np.ndarray) -> ShardedSplit:
+    """Pad N to a multiple of the mesh size and place shards on devices."""
+    ndev = mesh.devices.size
+    n = y.shape[0]
+    n_pad = (-n) % ndev
+    if n_pad:
+        x = np.concatenate([x, np.repeat(x[:, :1], n_pad, axis=1)], axis=1)
+        y = np.concatenate([y, np.repeat(y[:1], n_pad, axis=0)], axis=0)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "data")))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+    return ShardedSplit(xs, ys, n_valid=n, n_local=y.shape[0] // ndev, mesh=mesh)
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree replicated on every device of the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+# ---------------------------------------------------------------------------
+# training step
+
+
+def make_parallel_train_step(
+    cfg: EPSesPlusLinearConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    reg_type: str = "epses_composition",
+    reg_coeff: float = 0.0,
+    frozen_eps_indices: Sequence[int] = (),
+    donate: bool = True,
+):
+    """Returns step(params, opt_state, rng, sharded_x, sharded_y, local_idx)
+    → (params, opt_state, metrics).
+
+    ``local_idx``: (ndev, per_device_batch) int32, sharded over dim 0; row d
+    holds positions into device d's LOCAL shard of the split.
+    """
+    reg_fn = REGULARIZERS[reg_type]
+    frozen = frozenset(frozen_eps_indices)
+
+    def local_loss(params, xb, yb, rng):
+        logits = eps_plus_linear_forward(params, xb, cfg, training=True, rng=rng)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=1))
+        reg = reg_fn(params) if reg_coeff != 0.0 else jnp.zeros((), logits.dtype)
+        return ce + reg_coeff * reg, (ce, reg)
+
+    def mask_frozen(grads):
+        if not frozen:
+            return grads
+        epses = tuple(
+            jnp.zeros_like(g) if i in frozen else g
+            for i, g in enumerate(grads["epses"])
+        )
+        return {**grads, "epses": epses}
+
+    def per_device(params, opt_state, rng, x_shard, y_shard, idx_shard):
+        # x_shard: (C, n_local, H, W, Q); idx_shard: (1, b) — this device's row
+        xb = jnp.take(x_shard, idx_shard[0], axis=1)
+        yb = jnp.take(y_shard, idx_shard[0], axis=0)
+        (loss, (ce, reg)), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            params, xb, yb, rng
+        )
+        # ONE collective: average gradients over the data axis (ICI all-reduce)
+        grads = jax.lax.pmean(grads, "data")
+        grads = mask_frozen(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss": jax.lax.pmean(loss, "data"),
+            "ce": jax.lax.pmean(ce, "data"),
+            "reg_term": reg,  # identical on all devices
+        }
+        return params, opt_state, metrics
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, "data"), P("data"), P("data")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step(params, opt_state, rng, x, y, local_idx):
+        return sharded(params, opt_state, rng, x, y, local_idx)
+
+    return step
+
+
+def make_local_index_stream(
+    split: ShardedSplit, per_device_batch: int, seed: int = 0
+):
+    """Infinite stream of (ndev, per_device_batch) local index arrays.
+
+    Each device's row is an independent within-shard shuffle (epoch-wise,
+    drop-last), the scalable DP analog of the reference's global shuffle.
+    Padding rows (beyond n_valid) are excluded from sampling."""
+    ndev = split.mesh.devices.size
+    n_local = split.n_local
+    # device d holds samples [d*n_local, (d+1)*n_local); the valid count in
+    # shard d:
+    valid_per_shard = [
+        max(0, min(split.n_valid - d * n_local, n_local)) for d in range(ndev)
+    ]
+    rngs = [np.random.default_rng(seed * 1000003 + d) for d in range(ndev)]
+    orders = [rngs[d].permutation(valid_per_shard[d]) for d in range(ndev)]
+    cursors = [0] * ndev
+
+    def next_batch() -> np.ndarray:
+        out = np.empty((ndev, per_device_batch), np.int32)
+        for d in range(ndev):
+            if cursors[d] + per_device_batch > len(orders[d]):
+                orders[d] = rngs[d].permutation(valid_per_shard[d])
+                cursors[d] = 0
+            out[d] = orders[d][cursors[d] : cursors[d] + per_device_batch]
+            cursors[d] += per_device_batch
+        return out
+
+    while True:
+        yield next_batch()
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+
+
+def make_parallel_score_fn(
+    cfg: EPSesPlusLinearConfig, mesh: Mesh, batch_size: int
+):
+    """score(params, sharded_split) → (mean_ce, acc) with per-device scans and
+    a final psum. Padding samples are masked out by global position."""
+
+    def per_device(params, x_shard, y_shard, n_valid_arr):
+        n_local = y_shard.shape[0]
+        d = jax.lax.axis_index("data")
+        base = d * n_local
+        num_batches = -(-n_local // batch_size)
+        padded = num_batches * batch_size
+        ids = jnp.arange(padded)
+        valid = (ids < n_local) & (base + jnp.minimum(ids, n_local - 1) < n_valid_arr[0])
+        ids = jnp.minimum(ids, n_local - 1).reshape(num_batches, batch_size)
+        valid = valid.reshape(num_batches, batch_size)
+
+        def body(carry, inp):
+            ce_sum, correct = carry
+            idx, mask = inp
+            xb = jnp.take(x_shard, idx, axis=1)
+            yb = jnp.take(y_shard, idx, axis=0)
+            logits = eps_plus_linear_forward(params, xb, cfg, training=False)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+            pred = jnp.argmax(logits, axis=1)
+            ce_sum = ce_sum + jnp.sum(ce * mask).astype(jnp.float32)
+            correct = correct + jnp.sum((pred == yb) & mask).astype(jnp.int32)
+            return (ce_sum, correct), None
+
+        (ce_sum, correct), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+            (ids, valid),
+        )
+        return jax.lax.psum(ce_sum, "data"), jax.lax.psum(correct, "data")
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(None, "data"), P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def score(params, x, y, n_valid_arr):
+        ce_sum, correct = sharded(params, x, y, n_valid_arr)
+        n = n_valid_arr[0].astype(jnp.float32)
+        return ce_sum / n, correct.astype(jnp.float32) / n
+
+    def score_split(params, split: ShardedSplit):
+        n_valid_arr = jnp.asarray([split.n_valid], jnp.int32)
+        return score(params, split.x, split.y, n_valid_arr)
+
+    return score_split
