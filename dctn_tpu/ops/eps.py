@@ -102,21 +102,159 @@ def _balanced_split(n: int, q: int, out_size: int) -> int:
     return n1
 
 
-@partial(jax.jit, static_argnames=("split", "compute_dtype"))
+def _kr_prefixes_t(factors_t: Sequence[jax.Array]):
+    """Prefix Khatri-Rao products in TRANSPOSED layout: factors (q, N) →
+    [(q₁, N), (q₁q₂, N), …]. The huge flattened pixel dim N stays on the TPU
+    lane dimension, so every step is a fully-utilized VPU broadcast; the
+    row-major combined index keeps factor 1 slowest-varying (matching a
+    row-major reshape of the core's leading dims)."""
+    prods = [factors_t[0]]
+    for f in factors_t[1:]:
+        p = prods[-1]
+        n = p.shape[-1]
+        prods.append((p[:, None, :] * f[None, :, :]).reshape(-1, n))
+    return prods
+
+
+def _kr_chain_bwd_t(factors_t, prefixes_t, d_prod_t):
+    """Cotangents of every (q, N) factor of a transposed Khatri-Rao chain:
+    suffix sweep, each step an elementwise multiply + reduction over a LEADING
+    (small) axis — N stays on lanes throughout."""
+    d_factors = [None] * len(factors_t)
+    d = d_prod_t
+    for k in range(len(factors_t) - 1, 0, -1):
+        qk = factors_t[k].shape[0]
+        n = d.shape[-1]
+        d3 = d.reshape(-1, qk, n)  # (prod_{<k}, q_k, N)
+        d_factors[k] = jnp.sum(d3 * prefixes_t[k - 1][:, None, :], axis=0)
+        d = jnp.sum(d3 * factors_t[k][None, :, :], axis=1)
+    d_factors[0] = d
+    return d_factors
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _eps_contract(core, views, n1, compute_dtype):
+    out, _ = _eps_contract_fwd(core, views, n1, compute_dtype)
+    return out
+
+
+def _maybe(x, dtype):
+    return x if dtype is None else x.astype(dtype)
+
+
+def _eps_contract_fwd(core, views, n1, compute_dtype):
+    """out[n, o] = Σ_{a,b} u[a,n]·v[b,n]·core[a,b,o], computed entirely in
+    transposed (features, N) layout: Khatri-Rao halves as lane-efficient VPU
+    broadcasts, then ONE large MXU matmul, then a fused reduce. Only the tiny
+    (O, N) result is transposed back at the end."""
+    n = len(views)
+    in_size = views[0].shape[-1]
+    out_size = core.shape[-1]
+    b, hp, wp, _ = views[0].shape
+    npix = b * hp * wp
+    acc_dtype = jnp.promote_types(core.dtype, views[0].dtype)
+    views_t = tuple(v.reshape(npix, in_size).T for v in views)  # (Q, N)
+    u_prefixes = _kr_prefixes_t(views_t[:n1])
+    # materialization barrier: without it XLA fuses the whole Khatri-Rao
+    # chain into EVERY consumer matmul's operand read, recomputing it once
+    # per consumer (measured 3-6× step blowup)
+    u_prefixes = list(jax.lax.optimization_barrier(tuple(u_prefixes)))
+    u_t = u_prefixes[-1]  # (Q^n1, N)
+    cm = core.reshape(in_size**n1, in_size ** (n - n1) * out_size)
+    t_t = jax.lax.dot_general(
+        _maybe(cm, compute_dtype),
+        _maybe(u_t, compute_dtype),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )  # (Q^(n-n1)·O, N)
+    if n1 == n:
+        out = t_t.T.reshape(b, hp, wp, out_size)
+        return out, (core, views_t, u_prefixes, None, None, (b, hp, wp))
+    v_prefixes = list(
+        jax.lax.optimization_barrier(tuple(_kr_prefixes_t(views_t[n1:])))
+    )
+    v_t = v_prefixes[-1]  # (Q^n2, N)
+    t3 = t_t.reshape(in_size ** (n - n1), out_size, npix)
+    out_t = jnp.sum(v_t[:, None, :].astype(acc_dtype) * t3, axis=0)  # (O, N)
+    out = out_t.T.reshape(b, hp, wp, out_size)
+    return out, (core, views_t, u_prefixes, v_prefixes, t3, (b, hp, wp))
+
+
+def _eps_contract_bwd(n1, compute_dtype, res, g):
+    """Explicit backward in the same transposed layout — the heavy cotangents
+    are plain MXU dot_generals:
+        d_core = (v ⊗ g) ·contract-N· u     d_u = coreᵀ·(v ⊗ g)
+        d_v    = Σ_o t·g                    (t is the stored intermediate)
+    then the Khatri-Rao suffix sweeps. XLA autodiff of the staged forward ran
+    ~18× the forward cost on TPU (lane-padded chain intermediates); this
+    version keeps N on lanes everywhere."""
+    core, views_t, u_prefixes, v_prefixes, t3, (b, hp, wp) = res
+    n = len(views_t)
+    in_size = views_t[0].shape[0]
+    out_size = core.shape[-1]
+    npix = views_t[0].shape[-1]
+    acc_dtype = jnp.promote_types(core.dtype, views_t[0].dtype)
+    u_t = u_prefixes[-1]
+    cm = core.reshape(in_size**n1, in_size ** (n - n1) * out_size)
+    g_t = g.reshape(npix, out_size).T  # (O, N)
+
+    if v_prefixes is None:  # degenerate n1 == n: out was cmᵀ @ u
+        d_cm = jax.lax.dot_general(
+            _maybe(u_t, compute_dtype), _maybe(g_t, compute_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=acc_dtype,
+        )  # (Q^n1, O)
+        d_u = jax.lax.dot_general(
+            _maybe(cm, compute_dtype), _maybe(g_t, compute_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype,
+        )  # (Q^n1, N)
+        d_views_t = _kr_chain_bwd_t(views_t[:n1], u_prefixes, d_u)
+        d_views = tuple(
+            d.T.reshape(b, hp, wp, in_size) for d in d_views_t
+        )
+        return d_cm.reshape(core.shape), d_views
+
+    v_t = v_prefixes[-1]
+    # KR2[(b, o), n] = v[b, n] · g[o, n]; barrier'd — it feeds two matmuls
+    kr2 = jax.lax.optimization_barrier(
+        (v_t[:, None, :] * g_t[None, :, :]).reshape(-1, npix)
+    )
+    d_cm = jax.lax.dot_general(
+        _maybe(u_t, compute_dtype), _maybe(kr2, compute_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=acc_dtype,
+    )  # (Q^n1, Q^n2·O)
+    d_u = jax.lax.dot_general(
+        _maybe(cm, compute_dtype), _maybe(kr2, compute_dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype,
+    )  # (Q^n1, N)
+    d_v = jnp.sum(t3 * g_t[None, :, :], axis=1)  # (Q^n2, N)
+    d_views_t = _kr_chain_bwd_t(views_t[:n1], u_prefixes, d_u) + _kr_chain_bwd_t(
+        views_t[n1:], v_prefixes, d_v
+    )
+    d_views = tuple(d.T.reshape(b, hp, wp, in_size) for d in d_views_t)
+    return d_cm.reshape(core.shape), d_views
+
+
+_eps_contract.defvjp(_eps_contract_fwd, _eps_contract_bwd)
+
+
+@partial(jax.jit, static_argnames=("split", "compute_dtype", "custom_vjp"))
 def eps(
     core: jax.Array,
     x: jax.Array,
     *,
     split: Optional[int] = None,
     compute_dtype=None,
+    custom_vjp: bool = True,
 ) -> jax.Array:
     """Contract an EPS ``core`` with all K×K windows of ``x``.
 
     ``core``: shape (Q,)*(K²·C) + (O,).   ``x``: shape (C, B, H, W, Q).
     Returns (B, H-K+1, W-K+1, O). Matches reference ``eps`` (eps.py:19-40).
 
-    ``compute_dtype``: optionally run the Khatri-Rao factors and matmul inputs
-    in a lower precision (e.g. bfloat16) with float32 accumulation.
+    ``compute_dtype``: optionally run the matmul inputs in a lower precision
+    (e.g. bfloat16) with float32 accumulation.
+    ``custom_vjp``: use the hand-written MXU backward (default; set False to
+    fall back to XLA autodiff of the staged forward).
     """
     num_channels, _, _, _, in_size = x.shape
     kernel_size = _infer_kernel_size(core, num_channels)
@@ -127,8 +265,10 @@ def eps(
     views = window_views(x, kernel_size)  # n arrays (B, H', W', Q)
     n1 = split if split is not None else _balanced_split(n, in_size, out_size)
     n1 = max(1, min(n, n1))
-    u = khatri_rao(views[:n1])  # (B, H', W', Q^n1)
+    if custom_vjp:
+        return _eps_contract(core, tuple(views), n1, compute_dtype)
 
+    u = khatri_rao(views[:n1])  # (B, H', W', Q^n1)
     acc_dtype = jnp.promote_types(core.dtype, x.dtype)
     cm = core.reshape(in_size**n1, in_size ** (n - n1) * out_size)
     if compute_dtype is not None:
