@@ -1,0 +1,243 @@
+"""The legacy ConvSBS MNIST runner — capability parity with reference
+``mnist.py:314-596`` (the older, epoch-based, ignite-driven pipeline), rebuilt
+on the jitted step / device-resident data stack.
+
+Covers: the snake-ordered ManyConvSBS stack, the four SBS initializations,
+window-std input scaling XOR manual multiplier, data-dependent layer
+rescaling, exponential LR warmup, SGD/RMSprop, per-epoch evaluation with best
+checkpointing and epoch-patience early stopping, and the pixel-shuffling
+ablation (mnist.py:112-115,398-407).
+
+Run: ``python -m dctn_tpu.cli.legacy_runner --ds-path synthetic
+--num-sbs-layers 2 --bond-dim-size 2 --initialization khrulkov-normal ...``
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import random
+import time
+from functools import partial
+from typing import Optional
+
+import click
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import io as data_io
+from ..models.conv_sbs_model import (
+    ConvSBSModelConfig,
+    init_conv_sbs_model,
+    conv_sbs_model_forward,
+    scale_layers_using_batch,
+    calc_std_of_coordinates_of_windows,
+    make_warmup_lr_schedule,
+)
+from ..ops import sbs
+from ..train.checkpoint import save_pytree, load_pytree
+from ..utils.misc import xor
+
+logger = logging.getLogger(__name__)
+
+MNIST_DATASET_SIZE = 60000
+
+INITIALIZERS = {
+    "dumb-normal": sbs.init_dumb_normal,
+    "khrulkov-normal": sbs.init_khrulkov_normal,
+    "normal-preserving-output-std": sbs.init_normal_preserving_output_std,
+    "min-random-eye": sbs.init_min_random_eye,
+}
+
+
+def permute_pixels_batch(images: np.ndarray, permutation) -> np.ndarray:
+    n, h, w = images.shape
+    return images.reshape(n, h * w)[:, permutation].reshape(n, h, w)
+
+
+@click.command()
+@click.option("--ds-path", type=str, required=True,
+              help="MNIST root, or 'synthetic'")
+@click.option("--models-dir", type=click.Path(file_okay=False), required=True)
+@click.option("--init-load-file", type=click.Path(exists=True, dir_okay=False))
+@click.option("--train-dataset-size", "-t", type=int, default=58000)
+@click.option("--num-sbs-layers", type=int, default=2)
+@click.option("--bond-dim-size", type=int, default=2)
+@click.option("--trace-edge", is_flag=True)
+@click.option("--learning-rate", "-r", type=float, default=1e-2)
+@click.option("--momentum", type=float, default=0.0)
+@click.option("--batch-size", "-b", type=int, default=100)
+@click.option("--initialization", type=click.Choice(tuple(INITIALIZERS)),
+              default="khrulkov-normal")
+@click.option("--initialization-std", type=float, default=None)
+@click.option("--scale-layers-using-batch", type=int, default=None,
+              help="pass the batch size for data-dependent layer rescaling")
+@click.option("--epochs", type=int, default=5000)
+@click.option("--early-stopping-patience-num-epochs", type=int, default=None)
+@click.option("--warmup-num-epochs", "-w", type=int, default=40)
+@click.option("--warmup-initial-multiplier", type=float, default=1e-20)
+@click.option("--cos-sin-squared", is_flag=True)
+@click.option("--make-input-window-std-one", is_flag=True)
+@click.option("--input-multiplier", type=float, default=None)
+@click.option("--optimizer-type", type=click.Choice(("sgd", "rmsprop")), default="sgd")
+@click.option("--rmsprop-alpha", type=float, default=0.99)
+@click.option("--weight-decay", type=float, default=0.0)
+@click.option("--shuffle-pixels", is_flag=True)
+@click.option("--seed", type=int, default=0)
+@click.option("--synthetic-sizes", nargs=2, type=int, default=(2048, 512))
+def main(**kw) -> None:
+    run(**kw)
+
+
+def run(**kw):
+    for param in main.params:
+        if param.name not in kw:
+            default = param.default
+            if type(default).__name__ == "Sentinel":
+                default = () if param.multiple else None
+            kw[param.name] = default
+    logging.basicConfig(level=logging.INFO, force=True)
+    os.makedirs(kw["models_dir"], exist_ok=True)
+    assert not (kw["make_input_window_std_one"] and kw["input_multiplier"] is not None)
+
+    # --- data: MNIST train split into train/val (random_split analog) ---
+    if kw["ds_path"] == "synthetic":
+        n_tr, n_val = kw["synthetic_sizes"]
+        images, labels = data_io.synthetic_mnist_like(n_tr + n_val, seed=1234)
+    else:
+        raw, labels = data_io.load_mnist_like(kw["ds_path"], "MNIST", train=True)
+        images = raw.astype(np.float32) / 255.0
+        assert len(images) == MNIST_DATASET_SIZE
+        n_tr = kw["train_dataset_size"]
+        n_val = MNIST_DATASET_SIZE - n_tr
+    if kw["shuffle_pixels"]:
+        random.seed(kw["seed"])
+        perm = random.sample(range(images.shape[1] * images.shape[2]),
+                             images.shape[1] * images.shape[2])
+        logger.info("pixel shuffle hash=%d", hash(tuple(perm)))
+        images = permute_pixels_batch(images, perm)
+    rng_split = np.random.default_rng(kw["seed"])
+    order = rng_split.permutation(len(images))
+    tr_idx, val_idx = order[: len(images) - n_val], order[len(images) - n_val :]
+    x_tr_host, y_tr_host = images[tr_idx], labels[tr_idx]
+    x_val_host, y_val_host = images[val_idx], labels[val_idx]
+
+    # --- input multiplier (mnist.py:434-445) ---
+    multiplier = kw["input_multiplier"] or 1.0
+    if kw["make_input_window_std_one"]:
+        std = float(
+            calc_std_of_coordinates_of_windows(
+                jnp.asarray(x_tr_host[:4096]), 3, kw["cos_sin_squared"], 1.0
+            )
+        )
+        # each window coordinate is a product of K² factors, each linear in
+        # the multiplier → std scales as multiplier^(K²)
+        multiplier = std ** (-1.0 / 9.0)
+        logger.info("window std=%s → input multiplier=%s", std, multiplier)
+
+    cfg = ConvSBSModelConfig(
+        num_sbs_layers=kw["num_sbs_layers"],
+        bond_dim_size=kw["bond_dim_size"],
+        trace_edge=kw["trace_edge"],
+        cos_sin_squared=kw["cos_sin_squared"],
+        input_multiplier=multiplier,
+    )
+    key = jax.random.PRNGKey(kw["seed"])
+    init_fn = INITIALIZERS[kw["initialization"]]
+    init_kwargs = {}
+    if kw["initialization_std"] is not None:
+        init_kwargs = {
+            "dumb-normal": {"std": kw["initialization_std"]},
+            "khrulkov-normal": {"std_of_matrix": kw["initialization_std"]},
+            "normal-preserving-output-std": {},
+            "min-random-eye": {"base_std": kw["initialization_std"]},
+        }[kw["initialization"]]
+    elif kw["initialization"] == "min-random-eye":
+        init_kwargs = {"base_std": 1e-3}
+    params = init_conv_sbs_model(key, cfg, init_fn, **init_kwargs)
+    if kw["init_load_file"]:
+        params = load_pytree(params, kw["init_load_file"])
+    if kw["scale_layers_using_batch"]:
+        params = scale_layers_using_batch(
+            params, cfg, jnp.asarray(x_tr_host[: kw["scale_layers_using_batch"]])
+        )
+
+    # --- optimizer with the exponential warmup schedule ---
+    steps_per_epoch = max(len(x_tr_host) // kw["batch_size"], 1)
+    schedule = make_warmup_lr_schedule(
+        kw["learning_rate"], kw["warmup_num_epochs"], steps_per_epoch,
+        kw["warmup_initial_multiplier"],
+    )
+    if kw["optimizer_type"] == "sgd":
+        core = optax.sgd(schedule, momentum=kw["momentum"] or None)
+    else:
+        core = optax.rmsprop(schedule, decay=kw["rmsprop_alpha"])
+    opt = (
+        optax.chain(optax.add_decayed_weights(kw["weight_decay"]), core)
+        if kw["weight_decay"]
+        else core
+    )
+    opt_state = opt.init(params)
+
+    x_tr = jnp.asarray(x_tr_host)
+    y_tr = jnp.asarray(y_tr_host)
+    x_val = jnp.asarray(x_val_host)
+    y_val = jnp.asarray(y_val_host)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(p, o, idx):
+        xb = jnp.take(x_tr, idx, axis=0)
+        yb = jnp.take(y_tr, idx, axis=0)
+
+        def loss_fn(pp):
+            logits = conv_sbs_model_forward(pp, cfg, xb)
+            lp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(lp, yb[:, None], axis=1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    @jax.jit
+    def score(p, x, y):
+        logits = conv_sbs_model_forward(p, cfg, x)
+        lp = jax.nn.log_softmax(logits)
+        ce = -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
+        acc = jnp.mean((jnp.argmax(logits, 1) == y).astype(jnp.float32))
+        return ce, acc
+
+    rng = np.random.default_rng(kw["seed"] + 1)
+    best_acc, best_file, bad_epochs = -1.0, None, 0
+    for epoch in range(kw["epochs"]):
+        order = rng.permutation(len(y_tr_host))
+        for s in range(steps_per_epoch):
+            idx = jnp.asarray(order[s * kw["batch_size"] : (s + 1) * kw["batch_size"]])
+            params, opt_state, loss = step(params, opt_state, idx)
+        vce, vacc = score(params, x_val, y_val)
+        vce, vacc = float(vce), float(vacc)
+        logger.info("epoch %d: val ce=%.5f acc=%.2f%%", epoch, vce, vacc * 100)
+        if vacc > best_acc:
+            best_acc, bad_epochs = vacc, 0
+            new_file = os.path.join(
+                kw["models_dir"], f"dctn_epoch={epoch}_vacc={vacc:.4f}.npz"
+            )
+            save_pytree(params, new_file)
+            if best_file and os.path.exists(best_file):
+                os.remove(best_file)
+            best_file = new_file
+        else:
+            bad_epochs += 1
+            if (
+                kw["early_stopping_patience_num_epochs"] is not None
+                and bad_epochs > kw["early_stopping_patience_num_epochs"]
+            ):
+                logger.info("early stopping at epoch %d", epoch)
+                break
+    return params, best_acc
+
+
+if __name__ == "__main__":
+    main()

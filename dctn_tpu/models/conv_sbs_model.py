@@ -181,12 +181,20 @@ def scale_layers_using_batch(
     return tuple(new_params)
 
 
-def make_warmup_lr_schedule(base_lr: float, warmup_iters: int):
-    """Linear warmup from ~0 to base_lr over ``warmup_iters`` steps, constant
-    afterwards (the legacy runner's scheduler, mnist.py:489-499)."""
+def make_warmup_lr_schedule(
+    base_lr: float,
+    warmup_num_epochs: int,
+    steps_per_epoch: int = 1,
+    warmup_initial_multiplier: float = 1e-20,
+):
+    """The legacy runner's exponential warmup (mnist.py:489-499): during the
+    first W epochs the lr multiplier is m^((W - epoch)/W) with m the initial
+    multiplier (so it starts at m·base_lr and decays the exponent linearly to
+    m⁰ = 1), constant base_lr afterwards. Step-indexed for optax."""
 
     def schedule(step):
-        frac = jnp.minimum((step + 1) / max(warmup_iters, 1), 1.0)
-        return base_lr * frac
+        epoch = step // max(steps_per_epoch, 1)
+        frac = jnp.clip((warmup_num_epochs - epoch) / max(warmup_num_epochs, 1), 0.0, 1.0)
+        return base_lr * warmup_initial_multiplier**frac
 
     return schedule
