@@ -99,11 +99,18 @@ def test_window_std_statistic(rng):
 
 
 def test_warmup_schedule():
-    sched = make_warmup_lr_schedule(1e-3, 10)
-    assert float(sched(0)) == pytest.approx(1e-4)
-    assert float(sched(4)) == pytest.approx(5e-4)
-    assert float(sched(9)) == pytest.approx(1e-3)
+    # exponential warmup (mnist.py:489-499): lr·m^((W-epoch)/W)
+    sched = make_warmup_lr_schedule(
+        1e-3, 10, steps_per_epoch=1, warmup_initial_multiplier=1e-20
+    )
+    assert float(sched(0)) == pytest.approx(1e-3 * 1e-20, rel=1e-4)
+    assert float(sched(5)) == pytest.approx(1e-3 * 1e-10, rel=1e-4)
+    assert float(sched(10)) == pytest.approx(1e-3)
     assert float(sched(100)) == pytest.approx(1e-3)
+    # step→epoch mapping
+    sched2 = make_warmup_lr_schedule(1e-3, 2, steps_per_epoch=5)
+    assert float(sched2(4)) == float(sched2(0))  # still epoch 0
+    assert float(sched2(10)) == pytest.approx(1e-3)  # epoch 2 → warm
 
 
 def test_gradients_flow(rng):
