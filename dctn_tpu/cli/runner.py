@@ -158,6 +158,12 @@ def save_git_provenance(output_dir: str) -> str:
 @click.option("--compute-dtype", type=click.Choice(("float32", "bfloat16")),
               default="float32",
               help="MXU input precision for EPS contractions (f32 accumulate)")
+@click.option("--mesh-devices", type=int, default=1,
+              help="data-parallel over this many devices (1 = single-chip path)")
+@click.option("--resume-from", type=click.Path(exists=True, dir_okay=False),
+              default=None,
+              help="resume params+optimizer+step from a train_state .npz "
+                   "(saved as train_state_latest.npz at every eval)")
 @click.option("--synthetic-sizes", nargs=3, type=int, default=(8192, 2048, 2048),
               help="train/val/test sizes when --ds-path synthetic")
 @click.option("--eval-train-subset", type=int, default=None,
@@ -305,25 +311,90 @@ def run(**kwargs) -> TrainLoopState:
     # --- training assembly (new_runner.py:443-546) ---
     optimizer = make_optimizer(kwargs["optimizer_name"], kwargs["lr"], kwargs["wd"])
     opt_state = optimizer.init(params)
-    step = make_train_step(
-        cfg, optimizer, kwargs["reg_type"], kwargs["reg_coeff"],
-        frozen_eps_indices=kwargs["freeze_eps"],
-    )
-    x_tr = jnp.asarray(splits.train.x)
-    y_tr = jnp.asarray(splits.train.y)
-    x_val = jnp.asarray(splits.val.x)
-    y_val = jnp.asarray(splits.val.y)
-    gather = make_gather_batch(x_tr, y_tr)
-    score = make_score_fn(cfg, kwargs["batch_size"])
 
-    n_eval_train = kwargs["eval_train_subset"] or y_tr.shape[0]
-    x_tr_eval, y_tr_eval = x_tr[:, :n_eval_train], y_tr[:n_eval_train]
+    n_mesh = kwargs["mesh_devices"]
+    if n_mesh > 1:
+        # data-parallel path: dataset sharded over the mesh, replicated
+        # params, pmean grad all-reduce (parallel/data_parallel.py)
+        from ..parallel import (
+            make_mesh,
+            make_parallel_train_step,
+            make_parallel_score_fn,
+            shard_split,
+            replicate,
+        )
+        from ..parallel.data_parallel import make_local_index_stream
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert kwargs["batch_size"] % n_mesh == 0, "batch size must divide mesh"
+        per_dev = kwargs["batch_size"] // n_mesh
+        mesh = make_mesh(n_mesh)
+        tr_split = shard_split(mesh, splits.train.x, np.asarray(splits.train.y))
+        val_split = shard_split(mesh, splits.val.x, np.asarray(splits.val.y))
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        step_sharded = make_parallel_train_step(
+            cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
+            frozen_eps_indices=kwargs["freeze_eps"],
+        )
+        idx_sharding = NamedSharding(mesh, P("data"))
+
+        def step(p, o, rng, xb, yb):  # xb is the (ndev, b) local index array
+            return step_sharded(
+                p, o, rng, tr_split.x, tr_split.y,
+                jax.device_put(xb, idx_sharding),
+            )
+
+        def gather(idx):
+            return idx, None
+
+        score_split = make_parallel_score_fn(cfg, mesh, per_dev)
+        index_stream = make_local_index_stream(tr_split, per_dev, kwargs["seed"])
+
+        def do_score(p, which):
+            return score_split(p, tr_split if which == "train" else val_split)
+    else:
+        step = make_train_step(
+            cfg, optimizer, kwargs["reg_type"], kwargs["reg_coeff"],
+            frozen_eps_indices=kwargs["freeze_eps"],
+        )
+        x_tr = jnp.asarray(splits.train.x)
+        y_tr = jnp.asarray(splits.train.y)
+        x_val = jnp.asarray(splits.val.x)
+        y_val = jnp.asarray(splits.val.y)
+        gather = make_gather_batch(x_tr, y_tr)
+        score = make_score_fn(cfg, kwargs["batch_size"])
+        n_eval_train = kwargs["eval_train_subset"] or y_tr.shape[0]
+        x_tr_eval, y_tr_eval = x_tr[:, :n_eval_train], y_tr[:n_eval_train]
+
+        def do_score(p, which):
+            if which == "train":
+                return score(p, x_tr_eval, y_tr_eval)
+            return score(p, x_val, y_val)
+
+        batcher = Batcher(
+            splits.train, kwargs["batch_size"], shuffle=True, drop_last=True,
+            seed=kwargs["seed"],
+        )
+        index_stream = batcher.indices_forever()
+
+    if kwargs["resume_from"]:
+        template = {"params": params, "opt_state": opt_state,
+                    "step": 0, "rng": jax.random.key_data(k_train)}
+        restored = load_pytree(template, kwargs["resume_from"])
+        params, opt_state = restored["params"], restored["opt_state"]
+        resume_step = int(restored["step"])
+        k_train = jax.random.wrap_key_data(jnp.asarray(restored["rng"]))
+        logger.info("resumed train state from %s at step %d",
+                    kwargs["resume_from"], resume_step)
+    else:
+        resume_step = 0
 
     schedule = every_n_iters_intervals(*kwargs["eval_schedule"])
 
     def evaluate_and_log(state: TrainLoopState) -> None:
-        trm, tra = score(state.params, x_tr_eval, y_tr_eval)
-        vm, va = score(state.params, x_val, y_val)
+        trm, tra = do_score(state.params, "train")
+        vm, va = do_score(state.params, "val")
         state.iter_metrics.update(
             train_mean_ce=float(trm), train_acc=float(tra),
             val_mean_ce=float(vm), val_acc=float(va),
@@ -348,6 +419,19 @@ def run(**kwargs) -> TrainLoopState:
         )
 
     writer = AsyncWriter()
+
+    def save_train_state(state: TrainLoopState) -> None:
+        """Full-resume checkpoint: params + optimizer state + step + rng."""
+        writer.submit(
+            {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": state.num_iters_done,
+                "rng": jax.random.key_data(state.rng),
+            },
+            os.path.join(output_dir, "train_state_latest.npz"),
+        )
+
     last_ckpt = LastModelsCheckpointer(output_dir, kwargs["keep_last_models"], writer)
     metrics = (
         ("train_acc", False), ("val_acc", False),
@@ -358,7 +442,8 @@ def run(**kwargs) -> TrainLoopState:
         (name, low) for name, low in metrics if kwargs[f"es_{name}"]
     )
     at_iter_start = [schedule(evaluate_and_log), schedule(log_parameters_stats),
-                     schedule(last_ckpt)] + [schedule(c) for c in best_ckpts]
+                     schedule(last_ckpt), schedule(save_train_state)] + [
+                     schedule(c) for c in best_ckpts]
     if es_metrics:
         at_iter_start.append(schedule(ValuesNotImprovingEarlyStopper(
             kwargs["patience"], es_metrics)))
@@ -367,14 +452,13 @@ def run(**kwargs) -> TrainLoopState:
             make_stopper_after_n_iters(kwargs["max_num_iters"])))
     after_step = [schedule(make_stopper_on_nan_loss(output_dir))]
 
-    batcher = Batcher(
-        splits.train, kwargs["batch_size"], shuffle=True, drop_last=True,
-        seed=kwargs["seed"],
+    state = TrainLoopState(
+        params=params, opt_state=opt_state, rng=k_train,
+        num_iters_done=resume_step,
     )
-    state = TrainLoopState(params=params, opt_state=opt_state, rng=k_train)
     state.extras["output_dir"] = output_dir
     state.extras["cfg"] = cfg
-    train(state, step, gather, batcher.indices_forever(),
+    train(state, step, gather, index_stream,
           at_iter_start=at_iter_start, after_step=after_step)
     writer.wait()
     logger.info("training stopped: %s at %d iters", state.stop_reason,

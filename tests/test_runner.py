@@ -57,6 +57,65 @@ def test_runner_end_to_end(tmp_path):
     assert records[-1].trmce < records[0].trmce
 
 
+def test_runner_resume(tmp_path):
+    common = dict(
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=32,
+        optimizer_name="adam",
+        lr=3e-3,
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        keep_last_models=1,
+        synthetic_sizes=(128, 64, 64),
+        patience=50,
+    )
+    run(experiments_dir=str(tmp_path / "a"), max_num_iters=20, **common)
+    out = os.path.join(str(tmp_path / "a"), os.listdir(str(tmp_path / "a"))[0])
+    state_file = os.path.join(out, "train_state_latest.npz")
+    assert os.path.exists(state_file)
+    state = run(
+        experiments_dir=str(tmp_path / "b"),
+        max_num_iters=40,
+        resume_from=state_file,
+        **common,
+    )
+    assert state.num_iters_done == 40  # continued from step 20, not 0
+    import numpy as _np
+
+    with _np.load(state_file) as data:
+        assert int(data["step"]) == 20
+
+
+def test_runner_mesh_data_parallel(tmp_path):
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    state = run(
+        experiments_dir=str(tmp_path),
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=32,
+        mesh_devices=4,
+        optimizer_name="adam",
+        lr=3e-3,
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=30,
+        keep_last_models=1,
+        synthetic_sizes=(128, 64, 64),
+        patience=50,
+    )
+    assert state.stop_reason == "max_iters"
+    out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    records = load_records(os.path.join(out, "log.log"))
+    assert len(records) == 4
+    assert records[-1].trmce < records[0].trmce  # DP training learns
+
+
 def test_increasing_subsequence():
     recs = [Record(i, 0, 0, t, 0) for i, t in enumerate([0.1, 0.3, 0.2, 0.4])]
     inc = list(get_increasing_subsequence(recs, lambda r: r.tracc))
