@@ -158,6 +158,9 @@ def save_git_provenance(output_dir: str) -> str:
 @click.option("--compute-dtype", type=click.Choice(("float32", "bfloat16")),
               default="float32",
               help="MXU input precision for EPS contractions (f32 accumulate)")
+@click.option("--tb-batches/--no-tb-batches", default=False,
+              help="log per-batch loss/reg scalars, true-class probability "
+                   "histograms, and annotated image grids on the eval schedule")
 @click.option("--mesh-devices", type=int, default=1,
               help="data-parallel over this many devices (1 = single-chip path)")
 @click.option("--resume-from", type=click.Path(exists=True, dir_okay=False),
@@ -357,6 +360,7 @@ def run(**kwargs) -> TrainLoopState:
         step = make_train_step(
             cfg, optimizer, kwargs["reg_type"], kwargs["reg_coeff"],
             frozen_eps_indices=kwargs["freeze_eps"],
+            with_probs=kwargs["tb_batches"],
         )
         x_tr = jnp.asarray(splits.train.x)
         y_tr = jnp.asarray(splits.train.y)
@@ -451,6 +455,29 @@ def run(**kwargs) -> TrainLoopState:
         at_iter_start.append(schedule(
             make_stopper_after_n_iters(kwargs["max_num_iters"])))
     after_step = [schedule(make_stopper_on_nan_loss(output_dir))]
+    if kwargs["tb_batches"] and n_mesh == 1:
+        from ..train.tb_logging import MetricsWriter, log_batch_images
+
+        tb_writer = MetricsWriter(output_dir)
+        raw_images = splits.train.unmodified_x
+
+        def log_batch_to_tb(state: TrainLoopState) -> None:
+            m = state.device_metrics
+            if m is None:
+                return
+            nitd = state.num_iters_done
+            tb_writer.add_scalar("loss", float(m["loss"]), nitd)
+            tb_writer.add_scalar("reg_term", float(m["reg_term"]), nitd)
+            probs = np.asarray(m["probs_of_true_class"])
+            tb_writer.add_histogram("probs_of_true_class", probs, nitd)
+            if raw_images is not None and raw_images.ndim == 3:
+                sel = state.batch_indices[:32]
+                labels = splits.train.y[sel]
+                log_batch_images(
+                    tb_writer, raw_images[sel], probs[:32], labels, nitd
+                )
+
+        after_step.append(schedule(log_batch_to_tb))
 
     state = TrainLoopState(
         params=params, opt_state=opt_state, rng=k_train,

@@ -36,9 +36,12 @@ def make_train_step(
     reg_coeff: float = 0.0,
     frozen_eps_indices: Sequence[int] = (),
     donate: bool = True,
+    with_probs: bool = False,
 ):
     """Returns step(params, opt_state, rng, xb, yb) →
-    (params, opt_state, metrics) with metrics = {loss, ce, reg_term} scalars.
+    (params, opt_state, metrics) with metrics = {loss, ce, reg_term} scalars
+    (+ per-sample ``probs_of_true_class`` when ``with_probs`` — the batch
+    observability hook, new_runner.py:512-531).
 
     Frozen EPS cores (``--freeze-eps`` parity, new_runner.py:443-444) get
     their gradients zeroed before the optimizer update, so moments stay
@@ -63,15 +66,27 @@ def make_train_step(
         )
         return {**grads, "epses": epses}
 
+    def loss_with_probs(params, xb, yb, rng):
+        logits = eps_plus_linear_forward(params, xb, cfg, training=True, rng=rng)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per_sample = jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+        ce = -jnp.mean(per_sample)
+        reg = reg_fn(params) if reg_coeff != 0.0 else jnp.zeros((), logits.dtype)
+        return ce + reg_coeff * reg, (ce, reg, jnp.exp(per_sample))
+
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, rng, xb, yb):
-        (loss, (ce, reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        fn = loss_with_probs if with_probs else loss_fn
+        (loss, aux), grads = jax.value_and_grad(fn, has_aux=True)(
             params, xb, yb, rng
         )
         grads = mask_frozen(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "ce": ce, "reg_term": reg}
+        metrics = {"loss": loss, "ce": aux[0], "reg_term": aux[1]}
+        if with_probs:
+            metrics["probs_of_true_class"] = aux[2]
+        return params, opt_state, metrics
 
     return step
 

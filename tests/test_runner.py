@@ -57,6 +57,31 @@ def test_runner_end_to_end(tmp_path):
     assert records[-1].trmce < records[0].trmce
 
 
+def test_runner_tb_batches(tmp_path):
+    run(
+        experiments_dir=str(tmp_path),
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=32,
+        optimizer_name="adam",
+        lr=3e-3,
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=20,
+        keep_last_models=1,
+        synthetic_sizes=(64, 32, 32),
+        patience=50,
+        tb_batches=True,
+        reg_coeff=1e-6,
+    )
+    out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    metrics_path = os.path.join(out, "metrics.jsonl")
+    assert os.path.exists(metrics_path)
+    tags = {json.loads(l)["tag"] for l in open(metrics_path)}
+    assert {"loss", "reg_term", "probs_of_true_class"} <= tags
+
+
 def test_runner_resume(tmp_path):
     common = dict(
         ds_type="mnist",
