@@ -158,6 +158,10 @@ def save_git_provenance(output_dir: str) -> str:
 @click.option("--compute-dtype", type=click.Choice(("float32", "bfloat16")),
               default="float32",
               help="MXU input precision for EPS contractions (f32 accumulate)")
+@click.option("--eval-backend", type=click.Choice(("auto", "xla", "pallas")),
+              default="auto",
+              help="forward backend for eval/scoring: auto = fused Pallas "
+                   "kernel on TPU (VMEM-permitting), XLA elsewhere")
 @click.option("--tb-batches/--no-tb-batches", default=False,
               help="log per-batch loss/reg scalars, true-class probability "
                    "histograms, and annotated image grids on the eval schedule")
@@ -259,6 +263,9 @@ def run(**kwargs) -> TrainLoopState:
 
     image_size = splits.train.x.shape[2]
     q0 = splits.train.x.shape[-1]
+    eval_backend = kwargs["eval_backend"]
+    if eval_backend == "auto":
+        eval_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     cfg = EPSesPlusLinearConfig(
         epses_specs=specs,
         image_size=image_size,
@@ -267,6 +274,7 @@ def run(**kwargs) -> TrainLoopState:
         compute_dtype=jnp.bfloat16
         if kwargs["compute_dtype"] == "bfloat16"
         else None,
+        eval_backend=eval_backend,
     )
 
     # --- model init (new_runner.py:378-431) ---

@@ -45,6 +45,7 @@ class EPSesPlusLinearConfig:
     dropout_p: float = 1.0  # probability of KEEPING a core component
     dtype: Any = jnp.float32
     compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for MXU inputs
+    eval_backend: str = "xla"  # "pallas": fused forward kernel for inference
 
     def __post_init__(self):
         assert 0.0 < self.dropout_p <= 1.0
@@ -173,10 +174,11 @@ def eps_plus_linear_forward(
     if cfg.dropout_p < 1.0 and training:
         assert rng is not None, "dropout needs an rng key in training mode"
         epses = _dropout_epses(epses, cfg.dropout_p, rng)
+    backend = "xla" if training else cfg.eval_backend
     intermediate = x
     for core in epses:
         intermediate = eps_mod.eps(
-            core, intermediate, compute_dtype=cfg.compute_dtype
+            core, intermediate, compute_dtype=cfg.compute_dtype, backend=backend
         )[None]
     h = intermediate[0]  # (B, H', W', Q_out)
     flat = h.reshape(h.shape[0], -1)  # b (h w q) — row-major like the reference

@@ -237,7 +237,7 @@ def _eps_contract_bwd(n1, compute_dtype, res, g):
 _eps_contract.defvjp(_eps_contract_fwd, _eps_contract_bwd)
 
 
-@partial(jax.jit, static_argnames=("split", "compute_dtype", "custom_vjp"))
+@partial(jax.jit, static_argnames=("split", "compute_dtype", "custom_vjp", "backend"))
 def eps(
     core: jax.Array,
     x: jax.Array,
@@ -245,6 +245,7 @@ def eps(
     split: Optional[int] = None,
     compute_dtype=None,
     custom_vjp: bool = True,
+    backend: str = "xla",
 ) -> jax.Array:
     """Contract an EPS ``core`` with all K×K windows of ``x``.
 
@@ -255,6 +256,9 @@ def eps(
     (e.g. bfloat16) with float32 accumulation.
     ``custom_vjp``: use the hand-written MXU backward (default; set False to
     fall back to XLA autodiff of the staged forward).
+    ``backend``: "xla" (default), "pallas" (fused forward kernel — inference
+    paths only, falls back to xla when the core doesn't fit VMEM), or
+    "pallas_interpret" (for CPU tests).
     """
     num_channels, _, _, _, in_size = x.shape
     kernel_size = _infer_kernel_size(core, num_channels)
@@ -265,6 +269,14 @@ def eps(
     views = window_views(x, kernel_size)  # n arrays (B, H', W', Q)
     n1 = split if split is not None else _balanced_split(n, in_size, out_size)
     n1 = max(1, min(n, n1))
+    if backend in ("pallas", "pallas_interpret"):
+        from ..pallas.eps_pallas import eps_pallas_forward, pallas_forward_fits
+
+        if pallas_forward_fits(n, n1, in_size, out_size):
+            return eps_pallas_forward(
+                core, views, n1, None, interpret=(backend == "pallas_interpret")
+            )
+        # fall through to the XLA path when VMEM would overflow
     if custom_vjp:
         return _eps_contract(core, tuple(views), n1, compute_dtype)
 

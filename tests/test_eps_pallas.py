@@ -1,0 +1,55 @@
+"""Fused Pallas EPS forward (interpreter mode on CPU): parity with the XLA
+path across layer shapes, padding, and the VMEM-fallback predicate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dctn_tpu.ops import eps as E
+from dctn_tpu.pallas.eps_pallas import pallas_forward_fits
+
+
+@pytest.mark.parametrize(
+    "C,K,Q,O,H,W,B",
+    [
+        (1, 2, 2, 3, 4, 4, 2),
+        (1, 3, 2, 4, 6, 5, 3),
+        (2, 2, 2, 3, 4, 4, 2),
+        (1, 2, 3, 5, 5, 5, 2),
+    ],
+)
+def test_pallas_forward_matches_xla(rng, C, K, Q, O, H, W, B):
+    k1, k2 = jax.random.split(rng)
+    core = jax.random.normal(k1, E.eps_shape(K, C, Q, O), jnp.float32)
+    x = jax.random.normal(k2, (C, B, H, W, Q), jnp.float32)
+    expected = E.eps(core, x)
+    got = E.eps(core, x, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-5, atol=1e-6)
+
+
+def test_model_eval_backend(rng):
+    from dctn_tpu.models import (
+        EPSesPlusLinearConfig,
+        init_eps_plus_linear,
+        eps_plus_linear_forward,
+    )
+
+    cfg = EPSesPlusLinearConfig(epses_specs=((2, 3), (2, 4)), image_size=6)
+    cfg_p = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=6, eval_backend="pallas_interpret"
+    )
+    params = init_eps_plus_linear(rng, cfg)
+    x = jax.random.uniform(jax.random.split(rng)[0], (1, 3, 6, 6, 2), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(eps_plus_linear_forward(params, x, cfg_p)),
+        np.asarray(eps_plus_linear_forward(params, x, cfg)),
+        rtol=2e-5,
+        atol=1e-6,
+    )
+
+
+def test_vmem_predicate():
+    assert pallas_forward_fits(16, 8, 2, 4)  # layer 1: cm 1 MB
+    assert pallas_forward_fits(9, 5, 4, 6)  # layer 2: cm 6 MB
+    assert not pallas_forward_fits(16, 8, 4, 4)  # 4^16 core: never
