@@ -15,6 +15,7 @@ module machinery, and dropout masks are drawn from an explicit PRNG key.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 import logging
 import math
 from typing import Any, Dict, Optional, Sequence, Tuple
@@ -46,6 +47,9 @@ class EPSesPlusLinearConfig:
     dtype: Any = jnp.float32
     compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for MXU inputs
     eval_backend: str = "xla"  # "pallas": fused forward kernel for inference
+    remat: bool = False  # jax.checkpoint each EPS layer: recompute the
+    # Khatri-Rao residuals in backward instead of storing them (trades ~15%
+    # step time for O(batch) memory — enables very large batches)
 
     def __post_init__(self):
         assert 0.0 < self.dropout_p <= 1.0
@@ -175,11 +179,12 @@ def eps_plus_linear_forward(
         assert rng is not None, "dropout needs an rng key in training mode"
         epses = _dropout_epses(epses, cfg.dropout_p, rng)
     backend = "xla" if training else cfg.eval_backend
+    apply = partial(eps_mod.eps, compute_dtype=cfg.compute_dtype, backend=backend)
+    if cfg.remat and training:
+        apply = jax.checkpoint(apply, static_argnums=())
     intermediate = x
     for core in epses:
-        intermediate = eps_mod.eps(
-            core, intermediate, compute_dtype=cfg.compute_dtype, backend=backend
-        )[None]
+        intermediate = apply(core, intermediate)[None]
     h = intermediate[0]  # (B, H', W', Q_out)
     flat = h.reshape(h.shape[0], -1)  # b (h w q) — row-major like the reference
     return flat @ params["linear"]["w"] + params["linear"]["b"]

@@ -274,7 +274,7 @@ def eps(
 
         if pallas_forward_fits(n, n1, in_size, out_size):
             return eps_pallas_forward(
-                core, views, n1, None, interpret=(backend == "pallas_interpret")
+                core, views, n1, interpret=(backend == "pallas_interpret")
             )
         # fall through to the XLA path when VMEM would overflow
     if custom_vjp:

@@ -86,7 +86,6 @@ def eps_pallas_forward(
     core: jax.Array,
     views,
     n1: int,
-    out_shape,
     bn: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
