@@ -36,11 +36,14 @@ def measure_tpu(batch_size: int, steps: int, compute_dtype: str) -> float:
     from dctn_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     cfg = EPSesPlusLinearConfig(
         epses_specs=((4, 4), (3, 6)),
         image_size=28,
         q0=2,
         compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
+        train_backend=backend,
+        eval_backend=backend,
     )
     key = jax.random.PRNGKey(0)
     params = init_eps_plus_linear(key, cfg)

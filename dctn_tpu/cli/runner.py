@@ -162,6 +162,10 @@ def save_git_provenance(output_dir: str) -> str:
               default="auto",
               help="forward backend for eval/scoring: auto = fused Pallas "
                    "kernel on TPU (VMEM-permitting), XLA elsewhere")
+@click.option("--train-backend", type=click.Choice(("auto", "xla", "pallas")),
+              default="auto",
+              help="training-step backend: auto = fused Pallas fwd+bwd "
+                   "kernels on TPU (1.8x the XLA path), XLA elsewhere")
 @click.option("--tb-batches/--no-tb-batches", default=False,
               help="log per-batch loss/reg scalars, true-class probability "
                    "histograms, and annotated image grids on the eval schedule")
@@ -263,9 +267,11 @@ def run(**kwargs) -> TrainLoopState:
 
     image_size = splits.train.x.shape[2]
     q0 = splits.train.x.shape[-1]
-    eval_backend = kwargs["eval_backend"]
-    if eval_backend == "auto":
-        eval_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    def resolve_backend(name):
+        if name == "auto":
+            return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return name
+
     cfg = EPSesPlusLinearConfig(
         epses_specs=specs,
         image_size=image_size,
@@ -274,7 +280,8 @@ def run(**kwargs) -> TrainLoopState:
         compute_dtype=jnp.bfloat16
         if kwargs["compute_dtype"] == "bfloat16"
         else None,
-        eval_backend=eval_backend,
+        eval_backend=resolve_backend(kwargs["eval_backend"]),
+        train_backend=resolve_backend(kwargs["train_backend"]),
     )
 
     # --- model init (new_runner.py:378-431) ---

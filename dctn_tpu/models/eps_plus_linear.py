@@ -47,6 +47,7 @@ class EPSesPlusLinearConfig:
     dtype: Any = jnp.float32
     compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 for MXU inputs
     eval_backend: str = "xla"  # "pallas": fused forward kernel for inference
+    train_backend: str = "xla"  # "pallas": fused fwd+bwd kernels for training
     remat: bool = False  # jax.checkpoint each EPS layer: recompute the
     # Khatri-Rao residuals in backward instead of storing them (trades ~15%
     # step time for O(batch) memory — enables very large batches)
@@ -178,7 +179,7 @@ def eps_plus_linear_forward(
     if cfg.dropout_p < 1.0 and training:
         assert rng is not None, "dropout needs an rng key in training mode"
         epses = _dropout_epses(epses, cfg.dropout_p, rng)
-    backend = "xla" if training else cfg.eval_backend
+    backend = cfg.train_backend if training else cfg.eval_backend
     apply = partial(eps_mod.eps, compute_dtype=cfg.compute_dtype, backend=backend)
     if cfg.remat and training:
         apply = jax.checkpoint(apply, static_argnums=())

@@ -256,8 +256,8 @@ def eps(
     (e.g. bfloat16) with float32 accumulation.
     ``custom_vjp``: use the hand-written MXU backward (default; set False to
     fall back to XLA autodiff of the staged forward).
-    ``backend``: "xla" (default), "pallas" (fused forward kernel — inference
-    paths only, falls back to xla when the core doesn't fit VMEM), or
+    ``backend``: "xla" (default), "pallas" (fused, differentiable fwd+bwd
+    kernels; falls back to xla when the core doesn't fit VMEM), or
     "pallas_interpret" (for CPU tests).
     """
     num_channels, _, _, _, in_size = x.shape

@@ -28,6 +28,24 @@ def test_pallas_forward_matches_xla(rng, C, K, Q, O, H, W, B):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "C,K,Q,O,H,W,B",
+    [(1, 2, 2, 3, 4, 4, 2), (1, 3, 2, 4, 6, 5, 3), (2, 2, 2, 3, 4, 4, 2)],
+)
+def test_pallas_gradients_match_xla(rng, C, K, Q, O, H, W, B):
+    k1, k2 = jax.random.split(rng)
+    core = jax.random.normal(k1, E.eps_shape(K, C, Q, O), jnp.float32)
+    x = jax.random.normal(k2, (C, B, H, W, Q), jnp.float32)
+
+    def loss(c, xx, backend):
+        return jnp.sum(jnp.tanh(E.eps(c, xx, backend=backend)))
+
+    g1c, g1x = jax.grad(loss, argnums=(0, 1))(core, x, "xla")
+    g2c, g2x = jax.grad(loss, argnums=(0, 1))(core, x, "pallas_interpret")
+    np.testing.assert_allclose(np.asarray(g1c), np.asarray(g2c), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(g1x), np.asarray(g2x), rtol=2e-4, atol=2e-6)
+
+
 def test_model_eval_backend(rng):
     from dctn_tpu.models import (
         EPSesPlusLinearConfig,
