@@ -93,6 +93,52 @@ def _fwd_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
     return kernel
 
 
+def _bwd_fused_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
+    """Backward with the d_core accumulation INSIDE the kernel: nothing but
+    views/g/dviews crosses HBM; d_cmt lives in VMEM across the whole grid
+    (its block index is constant) and is initialized on the first tile."""
+    n2 = n - n1
+
+    def kernel(views_ref, cmt_ref, g_ref, dviews_ref, dcmt_ref):
+        i = pl.program_id(0)
+        u_sufs = _suffix_chain(views_ref, 0, n1)
+        u = u_sufs[0]
+        g = g_ref[:]
+        if n2 > 0:
+            v_sufs = _suffix_chain(views_ref, n1, n)
+            v = v_sufs[0]
+            kr2 = (g[:, None, :] * v[None, :, :]).reshape(-1, g.shape[-1])
+        else:
+            kr2 = g
+        # d_cmt[z, a] += Σ_n kr2[z, n]·u[a, n]
+        part = jax.lax.dot_general(
+            kr2, u, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        @pl.when(i == 0)
+        def _():
+            dcmt_ref[:] = part
+
+        @pl.when(i > 0)
+        def _():
+            dcmt_ref[:] = dcmt_ref[:] + part
+
+        d_u = jax.lax.dot_general(
+            cmt_ref[:], kr2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        _chain_bwd(views_ref, u_sufs, d_u, 0, n1, dviews_ref)
+        if n2 > 0:
+            t = jnp.dot(cmt_ref[:], u, preferred_element_type=jnp.float32)
+            t3 = t.reshape(o, q**n2, g.shape[-1])
+            d_v = t3[0] * g[0:1, :]
+            for oi in range(1, o):
+                d_v = d_v + t3[oi] * g[oi : oi + 1, :]
+            _chain_bwd(views_ref, v_sufs, d_v, n1, n, dviews_ref)
+
+    return kernel
+
+
 def _bwd_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
     n2 = n - n1
 
@@ -174,6 +220,39 @@ def _run_fwd(views_t, cmt, n1, out_size, bn, interpret):
     return out
 
 
+def bwd_fused_fits(n: int, n1: int, q: int, o: int, bn: int = 128) -> bool:
+    """VMEM check for the fused-d_core backward: the resident core AND its
+    gradient accumulator must both fit alongside the tile working set."""
+    a, z = q**n1, q ** (n - n1) * o
+    per_tile = 4 * bn * (2 * a + 3 * z + 2 * n * q + o)
+    return 2 * 4 * a * z + per_tile < _VMEM_BUDGET_BYTES
+
+
+@partial(jax.jit, static_argnames=("n1", "out_size", "bn", "interpret"))
+def _run_bwd_fused(views_t, cmt, g_t, n1, out_size, bn, interpret):
+    n, q, npad = views_t.shape
+    z, a = cmt.shape
+    dviews, d_cmt = pl.pallas_call(
+        _bwd_fused_kernel_factory(n, n1, q, out_size, bn),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, q, npad), jnp.float32),
+            jax.ShapeDtypeStruct((z, a), jnp.float32),
+        ),
+        grid=(npad // bn,),
+        in_specs=[
+            pl.BlockSpec((n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cmt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_size, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((z, a), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(views_t, cmt, g_t)
+    return dviews, d_cmt.T  # (A, Z) like the unfused path
+
+
 @partial(jax.jit, static_argnames=("n1", "out_size", "bn", "interpret"))
 def _run_bwd(views_t, cmt, g_t, n1, out_size, bn, interpret):
     n, q, npad = views_t.shape
@@ -243,7 +322,12 @@ def _eps_pallas_bwd(n1, bn, interpret, res, g):
     g_t = g.reshape(npix, out_size).T
     if npad != npix:
         g_t = jnp.pad(g_t, ((0, 0), (0, npad - npix)))
-    dviews_t, d_cmt_t = _run_bwd(views_t, cmt, g_t, n1, out_size, bn, interpret)
+    if bwd_fused_fits(n, n1, q, out_size, bn):
+        dviews_t, d_cmt_t = _run_bwd_fused(
+            views_t, cmt, g_t, n1, out_size, bn, interpret
+        )
+    else:
+        dviews_t, d_cmt_t = _run_bwd(views_t, cmt, g_t, n1, out_size, bn, interpret)
     d_core = _cmt_grad_to_core(d_cmt_t, core.shape, n1)
     d_views = tuple(
         dviews_t[k, :, :npix].T.reshape(b, hp, wp, q) for k in range(n)
