@@ -14,13 +14,10 @@ Run: ``python -m dctn_tpu.cli.legacy_runner --ds-path synthetic
 
 from __future__ import annotations
 
-import json
 import logging
 import os
 import random
-import time
 from functools import partial
-from typing import Optional
 
 import click
 import jax
@@ -39,7 +36,6 @@ from ..models.conv_sbs_model import (
 )
 from ..ops import sbs
 from ..train.checkpoint import save_pytree, load_pytree
-from ..utils.misc import xor
 
 logger = logging.getLogger(__name__)
 

@@ -17,15 +17,13 @@ fashionmnist --ds-path synthetic --epses-specs "(4,4),(3,6)" --batch-size 128
 from __future__ import annotations
 
 import ast
-import dataclasses
 import json
 import logging
 import os
 import re
 import subprocess
 import time
-from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import click
 import jax

@@ -11,7 +11,7 @@ reference; float64 available for scaling statistics).
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 

@@ -16,7 +16,6 @@ API matches the reference's interleaved named-dims form
 
 from __future__ import annotations
 
-import string
 from typing import Any, Dict, Hashable, Sequence, Tuple
 
 import jax.numpy as jnp

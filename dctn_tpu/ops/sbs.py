@@ -30,7 +30,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import reduce
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

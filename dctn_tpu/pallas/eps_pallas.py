@@ -25,7 +25,6 @@ opt_einsum contraction path (eps.py:25-40) taken two levels further down.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -9,7 +9,7 @@ Multi-host (DCN) setups call ``initialize_distributed`` first, after which
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -12,7 +12,6 @@ the device (critical here: device→host bandwidth through the relay is
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Tuple
 
 import jax

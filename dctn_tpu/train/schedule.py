@@ -8,7 +8,7 @@ from the last interval whose start ≤ num_iters_done.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 
 class EvalSchedule:

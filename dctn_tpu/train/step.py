@@ -10,7 +10,7 @@ all fused on device. Batches are gathered on device from the resident split
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

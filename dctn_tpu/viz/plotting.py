@@ -14,7 +14,7 @@ import html
 import io
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict
 
 from .log_parsing import load_records
 
