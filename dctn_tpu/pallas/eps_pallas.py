@@ -138,24 +138,52 @@ def _bwd_fused_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
     return kernel
 
 
-def _bwd_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
+def _dcore_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
+    """d_core accumulation pass — needs NO copy of the core in VMEM: just the
+    views and g; d_cmt's output block is constant-indexed so it lives in VMEM
+    across the whole (sequential) grid."""
     n2 = n - n1
 
-    def kernel(views_ref, cmt_ref, g_ref, dviews_ref, kr2_ref, u_ref):
+    def kernel(views_ref, g_ref, dcmt_ref):
+        i = pl.program_id(0)
+        u = _suffix_chain(views_ref, 0, n1)[0]
+        g = g_ref[:]
+        if n2 > 0:
+            v = _suffix_chain(views_ref, n1, n)[0]
+            kr2 = (g[:, None, :] * v[None, :, :]).reshape(-1, g.shape[-1])
+        else:
+            kr2 = g
+        part = jax.lax.dot_general(
+            kr2, u, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        @pl.when(i == 0)
+        def _():
+            dcmt_ref[:] = part
+
+        @pl.when(i > 0)
+        def _():
+            dcmt_ref[:] = dcmt_ref[:] + part
+
+    return kernel
+
+
+def _dviews_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
+    """d_views pass — the core (but not its gradient) resident in VMEM."""
+    n2 = n - n1
+
+    def kernel(views_ref, cmt_ref, g_ref, dviews_ref):
         # views_ref: (n, q, bn); cmt_ref: (Z, A) o-major rows; g_ref: (o, bn)
-        # dviews_ref: (n, q, bn); kr2_ref: (Z, bn); u_ref: (A, bn)
         u_sufs = _suffix_chain(views_ref, 0, n1)
         u = u_sufs[0]
-        u_ref[:] = u
         g = g_ref[:]
         if n2 > 0:
             v_sufs = _suffix_chain(views_ref, n1, n)
             v = v_sufs[0]
             # kr2[(o, b), n] = g[o, n] · v[b, n]  (o slowest, matching cmt)
-            kr2 = (g[:, None, :] * v[None, :, :]).reshape(-1, bn)
+            kr2 = (g[:, None, :] * v[None, :, :]).reshape(-1, g.shape[-1])
         else:
             kr2 = g
-        kr2_ref[:] = kr2
         # d_u[a, n] = Σ_z cm[a, z]·kr2[z, n]  (cmt is (Z, A))
         d_u = jax.lax.dot_general(
             cmt_ref[:], kr2, (((0,), (0,)), ((), ())),
@@ -165,7 +193,7 @@ def _bwd_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
         if n2 > 0:
             # t recomputed; rows (o, b) so per-o slabs are contiguous
             t = jnp.dot(cmt_ref[:], u, preferred_element_type=jnp.float32)
-            t3 = t.reshape(o, q**n2, bn)
+            t3 = t.reshape(o, q**n2, g.shape[-1])
             d_v = t3[0] * g[0:1, :]
             for oi in range(1, o):
                 d_v = d_v + t3[oi] * g[oi : oi + 1, :]
@@ -254,34 +282,37 @@ def _run_bwd_fused(views_t, cmt, g_t, n1, out_size, bn, interpret):
 
 @partial(jax.jit, static_argnames=("n1", "out_size", "bn", "interpret"))
 def _run_bwd(views_t, cmt, g_t, n1, out_size, bn, interpret):
+    """Two-pass backward with NOTHING large materialized in HBM: pass A
+    accumulates d_core (no core copy resident), pass B computes d_views (core
+    resident, no gradient accumulator). Both recompute the cheap VPU chains."""
     n, q, npad = views_t.shape
     z, a = cmt.shape
-    dviews, kr2, u = pl.pallas_call(
-        _bwd_kernel_factory(n, n1, q, out_size, bn),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, q, npad), jnp.float32),
-            jax.ShapeDtypeStruct((z, npad), jnp.float32),
-            jax.ShapeDtypeStruct((a, npad), jnp.float32),
-        ),
-        grid=(npad // bn,),
+    grid = (npad // bn,)
+    views_spec = pl.BlockSpec((n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((out_size, bn), lambda i: (0, i), memory_space=pltpu.VMEM)
+    d_cmt = pl.pallas_call(
+        _dcore_kernel_factory(n, n1, q, out_size, bn),
+        out_shape=jax.ShapeDtypeStruct((z, a), jnp.float32),
+        grid=grid,
+        in_specs=[views_spec, g_spec],
+        out_specs=pl.BlockSpec((z, a), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(views_t, g_t)
+    dviews = pl.pallas_call(
+        _dviews_kernel_factory(n, n1, q, out_size, bn),
+        out_shape=jax.ShapeDtypeStruct((n, q, npad), jnp.float32),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            views_spec,
             pl.BlockSpec(cmt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_size, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            g_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((z, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((a, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(views_t, cmt, g_t)
-    # the single materialized matmul: d_cmt = u ·contract-N· kr2 (padding
-    # columns of u are zero, so they contribute nothing)
-    d_cmt_t = jax.lax.dot_general(
-        u, kr2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (A, Z)
-    return dviews, d_cmt_t
+    return dviews, d_cmt.T  # (A, Z)
 
 
 def _stack_views_t(views, bn):

@@ -67,6 +67,25 @@ def test_model_eval_backend(rng):
     )
 
 
+def test_two_pass_backward_matches_xla(rng, monkeypatch):
+    """Force the two-pass (d_core kernel + d_views kernel) backward — the
+    path large cores take — and check gradient parity."""
+    import dctn_tpu.pallas.eps_pallas as ep
+
+    monkeypatch.setattr(ep, "bwd_fused_fits", lambda *a, **k: False)
+    k1, k2 = jax.random.split(rng)
+    core = jax.random.normal(k1, E.eps_shape(3, 1, 2, 4), jnp.float32)
+    x = jax.random.normal(k2, (1, 2, 6, 5, 2), jnp.float32)
+
+    def loss(c, xx, backend):
+        return jnp.sum(jnp.tanh(E.eps(c, xx, backend=backend)))
+
+    g1 = jax.grad(loss, argnums=(0, 1))(core, x, "xla")
+    g2 = jax.grad(loss, argnums=(0, 1))(core, x, "pallas_interpret")
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
 def test_vmem_predicate():
     assert pallas_forward_fits(16, 8, 2, 4)  # layer 1: cm 1 MB
     assert pallas_forward_fits(9, 5, 4, 6)  # layer 2: cm 6 MB
