@@ -272,7 +272,11 @@ def eps(
     if backend in ("pallas", "pallas_interpret"):
         from ..pallas.eps_pallas import eps_pallas_forward, pallas_forward_fits
 
-        if pallas_forward_fits(n, n1, in_size, out_size):
+        if (
+            pallas_forward_fits(n, n1, in_size, out_size)
+            and core.dtype == jnp.float32
+            and x.dtype == jnp.float32
+        ):
             return eps_pallas_forward(
                 core, views, n1, interpret=(backend == "pallas_interpret")
             )
