@@ -167,6 +167,9 @@ def save_git_provenance(output_dir: str) -> str:
 @click.option("--tb-batches/--no-tb-batches", default=False,
               help="log per-batch loss/reg scalars, true-class probability "
                    "histograms, and annotated image grids on the eval schedule")
+@click.option("--grad-accum-steps", type=int, default=1,
+              help="microbatch the step into this many gradient-accumulation "
+                   "slices (bounds activation memory at very large batches)")
 @click.option("--mesh-devices", type=int, default=1,
               help="data-parallel over this many devices (1 = single-chip path)")
 @click.option("--resume-from", type=click.Path(exists=True, dir_okay=False),
@@ -374,6 +377,7 @@ def run(**kwargs) -> TrainLoopState:
             cfg, optimizer, kwargs["reg_type"], kwargs["reg_coeff"],
             frozen_eps_indices=kwargs["freeze_eps"],
             with_probs=kwargs["tb_batches"],
+            grad_accum_steps=kwargs["grad_accum_steps"],
         )
         x_tr = jnp.asarray(splits.train.x)
         y_tr = jnp.asarray(splits.train.y)

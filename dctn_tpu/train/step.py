@@ -37,6 +37,7 @@ def make_train_step(
     frozen_eps_indices: Sequence[int] = (),
     donate: bool = True,
     with_probs: bool = False,
+    grad_accum_steps: int = 1,
 ):
     """Returns step(params, opt_state, rng, xb, yb) →
     (params, opt_state, metrics) with metrics = {loss, ce, reg_term} scalars
@@ -77,9 +78,42 @@ def make_train_step(
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, rng, xb, yb):
         fn = loss_with_probs if with_probs else loss_fn
-        (loss, aux), grads = jax.value_and_grad(fn, has_aux=True)(
-            params, xb, yb, rng
-        )
+        if grad_accum_steps == 1:
+            (loss, aux), grads = jax.value_and_grad(fn, has_aux=True)(
+                params, xb, yb, rng
+            )
+        else:
+            # microbatch the step: scan over grad_accum_steps slices of the
+            # batch, averaging losses and gradients — bounds the activation
+            # memory of very large batches (see CLAUDE.md scaling notes)
+            assert not with_probs, "tb-batches is incompatible with grad accumulation"
+            b = yb.shape[0]
+            assert b % grad_accum_steps == 0
+            mb = b // grad_accum_steps
+            xm = xb.reshape(xb.shape[0], grad_accum_steps, mb, *xb.shape[2:])
+            xm = jnp.moveaxis(xm, 1, 0)  # (steps, C, mb, H, W, Q)
+            ym = yb.reshape(grad_accum_steps, mb)
+            rngs = jax.random.split(rng, grad_accum_steps)
+
+            def body(carry, inp):
+                loss_sum, ce_sum, reg_last, grad_sum = carry
+                xs, ys, r = inp
+                (l, (ce, reg)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, xs, ys, r
+                )
+                grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g)
+                return (loss_sum + l, ce_sum + ce, reg, grad_sum), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            acc_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+            zero = jnp.zeros((), acc_dtype)
+            (loss_sum, ce_sum, reg, grads), _ = jax.lax.scan(
+                body, (zero, zero, zero, zero_grads), (xm, ym, rngs)
+            )
+            inv = 1.0 / grad_accum_steps
+            loss = loss_sum * inv
+            aux = (ce_sum * inv, reg)
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         grads = mask_frozen(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -182,6 +182,25 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert int(restored["step"]) == 5
 
 
+def test_grad_accumulation_matches_full_batch(rng):
+    """grad_accum_steps=4 gives the same update as the full-batch step (up to
+    reduction order) when dropout is off."""
+    splits, cfg, params = make_tiny_problem()
+    opt = make_optimizer("sgd", 1e-2)  # sgd: update = -lr·grad exactly
+    x_tr = jnp.asarray(splits.train.x[:, :64])
+    y_tr = jnp.asarray(splits.train.y[:64])
+    step1 = make_train_step(cfg, opt, "epswise", 1e-6, donate=False)
+    step4 = make_train_step(
+        cfg, opt, "epswise", 1e-6, donate=False, grad_accum_steps=4
+    )
+    k = jax.random.PRNGKey(0)
+    p1, _, m1 = step1(params, opt.init(params), k, x_tr, y_tr)
+    p4, _, m4 = step4(params, opt.init(params), k, x_tr, y_tr)
+    np.testing.assert_allclose(float(m1["ce"]), float(m4["ce"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
+
+
 def test_frozen_eps(rng):
     splits, cfg, params = make_tiny_problem()
     opt = make_optimizer("adam", 1e-2)
