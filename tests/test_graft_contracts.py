@@ -25,6 +25,32 @@ def test_dryrun_multichip():
     graft.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_with_locked_small_backend():
+    """VERDICT r1 finding #1: the driver calls dryrun_multichip in a process
+    whose backend is already initialized with ONE device (the axon TPU probe
+    locks the platform). The dryrun must still pass, by re-executing the body
+    in a fresh interpreter that selects the virtual CPU mesh first."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_num_cpu_devices', 1)\n"
+        "assert len(jax.devices()) == 1  # lock in a 1-device backend\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(4)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", child],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+
 def test_bench_json_contract():
     """bench.py must print one JSON line with the required keys (measured on
     whatever backend the test host has; baseline skipped for speed)."""
