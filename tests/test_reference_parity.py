@@ -1,0 +1,449 @@
+"""Reference-as-oracle parity tests (VERDICT r1 finding #2).
+
+Imports the actual reference implementation at /root/reference READ-ONLY and
+asserts, on identical random inputs, that this repo's ops compute the same
+numbers (forward AND gradients, float64). This is the strongest parity
+evidence available in a zero-egress environment where accuracy-replication
+runs are data-blocked.
+
+The reference package needs torchvision/libcrap/ignite only for data download
+and trainer glue; those are stubbed so the pure-math modules import. Nothing
+is copied — the reference is called as a black-box oracle.
+
+Oracles covered (reference file:line):
+- eps / eps_one_by_one fwd+grad            dctn/eps.py:19-63
+- contract_on_input_dims, inner_product    dctn/eps.py:106-124
+- transform_in_slices                      dctn/eps.py:126-137
+- theoretical + empirical init scale       dctn/eps.py:144-181
+- epses_composition.inner_product          dctn/epses_composition.py:21-58
+- ConvSBS.forward fwd+grad                 dctn/conv_sbs.py:258-304
+- ConvSBS.{sum,mean,var,squared_fro_norm,as_explicit_tensor,as_eps}
+                                           dctn/conv_sbs.py:161-256
+- logmatmulexp fwd+grad                    dctn/logmatmulexp.py:5-14
+- calc_scaling_factor (ν)                  dctn/dataset_loading.py:79-94
+- RankOneTensorsBatch statistics           dctn/rank_one_tensor.py:57-110
+- φ feature map                            dctn/dataset_loading.py:33-36
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_ROOT = "/root/reference"
+
+torch = pytest.importorskip("torch")
+
+if not os.path.isfile(os.path.join(REFERENCE_ROOT, "dctn", "eps.py")):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+
+def _stub_module(name: str, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    if "." in name:
+        parent, child = name.rsplit(".", 1)
+        if parent in sys.modules:
+            setattr(sys.modules[parent], child, mod)
+    return mod
+
+
+def _import_reference():
+    """Import the reference package with its data/trainer-glue deps stubbed."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    for name, attrs in (
+        ("libcrap", {"shuffled": lambda xs: list(xs)}),
+        ("torchvision", {}),
+        ("torchvision.datasets", {"MNIST": object, "FashionMNIST": object, "CIFAR10": object}),
+        ("torchvision.transforms", {"Compose": object}),
+        (
+            "torchvision.transforms.functional",
+            {"to_grayscale": None, "to_tensor": None, "resize": None, "to_pil_image": None},
+        ),
+        ("ignite", {}),
+        ("ignite.engine", {"Engine": object}),
+    ):
+        _stub_module(name, **attrs)
+    import dctn.eps as ref_eps_mod
+    import dctn.epses_composition as ref_comp_mod
+    import dctn.conv_sbs as ref_sbs_mod
+    import dctn.conv_sbs_spec as ref_spec_mod
+    import dctn.pos2d as ref_pos2d_mod
+    import dctn.logmatmulexp as ref_lmme_mod
+    import dctn.rank_one_tensor as ref_r1t_mod
+    import dctn.dataset_loading as ref_data_mod
+
+    return types.SimpleNamespace(
+        eps=ref_eps_mod,
+        comp=ref_comp_mod,
+        sbs=ref_sbs_mod,
+        spec=ref_spec_mod,
+        pos2d=ref_pos2d_mod,
+        lmme=ref_lmme_mod,
+        r1t=ref_r1t_mod,
+        data=ref_data_mod,
+    )
+
+
+REF = _import_reference()
+
+from dctn_tpu.ops import eps as R_eps
+from dctn_tpu.ops import composition as R_comp
+from dctn_tpu.ops import sbs as R_sbs
+from dctn_tpu.ops import logmatmulexp as R_lmme
+from dctn_tpu.ops.rank_one import RankOneTensorsBatch as RRankOne
+from dctn_tpu.data.pipeline import calc_scaling_factor as r_calc_scaling_factor
+from dctn_tpu.data.feature_maps import apply_feature_map
+from dctn_tpu.utils.pos2d import Pos2D as RPos2D
+
+
+def _t(a: np.ndarray, requires_grad: bool = False) -> "torch.Tensor":
+    t = torch.from_numpy(np.asarray(a, np.float64)).clone()
+    t.requires_grad_(requires_grad)
+    return t
+
+
+def _np(x) -> np.ndarray:
+    if isinstance(x, torch.Tensor):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _rand(rng: np.random.Generator, *shape) -> np.ndarray:
+    return rng.standard_normal(shape)
+
+
+# ---------------------------------------------------------------------------
+# EPS
+
+
+@pytest.mark.parametrize(
+    "kernel,channels,q,out,hw",
+    [(2, 1, 2, 3, 4), (2, 2, 2, 2, 3), (3, 1, 2, 4, 5)],
+)
+def test_eps_forward_parity(kernel, channels, q, out, hw):
+    rng = np.random.default_rng(hash((kernel, channels, q, out)) % 2**32)
+    core = _rand(rng, *(q,) * (kernel**2 * channels), out)
+    x = _rand(rng, channels, 2, hw, hw, q)
+
+    ref_out = _np(REF.eps.eps(_t(core), _t(x)))
+    ref_obo = _np(REF.eps.eps_one_by_one(_t(core), _t(x)))
+    got = np.asarray(R_eps.eps(jnp.asarray(core), jnp.asarray(x)))
+    got_obo = np.asarray(R_eps.eps_one_by_one(jnp.asarray(core), jnp.asarray(x)))
+
+    np.testing.assert_allclose(got, ref_out, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(got_obo, ref_obo, rtol=1e-12, atol=1e-12)
+
+
+def test_eps_grad_parity():
+    rng = np.random.default_rng(7)
+    kernel, channels, q, out = 2, 2, 2, 3
+    core = _rand(rng, *(q,) * (kernel**2 * channels), out)
+    x = _rand(rng, channels, 2, 4, 4, q)
+    cot = _rand(rng, 2, 3, 3, out)
+
+    tc, tx = _t(core, True), _t(x, True)
+    (REF.eps.eps(tc, tx) * _t(cot)).sum().backward()
+
+    def loss(c, xi):
+        return jnp.sum(R_eps.eps(c, xi) * jnp.asarray(cot))
+
+    gc, gx = jax.grad(loss, argnums=(0, 1))(jnp.asarray(core), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gc), _np(tc.grad), rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(gx), _np(tx.grad), rtol=1e-11, atol=1e-11)
+
+
+def test_eps_algebra_parity():
+    rng = np.random.default_rng(8)
+    a = _rand(rng, 2, 2, 2, 2, 3)
+    b = _rand(rng, 2, 2, 2, 2, 4)
+    got = np.asarray(R_eps.contract_on_input_dims(jnp.asarray(a), jnp.asarray(b)))
+    ref = _np(REF.eps.contract_on_input_dims(_t(a), _t(b)))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+    c = _rand(rng, 2, 2, 2, 2, 3)
+    got_ip = float(R_eps.inner_product(jnp.asarray(a), jnp.asarray(c)))
+    ref_ip = float(REF.eps.inner_product(_t(a), _t(c)))
+    assert got_ip == pytest.approx(ref_ip, rel=1e-12)
+
+
+def test_transform_in_slices_parity():
+    rng = np.random.default_rng(9)
+    core = _rand(rng, 2, 2, 2, 2, 3)
+    x = _rand(rng, 1, 10, 5, 5, 2)
+    got = np.asarray(R_eps.transform_in_slices(jnp.asarray(core), jnp.asarray(x), batch_size=4))
+    ref = _np(REF.eps.transform_in_slices(_t(core), _t(x), batch_size=4))
+    assert got.shape == ref.shape == (1, 10, 4, 4, 3)
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_theoretical_init_scale_parity():
+    """Both initializers draw randn · (Q^(C·K²))^(-1/2); compare the applied
+    scale (population std · sqrt(total_in)) rather than the draws."""
+    kernel, channels, q, out = 3, 1, 2, 64
+    total = q ** (channels * kernel**2)
+    ref_core = _np(
+        REF.eps.make_eps_unit_theoretical_output_std(
+            kernel, channels, q, out, torch.device("cpu"), torch.float64
+        )
+    )
+    got_core = np.asarray(
+        R_eps.make_eps_unit_theoretical_output_std(
+            jax.random.PRNGKey(0), kernel, channels, q, out, jnp.float64
+        )
+    )
+    assert ref_core.shape == got_core.shape
+    # sample std of N(0, 1/total) draws: equal scale up to sampling noise
+    assert ref_core.std() * total**0.5 == pytest.approx(1.0, abs=0.02)
+    assert got_core.std() * total**0.5 == pytest.approx(1.0, abs=0.02)
+
+
+def test_empirical_init_output_std_parity():
+    """Both empirical inits must make the output std over the init subset
+    exactly 1 (population std), per eps.py:163-181."""
+    rng = np.random.default_rng(10)
+    x = np.abs(_rand(rng, 1, 40, 6, 6, 2))
+    kernel, out = 2, 3
+
+    ref_core = REF.eps.make_eps_unit_empirical_output_std(
+        kernel, out, _t(x), torch.device("cpu"), torch.float64, batch_size=16
+    )
+    ref_out = REF.eps.transform_in_slices(ref_core, _t(x), 16)
+    assert float(ref_out.std(unbiased=False)) == pytest.approx(1.0, rel=1e-6)
+
+    got_core = R_eps.make_eps_unit_empirical_output_std(
+        jax.random.PRNGKey(1), kernel, out, jnp.asarray(x), jnp.float64, batch_size=16
+    )
+    got_out = np.asarray(R_eps.transform_in_slices(got_core, jnp.asarray(x), 16))
+    assert float(got_out.std()) == pytest.approx(1.0, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# composition inner product
+
+
+@pytest.mark.parametrize("nlayers", [1, 2, 3])
+def test_composition_inner_product_parity(nlayers):
+    rng = np.random.default_rng(20 + nlayers)
+    # layer i: kernel 2, Q_i -> O_i chained
+    qs = [2, 3, 2, 3][: nlayers + 1]
+    epses1 = [_rand(rng, *(qs[i],) * 4, qs[i + 1]) for i in range(nlayers)]
+    epses2 = [_rand(rng, *(qs[i],) * 4, qs[i + 1]) for i in range(nlayers)]
+    ref = float(REF.comp.inner_product([_t(e) for e in epses1], [_t(e) for e in epses2]))
+    got = float(R_comp.inner_product([jnp.asarray(e) for e in epses1], [jnp.asarray(e) for e in epses2]))
+    assert got == pytest.approx(ref, rel=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# ConvSBS
+
+
+def _make_specs(positions, out_dims, bond_sizes, channels, q):
+    r_spec = R_sbs.SBSSpecString(
+        tuple(R_sbs.SBSSpecCore(RPos2D(h, w), o) for (h, w), o in zip(positions, out_dims)),
+        tuple(bond_sizes),
+        channels,
+        q,
+    )
+    ref_spec = REF.spec.SBSSpecString(
+        tuple(
+            REF.spec.SBSSpecCore(REF.pos2d.Pos2D(h, w), o)
+            for (h, w), o in zip(positions, out_dims)
+        ),
+        tuple(bond_sizes),
+        channels,
+        q,
+    )
+    return r_spec, ref_spec
+
+
+def _ref_conv_sbs_module(ref_spec, cores_np):
+    mod = REF.sbs.ConvSBS(ref_spec)
+    assert len(mod.cores) == len(cores_np)
+    for p, c in zip(mod.cores, cores_np):
+        assert tuple(p.shape) == c.shape, (tuple(p.shape), c.shape)
+        p.data = _t(c)
+    return mod.double()
+
+
+GRID_CASES = [
+    # (positions, out_dims, bond_sizes, channels, q)  — raster, snake, ring, 2-channel
+    ([(0, 0), (0, 1), (1, 0), (1, 1)], (1, 2, 1, 1), (1, 2, 3, 2), 1, 2),
+    ([(0, 0), (0, 1), (1, 1), (1, 0)], (1, 1, 2, 1), (1, 2, 2, 3), 1, 2),
+    ([(0, 0), (0, 1), (1, 0), (1, 1)], (1, 1, 1, 2), (2, 2, 2, 2), 1, 2),
+    ([(0, 0), (0, 1), (1, 1), (1, 0)], (1, 2, 1, 1), (1, 3, 2, 2), 2, 2),
+]
+
+
+@pytest.mark.parametrize("case", GRID_CASES)
+def test_conv_sbs_forward_parity(case):
+    positions, out_dims, bond_sizes, channels, q = case
+    rng = np.random.default_rng(hash(str(case)) % 2**32)
+    r_spec, ref_spec = _make_specs(positions, out_dims, bond_sizes, channels, q)
+    cores = [_rand(rng, *s.as_tuple()) for s in r_spec.shapes]
+    x = _rand(rng, channels, 2, 4, 4, q)
+
+    mod = _ref_conv_sbs_module(ref_spec, [c for c in cores])
+    ref_out = _np(mod(_t(x)))
+    got = np.asarray(R_sbs.conv_sbs(r_spec, [jnp.asarray(c) for c in cores], jnp.asarray(x)))
+    assert got.shape == ref_out.shape
+    np.testing.assert_allclose(got, ref_out, rtol=1e-11, atol=1e-11)
+
+
+def test_conv_sbs_grad_parity():
+    positions, out_dims, bond_sizes, channels, q = GRID_CASES[0]
+    rng = np.random.default_rng(33)
+    r_spec, ref_spec = _make_specs(positions, out_dims, bond_sizes, channels, q)
+    cores = [_rand(rng, *s.as_tuple()) for s in r_spec.shapes]
+    x = _rand(rng, channels, 2, 4, 4, q)
+
+    mod = _ref_conv_sbs_module(ref_spec, cores)
+    tx = _t(x, True)
+    out = mod(tx)
+    cot = _rand(rng, *out.shape)
+    (out * _t(cot)).sum().backward()
+    ref_core_grads = [_np(p.grad) for p in mod.cores]
+
+    def loss(cs, xi):
+        return jnp.sum(R_sbs.conv_sbs(r_spec, cs, xi) * jnp.asarray(cot))
+
+    gc, gx = jax.grad(loss, argnums=(0, 1))(
+        [jnp.asarray(c) for c in cores], jnp.asarray(x)
+    )
+    for got_g, ref_g in zip(gc, ref_core_grads):
+        np.testing.assert_allclose(np.asarray(got_g), ref_g, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gx), _np(tx.grad), rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("case", GRID_CASES[:2])
+def test_conv_sbs_tt_algebra_parity(case):
+    positions, out_dims, bond_sizes, channels, q = case
+    rng = np.random.default_rng(hash(str(case)) % 2**31)
+    r_spec, ref_spec = _make_specs(positions, out_dims, bond_sizes, channels, q)
+    cores = [_rand(rng, *s.as_tuple()) for s in r_spec.shapes]
+    mod = _ref_conv_sbs_module(ref_spec, cores)
+    jcores = [jnp.asarray(c) for c in cores]
+
+    assert float(R_sbs.tt_sum(r_spec, jcores)) == pytest.approx(float(mod.sum()), rel=1e-11)
+    assert float(R_sbs.tt_mean(r_spec, jcores)) == pytest.approx(float(mod.mean()), rel=1e-11)
+    assert float(R_sbs.tt_squared_fro_norm(r_spec, jcores)) == pytest.approx(
+        float(mod.squared_fro_norm()), rel=1e-11
+    )
+    assert float(R_sbs.tt_var(r_spec, jcores)) == pytest.approx(float(mod.var()), rel=1e-11)
+
+    dense_ref = _np(mod.as_explicit_tensor())
+    dense_got = np.asarray(R_sbs.as_explicit_tensor(r_spec, jcores))
+    np.testing.assert_allclose(dense_got, dense_ref, rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("case", GRID_CASES[:2])
+def test_conv_sbs_as_eps_parity(case):
+    positions, out_dims, bond_sizes, channels, q = case
+    rng = np.random.default_rng(hash(str(case)) % 2**30)
+    r_spec, ref_spec = _make_specs(positions, out_dims, bond_sizes, channels, q)
+    cores = [_rand(rng, *s.as_tuple()) for s in r_spec.shapes]
+    mod = _ref_conv_sbs_module(ref_spec, cores)
+    ref_eps_core = _np(mod.as_eps())
+    got_eps_core = np.asarray(R_sbs.as_eps(r_spec, [jnp.asarray(c) for c in cores]))
+    assert got_eps_core.shape == ref_eps_core.shape
+    np.testing.assert_allclose(got_eps_core, ref_eps_core, rtol=1e-11, atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# logmatmulexp
+
+
+def test_logmatmulexp_parity():
+    rng = np.random.default_rng(40)
+    la = _rand(rng, 5, 7) * 4.0
+    lb = _rand(rng, 7, 6) * 4.0
+    cot = _rand(rng, 5, 6)
+
+    ta, tb = _t(la, True), _t(lb, True)
+    ref_out = REF.lmme.logmatmulexp(ta, tb)
+    (ref_out * _t(cot)).sum().backward()
+
+    def loss(a, b):
+        return jnp.sum(R_lmme.logmatmulexp(a, b) * jnp.asarray(cot))
+
+    got_out = np.asarray(R_lmme.logmatmulexp(jnp.asarray(la), jnp.asarray(lb)))
+    np.testing.assert_allclose(got_out, _np(ref_out), rtol=1e-12, atol=1e-12)
+    ga, gb = jax.grad(loss, argnums=(0, 1))(jnp.asarray(la), jnp.asarray(lb))
+    np.testing.assert_allclose(np.asarray(ga), _np(ta.grad), rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(gb), _np(tb.grad), rtol=1e-11, atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# data pipeline: ν and φ
+
+
+def test_calc_scaling_factor_parity():
+    rng = np.random.default_rng(50)
+    # φ-like positive inputs, (1, N, H, W, 2)
+    x = rng.uniform(0.0, 2.0, (1, 64, 8, 8, 2))
+    for kernel in (2, 4):
+        ds = types.SimpleNamespace(x=_t(x))
+        ref_nu = REF.data.calc_scaling_factor(ds, kernel, torch.device("cpu"))
+        got_nu = r_calc_scaling_factor(x, kernel, subset=10880)
+        assert got_nu == pytest.approx(ref_nu, rel=1e-10)
+
+
+def test_phi_feature_map_parity():
+    rng = np.random.default_rng(51)
+    pixels = rng.uniform(0.0, 1.0, (6, 5, 5))
+    got = apply_feature_map(pixels)  # (1, 6, 5, 5, 2)
+    tp = _t(pixels)
+    ref = torch.stack([phi_i(tp) for phi_i in REF.data.φ_cos_sin_squared_1], dim=3).unsqueeze(0)
+    np.testing.assert_allclose(got, _np(ref), rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# rank-one batch statistics
+
+
+@pytest.mark.parametrize("dims", [(0, 3), (1, 2)])
+def test_rank_one_stats_parity(dims):
+    factors_dim, coordinates_dim = dims
+    rng = np.random.default_rng(60 + factors_dim)
+    arr = _rand(rng, 3, 4, 5, 2)
+    ref = REF.r1t.RankOneTensorsBatch(_t(arr), factors_dim, coordinates_dim)
+    got = RRankOne(jnp.asarray(arr), factors_dim, coordinates_dim)
+
+    np.testing.assert_allclose(
+        np.asarray(got.sum_per_tensor()), _np(ref.sum_per_tensor()), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.mean_per_tensor()), _np(ref.mean_per_tensor()), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.squared_fro_norm_per_tensor()),
+        _np(ref.squared_fro_norm_per_tensor()),
+        rtol=1e-12,
+    )
+    for unbiased in (True, False):
+        assert float(got.var_over_batch(unbiased)) == pytest.approx(
+            float(ref.var_over_batch(unbiased)), rel=1e-11
+        )
+    # reference quirk: ref std_over_batch ignores its `unbiased` argument
+    # (rank_one_tensor.py:107-110 calls var_over_batch() with the default);
+    # this repo respects the flag, so only the default case is comparable.
+    assert float(got.std_over_batch(True)) == pytest.approx(
+        float(ref.std_over_batch(True)), rel=1e-11
+    )
+    assert float(got.std_over_batch(False)) == pytest.approx(
+        float(got.var_over_batch(False)) ** 0.5, rel=1e-11
+    )
+    assert float(got.mean_over_batch()) == pytest.approx(float(ref.mean_over_batch()), rel=1e-12)
+    assert float(got.sum_over_batch()) == pytest.approx(float(ref.sum_over_batch()), rel=1e-12)
