@@ -1,22 +1,35 @@
 """Parse training ``log.log`` eval lines back into records.
 
-Parity: reference ``dctn/visualization/log_parsing.py`` — the eval-line
-pattern is the contract between the runner's logging and this parser (and the
-plotting layer above it).
+Capability parity: reference ``dctn/visualization/log_parsing.py``. The
+eval-line *format* is the shared contract between the runner's logging and
+this parser (and the plotting layer above it); the implementation below is
+this repo's own — a table-driven single-pass regex parse and a running-max
+filter expressed as a scan.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import re
-from typing import Any, Callable, Iterable, Optional, Tuple, TypeVar
+from typing import Any, Callable, Iterable, List, Optional, Tuple, TypeVar
 
 T = TypeVar("T")
 
-_PATTERN = re.compile(
+# One named group per Record field; the runner may append extra fields (e.g.
+# " reg_term=...") after the match, which this deliberately tolerates.
+_EVAL_LINE = re.compile(
     r"After (?P<nitd>\d+) iters: "
     r"train/val mean_ce=(?P<trmce>\d+\.\d+)/(?P<vmce>\d+\.\d+) "
     r"acc=(?P<tracc>\d+\.\d+)%/(?P<vacc>\d+\.\d+)"
+)
+
+# field -> conversion applied to the captured string
+_CONVERSIONS: Tuple[Tuple[str, Callable[[str], Any]], ...] = (
+    ("nitd", int),
+    ("trmce", float),
+    ("vmce", float),
+    ("tracc", lambda s: float(s) / 100.0),
+    ("vacc", lambda s: float(s) / 100.0),
 )
 
 
@@ -31,41 +44,38 @@ class Record:
 
 def get_increasing_subsequence(
     xs: Iterable[T], calc_key: Callable[[T], Any] = lambda x: x
-) -> Iterable[T]:
-    """Yield elements forming the greedy increasing subsequence by key."""
-    iterator = iter(xs)
-    try:
-        x = next(iterator)
-    except StopIteration:
-        return
-    max_key = calc_key(x)
-    yield x
-    for x in iterator:
-        key = calc_key(x)
-        if key > max_key:
-            max_key = key
-            yield x
+) -> List[T]:
+    """Elements whose key strictly exceeds every key seen before them.
+
+    (The greedy left-to-right increasing subsequence — NOT the longest one;
+    matches the reference's filter semantics for monotone-tracc plots.)
+    """
+    kept: List[T] = []
+    best = None
+    have_best = False
+    for x in xs:
+        k = calc_key(x)
+        if not have_best or k > best:
+            kept.append(x)
+            best = k
+            have_best = True
+    return kept
 
 
 def maybe_extract_record(line: str) -> Optional[Record]:
-    match = _PATTERN.search(line)
-    if not match:
+    m = _EVAL_LINE.search(line)
+    if m is None:
         return None
-    return Record(
-        nitd=int(match["nitd"]),
-        trmce=float(match["trmce"]),
-        vmce=float(match["vmce"]),
-        tracc=float(match["tracc"]) / 100.0,
-        vacc=float(match["vacc"]) / 100.0,
-    )
+    return Record(**{name: conv(m[name]) for name, conv in _CONVERSIONS})
 
 
 def load_records(log_fname: str, increasing_tracc: bool = False) -> Tuple[Record, ...]:
+    records: List[Record] = []
     with open(log_fname, encoding="utf-8") as f:
-        lines = f.readlines()
-    records: Iterable[Record] = (
-        r for line in lines if (r := maybe_extract_record(line)) is not None
-    )
+        for line in f:
+            rec = maybe_extract_record(line)
+            if rec is not None:
+                records.append(rec)
     if increasing_tracc:
         records = get_increasing_subsequence(records, lambda r: r.tracc)
     return tuple(records)
