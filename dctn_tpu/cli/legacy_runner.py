@@ -14,6 +14,7 @@ Run: ``python -m dctn_tpu.cli.legacy_runner --ds-path synthetic
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import random
@@ -84,6 +85,9 @@ def permute_pixels_batch(images: np.ndarray, permutation) -> np.ndarray:
 @click.option("--shuffle-pixels", is_flag=True)
 @click.option("--seed", type=int, default=0)
 @click.option("--synthetic-sizes", nargs=2, type=int, default=(2048, 512))
+@click.option("--tb-log-every-n-epochs", type=int, default=1,
+              help="cadence of TB weights/grads/LR/intermediate-output/TT-stat "
+                   "logging (0 disables; mnist.py:510-570 parity)")
 def main(**kw) -> None:
     run(**kw)
 
@@ -95,8 +99,29 @@ def run(**kw):
             if type(default).__name__ == "Sentinel":
                 default = () if param.multiple else None
             kw[param.name] = default
-    logging.basicConfig(level=logging.INFO, force=True)
     os.makedirs(kw["models_dir"], exist_ok=True)
+    # provenance + log.log like the new runner (mnist.py writes these via
+    # libcrap's get_now_as_str/save_json setup)
+    from .runner import save_git_provenance
+
+    commit = save_git_provenance(kw["models_dir"])
+    with open(os.path.join(kw["models_dir"], "run_info.txt"), "w") as f:
+        json.dump(
+            {k: v if isinstance(v, (int, float, str, bool, type(None))) else repr(v)
+             for k, v in kw.items()} | {"commit": commit},
+            f, indent=2,
+        )
+    logging.basicConfig(
+        level=logging.INFO,
+        handlers=(
+            logging.StreamHandler(),
+            logging.FileHandler(
+                os.path.join(kw["models_dir"], "log.log"), "w", "utf-8"
+            ),
+        ),
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+        force=True,
+    )
     assert not (kw["make_input_window_std_one"] and kw["input_multiplier"] is not None)
 
     # --- data: MNIST train split into train/val (random_split analog) ---
@@ -205,6 +230,51 @@ def run(**kw):
         acc = jnp.mean((jnp.argmax(logits, 1) == y).astype(jnp.float32))
         return ce, acc
 
+    # --- TensorBoard-equivalent observability (mnist.py:510-570: weights,
+    # grads, LR, intermediate outputs, ConvSBS TT statistics) ---
+    tb_every = kw["tb_log_every_n_epochs"]
+    if tb_every:
+        from ..train.tb_logging import MetricsWriter, log_conv_sbs_tt_statistics
+        from ..train.intermediate_logger import (
+            DEFAULT_TRANSFORMS,
+            conv_sbs_model_named_outputs,
+            log_named_outputs,
+            log_tree_histograms,
+        )
+
+        tb_writer = MetricsWriter(kw["models_dir"])
+        probe_n = min(kw["batch_size"], len(y_tr_host))
+        x_probe, y_probe = x_tr[:probe_n], y_tr[:probe_n]
+
+        @jax.jit
+        def probe_grads(p):
+            def loss_fn(pp):
+                logits = conv_sbs_model_forward(pp, cfg, x_probe)
+                lp = jax.nn.log_softmax(logits)
+                return -jnp.mean(jnp.take_along_axis(lp, y_probe[:, None], axis=1))
+
+            return jax.grad(loss_fn)(p)
+
+        named_outputs_fn = jax.jit(
+            lambda p: conv_sbs_model_named_outputs(p, cfg, x_probe)
+        )
+        layer_specs = cfg.layer_specs()
+
+        def log_tb(p, it: int) -> None:
+            tb_writer.add_scalar("lr", float(schedule(it)), it)
+            log_tree_histograms(tb_writer, p, it, "weights")
+            log_tree_histograms(tb_writer, probe_grads(p), it, "grads")
+            log_named_outputs(tb_writer, named_outputs_fn(p), it, DEFAULT_TRANSFORMS)
+            log_conv_sbs_tt_statistics(
+                tb_writer,
+                {
+                    f"layer{i}.string{j}": (spec, cores)
+                    for i, (specs_l, cores_l) in enumerate(zip(layer_specs, p))
+                    for j, (spec, cores) in enumerate(zip(specs_l, cores_l))
+                },
+                it,
+            )
+
     rng = np.random.default_rng(kw["seed"] + 1)
     best_acc, best_file, bad_epochs = -1.0, None, 0
     for epoch in range(kw["epochs"]):
@@ -215,6 +285,12 @@ def run(**kw):
         vce, vacc = score(params, x_val, y_val)
         vce, vacc = float(vce), float(vacc)
         logger.info("epoch %d: val ce=%.5f acc=%.2f%%", epoch, vce, vacc * 100)
+        if tb_every and epoch % tb_every == 0:
+            it = (epoch + 1) * steps_per_epoch
+            tb_writer.add_scalar("val/mean_ce", vce, it)
+            tb_writer.add_scalar("val/acc", vacc, it)
+            tb_writer.add_scalar("train/last_batch_loss", float(loss), it)
+            log_tb(params, it)
         if vacc > best_acc:
             best_acc, bad_epochs = vacc, 0
             new_file = os.path.join(

@@ -33,6 +33,7 @@ import numpy as np
 from ..data import load_dataset, Batcher
 from ..models import (
     EPSesPlusLinearConfig,
+    eps_plus_linear_forward,
     init_eps_plus_linear,
     intermediate_reps_stats,
 )
@@ -167,6 +168,11 @@ def save_git_provenance(output_dir: str) -> str:
 @click.option("--tb-batches/--no-tb-batches", default=False,
               help="log per-batch loss/reg scalars, true-class probability "
                    "histograms, and annotated image grids on the eval schedule")
+@click.option("--log-intermediate-outputs/--no-log-intermediate-outputs",
+              default=False,
+              help="log named transforms (mean/std/abs/histogram) of every "
+                   "layer's output on a probe batch, on the eval schedule "
+                   "(base_intermediate_outputs_logger.py parity)")
 @click.option("--grad-accum-steps", type=int, default=1,
               help="microbatch the step into this many gradient-accumulation "
                    "slices (bounds activation memory at very large batches)")
@@ -355,6 +361,7 @@ def run(**kwargs) -> TrainLoopState:
         step_sharded = make_parallel_train_step(
             cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
             frozen_eps_indices=kwargs["freeze_eps"],
+            with_probs=kwargs["tb_batches"],
         )
         idx_sharding = NamedSharding(mesh, P("data"))
 
@@ -471,12 +478,32 @@ def run(**kwargs) -> TrainLoopState:
     if kwargs["max_num_iters"] is not None:
         at_iter_start.append(schedule(
             make_stopper_after_n_iters(kwargs["max_num_iters"])))
-    after_step = [schedule(make_stopper_on_nan_loss(output_dir))]
-    if kwargs["tb_batches"] and n_mesh == 1:
-        from ..train.tb_logging import MetricsWriter, log_batch_images
+    nan_forward = (
+        jax.jit(lambda p, xb: eps_plus_linear_forward(p, xb, cfg, training=False))
+        if n_mesh == 1
+        else None  # DP dump keeps indices only; the split is device-sharded
+    )
+    after_step = [schedule(make_stopper_on_nan_loss(output_dir, nan_forward))]
+    tb_writer = None
+    if kwargs["tb_batches"] or kwargs["log_intermediate_outputs"]:
+        from ..train.tb_logging import MetricsWriter
 
         tb_writer = MetricsWriter(output_dir)
+    if kwargs["tb_batches"]:
+        from ..train.tb_logging import log_batch_images
+
         raw_images = splits.train.unmodified_x
+        # DP: batch_indices are (ndev, b) LOCAL per-shard positions; shard d
+        # holds the contiguous block [d·n_local, (d+1)·n_local) of the split,
+        # so the host-side global index is d·n_local + local.
+        n_local_dp = tr_split.n_local if n_mesh > 1 else None
+
+        def global_batch_indices(state: TrainLoopState) -> np.ndarray:
+            idx = np.asarray(state.batch_indices)
+            if n_mesh == 1:
+                return idx
+            ndev = idx.shape[0]
+            return (np.arange(ndev)[:, None] * n_local_dp + idx).reshape(-1)
 
         def log_batch_to_tb(state: TrainLoopState) -> None:
             m = state.device_metrics
@@ -488,13 +515,40 @@ def run(**kwargs) -> TrainLoopState:
             probs = np.asarray(m["probs_of_true_class"])
             tb_writer.add_histogram("probs_of_true_class", probs, nitd)
             if raw_images is not None and raw_images.ndim == 3:
-                sel = state.batch_indices[:32]
+                sel = global_batch_indices(state)[:32]
                 labels = splits.train.y[sel]
                 log_batch_images(
                     tb_writer, raw_images[sel], probs[:32], labels, nitd
                 )
 
         after_step.append(schedule(log_batch_to_tb))
+    if kwargs["log_intermediate_outputs"]:
+        from ..train.intermediate_logger import (
+            DEFAULT_TRANSFORMS,
+            eps_plus_linear_named_outputs,
+            log_logits_as_probabilities,
+            log_named_outputs,
+        )
+
+        probe = x_init[:, : min(64, x_init.shape[1])]
+        named_fn = jax.jit(
+            lambda p: eps_plus_linear_named_outputs(p, probe, cfg)
+        )
+
+        def log_intermediates(state: TrainLoopState) -> None:
+            named = named_fn(state.params)
+            log_named_outputs(
+                tb_writer, named, state.num_iters_done, DEFAULT_TRANSFORMS
+            )
+            log_named_outputs(
+                tb_writer,
+                named,
+                state.num_iters_done,
+                (log_logits_as_probabilities,),
+                module_filter=lambda name: name == "linear",
+            )
+
+        at_iter_start.append(schedule(log_intermediates))
 
     state = TrainLoopState(
         params=params, opt_state=opt_state, rng=k_train,

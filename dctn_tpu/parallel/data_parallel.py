@@ -88,12 +88,18 @@ def make_parallel_train_step(
     reg_coeff: float = 0.0,
     frozen_eps_indices: Sequence[int] = (),
     donate: bool = True,
+    with_probs: bool = False,
 ):
     """Returns step(params, opt_state, rng, sharded_x, sharded_y, local_idx)
     → (params, opt_state, metrics).
 
     ``local_idx``: (ndev, per_device_batch) int32, sharded over dim 0; row d
     holds positions into device d's LOCAL shard of the split.
+
+    ``with_probs``: additionally return ``metrics["probs_of_true_class"]`` —
+    the per-example softmax probability of the true label, laid out
+    device-major (matching ``local_idx.reshape(-1)``) and sharded P("data"),
+    so the DP path can feed TB batch imagery like the single-device path.
     """
     reg_fn = REGULARIZERS[reg_type]
     frozen = frozenset(frozen_eps_indices)
@@ -101,9 +107,10 @@ def make_parallel_train_step(
     def local_loss(params, xb, yb, rng):
         logits = eps_plus_linear_forward(params, xb, cfg, training=True, rng=rng)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=1))
+        logp_true = jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+        ce = -jnp.mean(logp_true)
         reg = reg_fn(params) if reg_coeff != 0.0 else jnp.zeros((), logits.dtype)
-        return ce + reg_coeff * reg, (ce, reg)
+        return ce + reg_coeff * reg, (ce, reg, jnp.exp(logp_true))
 
     def mask_frozen(grads):
         if not frozen:
@@ -118,9 +125,9 @@ def make_parallel_train_step(
         # x_shard: (C, n_local, H, W, Q); idx_shard: (1, b) — this device's row
         xb = jnp.take(x_shard, idx_shard[0], axis=1)
         yb = jnp.take(y_shard, idx_shard[0], axis=0)
-        (loss, (ce, reg)), grads = jax.value_and_grad(local_loss, has_aux=True)(
-            params, xb, yb, rng
-        )
+        (loss, (ce, reg, probs)), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params, xb, yb, rng)
         # ONE collective: average gradients over the data axis (ICI all-reduce)
         grads = jax.lax.pmean(grads, "data")
         grads = mask_frozen(grads)
@@ -131,19 +138,24 @@ def make_parallel_train_step(
             "ce": jax.lax.pmean(ce, "data"),
             "reg_term": reg,  # identical on all devices
         }
-        return params, opt_state, metrics
+        return params, opt_state, metrics, probs
 
     sharded = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(None, "data"), P("data"), P("data")),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P("data")),
         check_vma=False,
     )
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, rng, x, y, local_idx):
-        return sharded(params, opt_state, rng, x, y, local_idx)
+        params, opt_state, metrics, probs = sharded(
+            params, opt_state, rng, x, y, local_idx
+        )
+        if with_probs:
+            metrics = {**metrics, "probs_of_true_class": probs}
+        return params, opt_state, metrics
 
     return step
 

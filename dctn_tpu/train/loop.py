@@ -48,6 +48,7 @@ class TrainLoopState:
     # per-iteration, populated by the loop / eval hook:
     iter_metrics: Dict[str, float] = dataclasses.field(default_factory=dict)
     batch_indices: Optional[np.ndarray] = None
+    last_batch: Optional[Tuple[Any, Any]] = None  # (xb, yb) device arrays
     device_metrics: Any = None  # last step's metrics, still on device
     nan_flag: Any = None  # device bool accumulated across steps
     extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
@@ -80,6 +81,7 @@ def train(
             break
         state.rng, sub = jax.random.split(state.rng)
         xb, yb = gather_fn(jnp.asarray(idx))
+        state.last_batch = (xb, yb)
         state.params, state.opt_state, metrics = step_fn(
             state.params, state.opt_state, sub, xb, yb
         )
@@ -214,11 +216,18 @@ def make_stopper_after_n_iters(n: int) -> Hook:
     return maybe_stop
 
 
-def make_stopper_on_nan_loss(dir: str) -> Hook:
+def make_stopper_on_nan_loss(
+    dir: str, forward_fn: Optional[Callable[[Any, Any], Any]] = None
+) -> Hook:
     """Checks the device-accumulated NaN flag (fetched only when this hook
     runs — put it on the eval schedule, unlike the reference's per-iteration
-    check, to avoid a relay round trip per step). On trigger, dumps params and
-    the current batch indices to ``nan_loss_stop/`` (training.py:213-237)."""
+    check, to avoid a relay round trip per step). On trigger, dumps params,
+    the last batch's indices AND contents, and — when ``forward_fn(params,
+    xb) → output`` is given — the model output, to ``nan_loss_stop/``
+    (parity: training.py:213-237, which saves model + x + y + output). The
+    output here is recomputed with post-update params (the jitted step has
+    already applied the optimizer when the flag is observed); the device→host
+    fetches only happen on this rare failure path."""
 
     def stop_on_nan(state: TrainLoopState) -> None:
         if state.nan_flag is None:
@@ -238,6 +247,18 @@ def make_stopper_on_nan_loss(dir: str) -> Hook:
             )
             if state.batch_indices is not None:
                 np.save(os.path.join(subdir, "batch_indices.npy"), state.batch_indices)
+            if state.last_batch is not None and state.last_batch[1] is not None:
+                # (in the DP path gather yields (local_idx, None) — indices
+                # are already saved above, the sharded batch is not fetched)
+                xb, yb = state.last_batch
+                np.savez(
+                    os.path.join(subdir, "batch.npz"),
+                    x=np.asarray(xb),
+                    y=np.asarray(yb),
+                )
+                if forward_fn is not None:
+                    out = forward_fn(state.params, xb)
+                    np.save(os.path.join(subdir, "output.npy"), np.asarray(out))
 
     return stop_on_nan
 

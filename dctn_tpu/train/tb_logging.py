@@ -67,6 +67,14 @@ class MetricsWriter:
             self._tb.add_histogram(tag, values, step)
 
     def add_image(self, tag: str, image_chw: np.ndarray, step: int) -> None:
+        image_chw = np.asarray(image_chw)
+        self._jsonl.write(
+            json.dumps(
+                {"tag": tag, "step": step, "image_shape": list(image_chw.shape)}
+            )
+            + "\n"
+        )
+        self._jsonl.flush()
         if self._tb is not None:
             self._tb.add_image(tag, image_chw, step)
 

@@ -29,6 +29,22 @@ def test_legacy_runner_end_to_end(tmp_path):
     files = os.listdir(str(tmp_path))
     assert any(f.startswith("dctn_epoch=") and f.endswith(".npz") for f in files)
     assert 0.0 <= best_acc <= 1.0
+    # provenance parity with mnist.py: run_info + log.log written
+    assert "run_info.txt" in files and "log.log" in files
+    # observability parity with mnist.py:510-570: weights/grads/LR/
+    # intermediate-output/TT-stat tags land in metrics.jsonl
+    import json
+
+    tags = {
+        json.loads(l)["tag"]
+        for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+    }
+    assert {"val/acc", "val/mean_ce", "train/last_batch_loss", "lr"} <= tags
+    assert any(t.startswith("weights/") for t in tags)
+    assert any(t.startswith("grads/") for t in tags)
+    assert any(t.startswith("intermediate_dumb_mean/layer0.string0") for t in tags)
+    assert "intermediate_dumb_std/logits" in tags
+    assert "layer0.string0/tt_mean" in tags and "layer1.string0/tt_std" in tags
 
 
 def test_legacy_runner_pixel_shuffle(tmp_path):

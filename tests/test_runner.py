@@ -73,13 +73,21 @@ def test_runner_tb_batches(tmp_path):
         synthetic_sizes=(64, 32, 32),
         patience=50,
         tb_batches=True,
+        log_intermediate_outputs=True,
         reg_coeff=1e-6,
     )
     out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
     metrics_path = os.path.join(out, "metrics.jsonl")
     assert os.path.exists(metrics_path)
     tags = {json.loads(l)["tag"] for l in open(metrics_path)}
-    assert {"loss", "reg_term", "probs_of_true_class"} <= tags
+    assert {"loss", "reg_term", "probs_of_true_class", "batch"} <= tags
+    # general intermediate-outputs logger (base_intermediate_outputs_logger
+    # parity): per-module transform tags, incl. the softmax histogram on the
+    # logits only
+    assert {"intermediate_dumb_mean/eps_0", "intermediate_dumb_std/linear",
+            "intermediate_dumb/eps_0",
+            "intermediate_logits_as_probabilities/linear"} <= tags
+    assert "intermediate_logits_as_probabilities/eps_0" not in tags
 
 
 def test_runner_resume(tmp_path):
@@ -133,12 +141,18 @@ def test_runner_mesh_data_parallel(tmp_path):
         keep_last_models=1,
         synthetic_sizes=(128, 64, 64),
         patience=50,
+        tb_batches=True,
     )
     assert state.stop_reason == "max_iters"
     out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
     records = load_records(os.path.join(out, "log.log"))
     assert len(records) == 4
     assert records[-1].trmce < records[0].trmce  # DP training learns
+    # DP path logs batch imagery too (r1 "Known gaps" item): the per-example
+    # true-class probs come back sharded P("data") and indices are mapped
+    # shard-local → global host-side
+    tags = {json.loads(l)["tag"] for l in open(os.path.join(out, "metrics.jsonl"))}
+    assert {"loss", "probs_of_true_class", "batch"} <= tags
 
 
 def test_increasing_subsequence():

@@ -154,7 +154,10 @@ def test_nan_stopper(tmp_path):
     x_tr, y_tr = jnp.asarray(splits.train.x), jnp.asarray(splits.train.y)
     gather = make_gather_batch(x_tr, y_tr)
     state = TrainLoopState(params=params, opt_state=opt_state, rng=jax.random.PRNGKey(0))
-    nan_hook = make_stopper_on_nan_loss(str(tmp_path))
+    from dctn_tpu.models import eps_plus_linear_forward
+
+    forward = lambda p, xb: eps_plus_linear_forward(p, xb, cfg, training=False)
+    nan_hook = make_stopper_on_nan_loss(str(tmp_path), forward)
     cap = make_stopper_after_n_iters(50)
 
     def stream():
@@ -163,7 +166,16 @@ def test_nan_stopper(tmp_path):
 
     train(state, step, gather, stream(), at_iter_start=[cap], after_step=[nan_hook])
     assert state.stop_reason == "nan_loss"
-    assert os.path.exists(os.path.join(str(tmp_path), "nan_loss_stop"))
+    dump = os.path.join(str(tmp_path), "nan_loss_stop")
+    assert os.path.exists(dump)
+    # full dump parity with training.py:213-237: model + batch (x, y) + output
+    files = os.listdir(dump)
+    assert any(f.startswith("model_nitd=") for f in files)
+    assert "batch_indices.npy" in files and "batch.npz" in files
+    batch = np.load(os.path.join(dump, "batch.npz"))
+    assert batch["x"].shape[1] == 64 and batch["y"].shape == (64,)
+    out = np.load(os.path.join(dump, "output.npy"))
+    assert out.shape == (64, 10)
 
 
 def test_checkpoint_roundtrip(tmp_path, rng):
