@@ -165,6 +165,73 @@ def _dropout_epses(
     )
 
 
+def _pallas_pipeline_forward(
+    epses, params, x, cfg, backend, training
+) -> Optional[jax.Array]:
+    """All-layers-transposed Pallas pipeline: ONE input relayout, then every
+    EPS runs in the (C, Q, B, H, W) / (O, B, H', W') layout (outT[None] IS
+    the next layer's xT — zero relayouts between layers), and the linear
+    layer consumes the transposed features via a 2-contracting-dim
+    dot_general against the row-reshaped weight. Layer 0 takes the two-pass
+    backward so XLA DCEs its (discarded) input-cotangent kernel.
+
+    Returns None when any layer can't run on the Pallas path (caller falls
+    back to the generic per-layer dispatch)."""
+    from ..pallas.eps_pallas import (
+        eps_pallas_apply_t,
+        pallas_forward_fits,
+        plan_pallas_call,
+    )
+
+    interpret = backend == "pallas_interpret"
+    # plan every layer first; bail out early if any layer can't
+    if x.dtype != jnp.float32 or cfg.compute_dtype is not None:
+        return None
+    plans = []
+    c, b, h, w, q = x.shape
+    for core in epses:
+        if core.dtype != jnp.float32:
+            return None
+        kernel_size = eps_mod._infer_kernel_size(core, c)
+        n = kernel_size**2 * c
+        out_size = core.shape[-1]
+        n1 = eps_mod._balanced_split(n, q, out_size)
+        if not pallas_forward_fits(n, n1, q, out_size):
+            return None
+        hp, wp = h - kernel_size + 1, w - kernel_size + 1
+        n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
+            c, q, kernel_size, n1, out_size, b * hp * wp, None, interpret
+        )
+        plans.append((kernel_size, n1, bn, merge_pairs, mm_dtype))
+        c, q, h, w = 1, out_size, hp, wp
+
+    xT = jnp.transpose(x, (0, 4, 1, 2, 3))  # the ONLY input relayout
+    outT = None
+    for i, (core, (kernel_size, n1, bn, merge_pairs, mm_dtype)) in enumerate(
+        zip(epses, plans)
+    ):
+        def layer(core_, xT_, _p=(kernel_size, n1, bn, merge_pairs, mm_dtype, i)):
+            k_, n1_, bn_, mp_, mm_, i_ = _p
+            return eps_pallas_apply_t(
+                core_, xT_, k_, n1_, bn_, interpret, mm_, mp_, i_ == 0
+            )
+
+        if cfg.remat and training:
+            layer = jax.checkpoint(layer)
+        outT = layer(core, xT)
+        xT = outT[None]
+    o, b2, hp2, wp2 = outT.shape
+    # logits[b, cls] = Σ_{p,o} outT[o,b,p]·W[(p,o),cls] — W rows are ordered
+    # (h, w, q) row-major (reference layout), no transpose of outT needed
+    w_lin = params["linear"]["w"].reshape(hp2 * wp2, o, -1)
+    logits = jax.lax.dot_general(
+        outT.reshape(o, b2, hp2 * wp2),
+        w_lin,
+        (((0, 2), (1, 0)), ((), ())),
+    )
+    return logits + params["linear"]["b"]
+
+
 def eps_plus_linear_forward(
     params: Params,
     x: jax.Array,
@@ -180,6 +247,10 @@ def eps_plus_linear_forward(
         assert rng is not None, "dropout needs an rng key in training mode"
         epses = _dropout_epses(epses, cfg.dropout_p, rng)
     backend = cfg.train_backend if training else cfg.eval_backend
+    if backend in ("pallas", "pallas_interpret"):
+        out = _pallas_pipeline_forward(epses, params, x, cfg, backend, training)
+        if out is not None:
+            return out
     apply = partial(eps_mod.eps, compute_dtype=cfg.compute_dtype, backend=backend)
     if cfg.remat and training:
         apply = jax.checkpoint(apply, static_argnums=())

@@ -266,21 +266,22 @@ def eps(
     assert core.shape[:-1] == (in_size,) * n, (core.shape, in_size, n)
     out_size = core.shape[-1]
 
-    views = window_views(x, kernel_size)  # n arrays (B, H', W', Q)
     n1 = split if split is not None else _balanced_split(n, in_size, out_size)
     n1 = max(1, min(n, n1))
     if backend in ("pallas", "pallas_interpret"):
-        from ..pallas.eps_pallas import eps_pallas_forward, pallas_forward_fits
+        from ..pallas.eps_pallas import eps_pallas_apply, pallas_forward_fits
 
         if (
             pallas_forward_fits(n, n1, in_size, out_size)
             and core.dtype == jnp.float32
             and x.dtype == jnp.float32
         ):
-            return eps_pallas_forward(
-                core, views, n1, interpret=(backend == "pallas_interpret")
+            return eps_pallas_apply(
+                core, x, kernel_size, n1,
+                interpret=(backend == "pallas_interpret"),
             )
         # fall through to the XLA path when VMEM would overflow
+    views = window_views(x, kernel_size)  # n arrays (B, H', W', Q)
     if custom_vjp:
         return _eps_contract(core, tuple(views), n1, compute_dtype)
 

@@ -3,8 +3,8 @@
 The XLA path is bandwidth-bound: its compiled grad accesses ~10.6 GB per
 two-EPS step (XLA cost analysis) because the Khatri-Rao chain products, t and
 the (v ⊗ g) product all round-trip HBM. These kernels keep all of that in
-VMEM; only the window views, the output/cotangents, and (in backward) the u
-and v⊗g tiles needed for the single outside d_core matmul touch HBM.
+VMEM; only the window views, the output/cotangents and the d_core accumulator
+block touch HBM.
 
 Mosaic layout rules shaped the kernel design:
 - merges/splits of TINY dims must happen on LEADING axes (transposed
@@ -14,6 +14,16 @@ Mosaic layout rules shaped the kernel design:
   factors from the FRONT — every slice is then a contiguous leading block;
 - the matricized core is kept with OUTPUT-major rows (rows = (o, b)), so the
   per-output-channel slabs of t are contiguous too.
+
+Matmul precision (measured on v5e): Mosaic lowers an f32×f32 ``jnp.dot`` at
+DEFAULT precision to ONE bf16 MXU pass (~144 TF/s observed; true multi-pass
+f32 would cap at ~65 TF/s, and Precision.HIGHEST does not compile on this
+backend). Since the hardware truncates the mantissas anyway, the kernels
+store the matricized core and cast the chain products to bf16 EXPLICITLY
+(``mm_dtype``): same numerics, ~7% faster, and the core's VMEM residency
+halves — which is what lets the big layer run larger tiles and the fused
+single-pass backward. Interpret mode (CPU tests) keeps f32 so oracles stay
+exact; a dedicated test covers the bf16 operand path with bf16 tolerances.
 
 Wrapped in a custom_vjp so ``eps(..., backend="pallas")`` is differentiable;
 residuals are just (core, stacked transposed views). Falls back to the XLA
@@ -34,6 +44,51 @@ from jax.experimental.pallas import tpu as pltpu
 
 # keep the resident core + per-tile working set inside VMEM (16 MB hardware)
 _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+_BN_CANDIDATES = (1024, 512, 256, 128)
+# prefer the fused single-pass backward only when it can run a reasonable
+# tile; below this the two-pass variant's bigger tiles win (measured)
+_FUSED_MIN_BN = 256
+
+
+def _ab(n: int, n1: int, q: int, o: int):
+    return q**n1, q ** (n - n1) * o
+
+
+def _fwd_bytes(n, n1, q, o, bn, mm_bytes):
+    a, z = _ab(n, n1, q, o)
+    return mm_bytes * a * z + 4 * bn * (2 * a + 2 * z + n * q + o)
+
+
+def _fused_bytes(n, n1, q, o, bn, mm_bytes):
+    a, z = _ab(n, n1, q, o)
+    return (mm_bytes + 4) * a * z + 4 * bn * (2 * a + 3 * z + 2 * n * q + o)
+
+
+def _dcore_bytes(n, n1, q, o, bn, mm_bytes):
+    a, z = _ab(n, n1, q, o)
+    return 4 * a * z + 4 * bn * (2 * a + z + n * q + o)
+
+
+def _dviews_bytes(n, n1, q, o, bn, mm_bytes):
+    a, z = _ab(n, n1, q, o)
+    return mm_bytes * a * z + 4 * bn * (2 * a + 3 * z + 2 * n * q + o)
+
+
+def _largest_bn(bytes_fn, cap: int):
+    for bn in _BN_CANDIDATES:
+        if bn <= cap and bytes_fn(bn) < _VMEM_BUDGET_BYTES:
+            return bn
+    return None
+
+
+def pallas_forward_fits(n: int, n1: int, q: int, o: int, bn: int = 128) -> bool:
+    """Go/no-go: can the matricized core + the smallest tile working set fit
+    the VMEM budget (conservatively assuming f32-resident core)."""
+    return _fwd_bytes(n, n1, q, o, bn, 4) < _VMEM_BUDGET_BYTES
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
 
 
 def _suffix_chain(views_ref, start: int, stop: int):
@@ -74,10 +129,11 @@ def _fwd_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
     n2 = n - n1
 
     def kernel(views_ref, cmt_ref, out_ref):
-        # views_ref: (n, q, bn); cmt_ref: (Z=(o·q^n2), A) o-major rows;
-        # out_ref: (o, bn)
+        # views_ref: (n, q, bn); cmt_ref: (Z=(o·q^n2), A) o-major rows,
+        # mm_dtype; out_ref: (o, bn)
+        md = cmt_ref.dtype
         u = _suffix_chain(views_ref, 0, n1)[0]
-        t = jnp.dot(cmt_ref[:], u, preferred_element_type=jnp.float32)  # (Z, bn)
+        t = jnp.dot(cmt_ref[:], u.astype(md), preferred_element_type=jnp.float32)
         if n2 > 0:
             v = _suffix_chain(views_ref, n1, n)[0]
             t3 = t.reshape(o, q**n2, bn)
@@ -100,8 +156,10 @@ def _bwd_fused_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
 
     def kernel(views_ref, cmt_ref, g_ref, dviews_ref, dcmt_ref):
         i = pl.program_id(0)
+        md = cmt_ref.dtype
         u_sufs = _suffix_chain(views_ref, 0, n1)
         u = u_sufs[0]
+        um = u.astype(md)
         g = g_ref[:]
         if n2 > 0:
             v_sufs = _suffix_chain(views_ref, n1, n)
@@ -109,9 +167,10 @@ def _bwd_fused_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
             kr2 = (g[:, None, :] * v[None, :, :]).reshape(-1, g.shape[-1])
         else:
             kr2 = g
+        kr2m = kr2.astype(md)
         # d_cmt[z, a] += Σ_n kr2[z, n]·u[a, n]
         part = jax.lax.dot_general(
-            kr2, u, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            kr2m, um, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
 
         @pl.when(i == 0)
@@ -123,12 +182,12 @@ def _bwd_fused_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
             dcmt_ref[:] = dcmt_ref[:] + part
 
         d_u = jax.lax.dot_general(
-            cmt_ref[:], kr2, (((0,), (0,)), ((), ())),
+            cmt_ref[:], kr2m, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         _chain_bwd(views_ref, u_sufs, d_u, 0, n1, dviews_ref)
         if n2 > 0:
-            t = jnp.dot(cmt_ref[:], u, preferred_element_type=jnp.float32)
+            t = jnp.dot(cmt_ref[:], um, preferred_element_type=jnp.float32)
             t3 = t.reshape(o, q**n2, g.shape[-1])
             d_v = t3[0] * g[0:1, :]
             for oi in range(1, o):
@@ -138,7 +197,7 @@ def _bwd_fused_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
     return kernel
 
 
-def _dcore_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
+def _dcore_kernel_factory(n: int, n1: int, q: int, o: int, bn: int, mm_dtype):
     """d_core accumulation pass — needs NO copy of the core in VMEM: just the
     views and g; d_cmt's output block is constant-indexed so it lives in VMEM
     across the whole (sequential) grid."""
@@ -154,7 +213,10 @@ def _dcore_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
         else:
             kr2 = g
         part = jax.lax.dot_general(
-            kr2, u, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            kr2.astype(mm_dtype),
+            u.astype(mm_dtype),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
         @pl.when(i == 0)
@@ -174,6 +236,7 @@ def _dviews_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
 
     def kernel(views_ref, cmt_ref, g_ref, dviews_ref):
         # views_ref: (n, q, bn); cmt_ref: (Z, A) o-major rows; g_ref: (o, bn)
+        md = cmt_ref.dtype
         u_sufs = _suffix_chain(views_ref, 0, n1)
         u = u_sufs[0]
         g = g_ref[:]
@@ -186,13 +249,13 @@ def _dviews_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
             kr2 = g
         # d_u[a, n] = Σ_z cm[a, z]·kr2[z, n]  (cmt is (Z, A))
         d_u = jax.lax.dot_general(
-            cmt_ref[:], kr2, (((0,), (0,)), ((), ())),
+            cmt_ref[:], kr2.astype(md), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         _chain_bwd(views_ref, u_sufs, d_u, 0, n1, dviews_ref)
         if n2 > 0:
             # t recomputed; rows (o, b) so per-o slabs are contiguous
-            t = jnp.dot(cmt_ref[:], u, preferred_element_type=jnp.float32)
+            t = jnp.dot(cmt_ref[:], u.astype(md), preferred_element_type=jnp.float32)
             t3 = t.reshape(o, q**n2, g.shape[-1])
             d_v = t3[0] * g[0:1, :]
             for oi in range(1, o):
@@ -202,11 +265,8 @@ def _dviews_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
     return kernel
 
 
-def pallas_forward_fits(n: int, n1: int, q: int, o: int, bn: int = 256) -> bool:
-    """Whether the matricized core + tile working set fit the VMEM budget."""
-    a, z = q**n1, q ** (n - n1) * o
-    per_tile = 4 * bn * (2 * a + 2 * z + n * q + o)  # chains + t + views + out
-    return 4 * a * z + per_tile < _VMEM_BUDGET_BYTES
+# ---------------------------------------------------------------------------
+# host-side plumbing
 
 
 def _core_to_cmt(core, n1):
@@ -247,14 +307,6 @@ def _run_fwd(views_t, cmt, n1, out_size, bn, interpret):
     return out
 
 
-def bwd_fused_fits(n: int, n1: int, q: int, o: int, bn: int = 128) -> bool:
-    """VMEM check for the fused-d_core backward: the resident core AND its
-    gradient accumulator must both fit alongside the tile working set."""
-    a, z = q**n1, q ** (n - n1) * o
-    per_tile = 4 * bn * (2 * a + 3 * z + 2 * n * q + o)
-    return 2 * 4 * a * z + per_tile < _VMEM_BUDGET_BYTES
-
-
 @partial(jax.jit, static_argnames=("n1", "out_size", "bn", "interpret"))
 def _run_bwd_fused(views_t, cmt, g_t, n1, out_size, bn, interpret):
     n, q, npad = views_t.shape
@@ -277,38 +329,45 @@ def _run_bwd_fused(views_t, cmt, g_t, n1, out_size, bn, interpret):
         ),
         interpret=interpret,
     )(views_t, cmt, g_t)
-    return dviews, d_cmt.T  # (A, Z) like the unfused path
+    return dviews, d_cmt.T  # (A, Z) like the two-pass path
 
 
-@partial(jax.jit, static_argnames=("n1", "out_size", "bn", "interpret"))
-def _run_bwd(views_t, cmt, g_t, n1, out_size, bn, interpret):
+@partial(
+    jax.jit,
+    static_argnames=("n1", "out_size", "bn_a", "bn_b", "interpret", "mm_dtype"),
+)
+def _run_bwd(views_t, cmt, g_t, n1, out_size, bn_a, bn_b, interpret, mm_dtype):
     """Two-pass backward with NOTHING large materialized in HBM: pass A
     accumulates d_core (no core copy resident), pass B computes d_views (core
-    resident, no gradient accumulator). Both recompute the cheap VPU chains."""
+    resident, no gradient accumulator). Both recompute the cheap VPU chains;
+    each pass runs the largest tile its VMEM footprint allows."""
     n, q, npad = views_t.shape
     z, a = cmt.shape
-    grid = (npad // bn,)
-    views_spec = pl.BlockSpec((n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((out_size, bn), lambda i: (0, i), memory_space=pltpu.VMEM)
+    views_spec = lambda bn: pl.BlockSpec(
+        (n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    g_spec = lambda bn: pl.BlockSpec(
+        (out_size, bn), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
     d_cmt = pl.pallas_call(
-        _dcore_kernel_factory(n, n1, q, out_size, bn),
+        _dcore_kernel_factory(n, n1, q, out_size, bn_a, mm_dtype),
         out_shape=jax.ShapeDtypeStruct((z, a), jnp.float32),
-        grid=grid,
-        in_specs=[views_spec, g_spec],
+        grid=(npad // bn_a,),
+        in_specs=[views_spec(bn_a), g_spec(bn_a)],
         out_specs=pl.BlockSpec((z, a), lambda i: (0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(views_t, g_t)
     dviews = pl.pallas_call(
-        _dviews_kernel_factory(n, n1, q, out_size, bn),
+        _dviews_kernel_factory(n, n1, q, out_size, bn_b),
         out_shape=jax.ShapeDtypeStruct((n, q, npad), jnp.float32),
-        grid=grid,
+        grid=(npad // bn_b,),
         in_specs=[
-            views_spec,
+            views_spec(bn_b),
             pl.BlockSpec(cmt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            g_spec,
+            g_spec(bn_b),
         ],
         out_specs=pl.BlockSpec(
-            (n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            (n, q, bn_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(views_t, cmt, g_t)
@@ -316,6 +375,7 @@ def _run_bwd(views_t, cmt, g_t, n1, out_size, bn, interpret):
 
 
 def _stack_views_t(views, bn):
+    """Legacy per-view transpose stacking (kept for direct kernel tests)."""
     n = len(views)
     in_size = views[0].shape[-1]
     b, hp, wp, _ = views[0].shape
@@ -327,54 +387,242 @@ def _stack_views_t(views, bn):
     return vt, npix
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _eps_pallas(core, views, n1, bn, interpret):
-    out, _ = _eps_pallas_fwd(core, views, n1, bn, interpret)
+def _slice_specs(kernel_size: int, num_channels: int):
+    """(δh, δw, c) per view, in window_views order: position-major,
+    channel-minor (windows.py:44-48)."""
+    return tuple(
+        (dh, dw, c)
+        for dh in range(kernel_size)
+        for dw in range(kernel_size)
+        for c in range(num_channels)
+    )
+
+
+def _stack_views_from_xT(xT, kernel_size: int, bn: int, merge_pairs: bool):
+    """Build the (n, q, npad) factor stack from the TRANSPOSED input
+    ``xT``: (C, Q, B, H, W). Every view is a static (q, npix) slice — the
+    stack is a copy, never a tiny-trailing-dim transpose (XLA lowers those as
+    slow relayouts, ~5 ms per layer at bs=2048).
+
+    ``merge_pairs``: Khatri-Rao adjacent view pairs host-side so q=2 chains
+    run as q²=4 kernels — halves the in-kernel chain depth and doubles
+    sublane utilization of the (q, bn) rows."""
+    c, q, b, h, w = xT.shape
+    hp, wp = h - kernel_size + 1, w - kernel_size + 1
+    npix = b * hp * wp
+    views = [
+        xT[ch, :, :, dh : dh + hp, dw : dw + wp].reshape(q, npix)
+        for dh, dw, ch in _slice_specs(kernel_size, c)
+    ]
+    if merge_pairs:
+        views = [
+            (views[2 * i][:, None, :] * views[2 * i + 1][None, :, :]).reshape(
+                q * q, npix
+            )
+            for i in range(len(views) // 2)
+        ]
+    vt = jnp.stack(views, axis=0)
+    npad = -(-npix // bn) * bn
+    if npad != npix:
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, npad - npix)))
+    return vt, npix
+
+
+def _dxT_from_dviews_t(dviews_t, xT, kernel_size: int, npix: int, merge_pairs: bool):
+    """Per-factor cotangents → d(xT), all in the transposed layout. For the
+    merged-pair path, unmerge first: d_f0 = Σ_b d_m[(a,b)]·f1[b] and
+    d_f1 = Σ_a d_m[(a,b)]·f0[a] (f values re-sliced from xT, free)."""
+    c, q, b, h, w = xT.shape
+    hp, wp = h - kernel_size + 1, w - kernel_size + 1
+    specs = _slice_specs(kernel_size, c)
+    if merge_pairs:
+        fs = [
+            xT[ch, :, :, dh : dh + hp, dw : dw + wp].reshape(q, npix)
+            for dh, dw, ch in specs
+        ]
+        dvs = []
+        for i in range(len(specs) // 2):
+            dm = dviews_t[i, :, :npix].reshape(q, q, npix)
+            f0, f1 = fs[2 * i], fs[2 * i + 1]
+            dvs.append(jnp.einsum("abn,bn->an", dm, f1))
+            dvs.append(jnp.einsum("abn,an->bn", dm, f0))
+    else:
+        dvs = [dviews_t[k, :, :npix] for k in range(len(specs))]
+    # Sum-of-pads instead of .at[].add scatter: XLA fuses the pad+add tree
+    # into one elementwise kernel, whereas a chain of strided window scatters
+    # lowers to sequential read-modify-writes (measured 42 ms vs ~2 ms for
+    # the 16 views of the K=4 layer at bs=2048).
+    per_channel = [None] * c
+    for (dh, dw, ch), dv in zip(specs, dvs):
+        padded = jnp.pad(
+            dv.reshape(q, b, hp, wp),
+            ((0, 0), (0, 0), (dh, h - hp - dh), (dw, w - wp - dw)),
+        )
+        per_channel[ch] = padded if per_channel[ch] is None else per_channel[ch] + padded
+    return jnp.stack(per_channel, axis=0).astype(xT.dtype)  # (C, Q, B, H, W)
+
+
+def _resolve_mm_dtype(mm_dtype, interpret):
+    """bf16 operands on the real backend (the MXU truncates to bf16 in its
+    single DEFAULT-precision pass anyway); exact f32 in interpret mode so the
+    CPU oracles stay tight."""
+    if mm_dtype is not None:
+        return jnp.dtype(mm_dtype)
+    return jnp.dtype(jnp.float32) if interpret else jnp.dtype(jnp.bfloat16)
+
+
+def _kernel_dims(c: int, q: int, kernel_size: int, n1: int, merge_pairs: bool):
+    """(n_k, q_k, n1_k) as seen by the kernels after optional pair-merging."""
+    n = kernel_size**2 * c
+    if merge_pairs:
+        return n // 2, q * q, n1 // 2
+    return n, q, n1
+
+
+def _core_to_cmt_k(core, n1_k, q_k):
+    """Matricize for the kernel's (possibly pair-merged) factor dims: the
+    row-major reshape of (q,)*n to (q²,)*(n/2) is a no-op on memory, so the
+    merged view pairing (f_{2i} slowest) lines up with the core's dims."""
+    n_total = core.size // core.shape[-1]
+    o = core.shape[-1]
+    a = q_k**n1_k
+    b = n_total // a
+    return core.reshape(a, b, o).transpose(2, 1, 0).reshape(o * b, a)
+
+
+def _cmt_grad_to_core_k(d_cmt_t, core_shape, n1_k, q_k):
+    """Inverse of _core_to_cmt_k for the (A, Z) gradient."""
+    import math
+
+    o = core_shape[-1]
+    n_total = math.prod(core_shape[:-1])
+    a = q_k**n1_k
+    b = n_total // a
+    return d_cmt_t.reshape(a, o, b).transpose(0, 2, 1).reshape(core_shape)
+
+
+# The primary op works ENTIRELY in the transposed layout —
+# xT: (C, Q, B, H, W) → outT: (O, B, H', W') — so a multi-layer model chains
+# without a single relayout (outT[None] IS the next layer's xT). The
+# reference-layout wrapper below adds the two boundary transposes for the
+# public eps() surface.
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def eps_pallas_apply_t(
+    core, xT, kernel_size, n1, bn, interpret, mm_dtype, merge_pairs,
+    force_two_pass,
+):
+    """``force_two_pass``: route the backward through the two separate
+    (d_core, d_views) kernels even when the fused one fits. A model's FIRST
+    layer should set this: its input cotangent is discarded by the
+    surrounding grad, and because the d_views pass is its own pallas_call,
+    XLA dead-code-eliminates it — the backward collapses to the single
+    d_core matmul with no wrong-gradient trap (d_x stays correct whenever
+    someone does consume it)."""
+    out, _ = _eps_pallas_t_fwd(
+        core, xT, kernel_size, n1, bn, interpret, mm_dtype, merge_pairs,
+        force_two_pass,
+    )
     return out
 
 
-def _eps_pallas_fwd(core, views, n1, bn, interpret):
-    n = len(views)
+def _eps_pallas_t_fwd(
+    core, xT, kernel_size, n1, bn, interpret, mm_dtype, merge_pairs,
+    force_two_pass,
+):
     out_size = core.shape[-1]
-    b, hp, wp, _ = views[0].shape
-    views_t, npix = _stack_views_t(views, bn)
-    cmt = _core_to_cmt(core, n1)
-    out_t = _run_fwd(views_t, cmt, n1, out_size, bn, interpret)
-    out = out_t[:, :npix].T.reshape(b, hp, wp, out_size)
-    return out, (core, views_t, (b, hp, wp), npix)
+    c, q, b, h, w = xT.shape
+    hp, wp = h - kernel_size + 1, w - kernel_size + 1
+    n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
+    views_t, npix = _stack_views_from_xT(xT, kernel_size, bn, merge_pairs)
+    cmt = _core_to_cmt_k(core, n1_k, q_k).astype(mm_dtype)
+    out_t = _run_fwd(views_t, cmt, n1_k, out_size, bn, interpret)
+    outT = out_t[:, :npix].reshape(out_size, b, hp, wp)
+    return outT, (core, xT, views_t, npix)
 
 
-def _eps_pallas_bwd(n1, bn, interpret, res, g):
-    core, views_t, (b, hp, wp), npix = res
-    n, q, npad = views_t.shape
+def _eps_pallas_t_bwd(
+    kernel_size, n1, bn, interpret, mm_dtype, merge_pairs, force_two_pass,
+    res, g,
+):
+    core, xT, views_t, npix = res
+    n_k, q_k, npad = views_t.shape
     out_size = core.shape[-1]
-    cmt = _core_to_cmt(core, n1)
-    g_t = g.reshape(npix, out_size).T
+    n1_k = n1 // 2 if merge_pairs else n1
+    mm_bytes = jnp.dtype(mm_dtype).itemsize
+    cmt = _core_to_cmt_k(core, n1_k, q_k).astype(mm_dtype)
+    g_t = g.reshape(out_size, npix)
     if npad != npix:
         g_t = jnp.pad(g_t, ((0, 0), (0, npad - npix)))
-    if bwd_fused_fits(n, n1, q, out_size, bn):
+    bn_f = _largest_bn(
+        lambda v: _fused_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+    )
+    if not force_two_pass and bn_f is not None and bn_f >= _FUSED_MIN_BN:
         dviews_t, d_cmt_t = _run_bwd_fused(
-            views_t, cmt, g_t, n1, out_size, bn, interpret
+            views_t, cmt, g_t, n1_k, out_size, bn_f, interpret
         )
     else:
-        dviews_t, d_cmt_t = _run_bwd(views_t, cmt, g_t, n1, out_size, bn, interpret)
-    d_core = _cmt_grad_to_core(d_cmt_t, core.shape, n1)
-    d_views = tuple(
-        dviews_t[k, :, :npix].T.reshape(b, hp, wp, q) for k in range(n)
+        bn_a = _largest_bn(
+            lambda v: _dcore_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+        )
+        bn_b = _largest_bn(
+            lambda v: _dviews_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+        )
+        assert bn_a is not None and bn_b is not None, (n_k, n1_k, q_k, out_size, bn)
+        dviews_t, d_cmt_t = _run_bwd(
+            views_t, cmt, g_t, n1_k, out_size, bn_a, bn_b, interpret, mm_dtype
+        )
+    d_core = _cmt_grad_to_core_k(d_cmt_t, core.shape, n1_k, q_k)
+    d_xT = _dxT_from_dviews_t(dviews_t, xT, kernel_size, npix, merge_pairs)
+    return d_core, d_xT
+
+
+eps_pallas_apply_t.defvjp(_eps_pallas_t_fwd, _eps_pallas_t_bwd)
+
+
+def plan_pallas_call(c, q, kernel_size, n1, out_size, npix, mm_dtype, interpret):
+    """Resolve (n1, bn, merge_pairs, mm_dtype) for one EPS layer's pallas
+    call — the static plan shared by the layout wrappers and the transposed
+    model pipeline."""
+    n = kernel_size**2 * c
+    mm_dtype = _resolve_mm_dtype(mm_dtype, interpret)
+    merge_pairs = q == 2 and n % 2 == 0
+    if merge_pairs and n1 % 2 == 1:
+        n1 += 1 if n1 + 1 <= n else -1  # merged halves need an even split
+    n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
+    cap = max(128, -(-npix // 128) * 128)
+    bn = _largest_bn(
+        lambda v: _fwd_bytes(n_k, n1_k, q_k, out_size, v, mm_dtype.itemsize),
+        cap=min(cap, _BN_CANDIDATES[0]),
     )
-    return d_core, d_views
+    assert bn is not None, (n_k, n1_k, q_k, out_size)
+    return n1, bn, merge_pairs, mm_dtype
 
 
-_eps_pallas.defvjp(_eps_pallas_fwd, _eps_pallas_bwd)
-
-
-def eps_pallas_forward(
+def eps_pallas_apply(
     core: jax.Array,
-    views,
+    x: jax.Array,
+    kernel_size: int,
     n1: int,
-    bn: int = 256,
+    bn: int | None = None,
     interpret: bool = False,
+    mm_dtype=None,
 ) -> jax.Array:
-    """Fused, differentiable EPS contraction over pre-extracted window
-    ``views`` (n arrays of (B, H', W', Q)); returns (B, H', W', O)."""
-    return _eps_pallas(core, tuple(views), n1, bn, interpret)
+    """Fused, differentiable EPS contraction in the reference layout:
+    ``x`` (C, B, H, W, Q) → (B, H', W', O). Two boundary relayouts wrap the
+    transposed primary op; multi-layer models should use the transposed
+    pipeline (models/eps_plus_linear.py) which has none."""
+    c, b, h, w, q = x.shape
+    hp, wp = h - kernel_size + 1, w - kernel_size + 1
+    n1, bn_r, merge_pairs, mm_dtype = plan_pallas_call(
+        c, q, kernel_size, n1, core.shape[-1], b * hp * wp, mm_dtype, interpret
+    )
+    xT = jnp.transpose(x, (0, 4, 1, 2, 3))
+    outT = eps_pallas_apply_t(
+        core, xT, kernel_size, n1, bn if bn is not None else bn_r,
+        interpret, mm_dtype, merge_pairs, False,
+    )
+    return jnp.transpose(outT, (1, 2, 3, 0))
+
+

@@ -72,7 +72,7 @@ def test_two_pass_backward_matches_xla(rng, monkeypatch):
     path large cores take — and check gradient parity."""
     import dctn_tpu.pallas.eps_pallas as ep
 
-    monkeypatch.setattr(ep, "bwd_fused_fits", lambda *a, **k: False)
+    monkeypatch.setattr(ep, "_FUSED_MIN_BN", 10**9)  # fused never eligible
     k1, k2 = jax.random.split(rng)
     core = jax.random.normal(k1, E.eps_shape(3, 1, 2, 4), jnp.float32)
     x = jax.random.normal(k2, (1, 2, 6, 5, 2), jnp.float32)
@@ -90,3 +90,86 @@ def test_vmem_predicate():
     assert pallas_forward_fits(16, 8, 2, 4)  # layer 1: cm 1 MB
     assert pallas_forward_fits(9, 5, 4, 6)  # layer 2: cm 6 MB
     assert not pallas_forward_fits(16, 8, 4, 4)  # 4^16 core: never
+
+
+def test_transposed_pipeline_grads_match_xla(rng):
+    """The model-level transposed Pallas pipeline (zero inter-layer
+    relayouts, two-pass layer-0 backward) must produce the same parameter
+    GRADIENTS as the XLA path — this is the training configuration."""
+    from dctn_tpu.models import (
+        EPSesPlusLinearConfig,
+        init_eps_plus_linear,
+        eps_plus_linear_forward,
+    )
+
+    cfg_x = EPSesPlusLinearConfig(epses_specs=((2, 3), (2, 4)), image_size=6)
+    cfg_p = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)),
+        image_size=6,
+        train_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(rng, cfg_x)
+    k = jax.random.split(rng)[0]
+    x = jax.random.uniform(k, (1, 3, 6, 6, 2), jnp.float32)
+    y = jnp.array([0, 3, 7])
+
+    def loss(p, cfg):
+        logits = eps_plus_linear_forward(p, x, cfg, training=True, rng=rng)
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
+
+    gx = jax.grad(loss)(params, cfg_x)
+    gp = jax.grad(loss)(params, cfg_p)
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+def test_transposed_pipeline_input_grads_not_zeroed(rng):
+    """force_two_pass on layer 0 must NOT break d(loss)/d(x) when someone
+    does differentiate the input (the DCE trick only removes unused work)."""
+    from dctn_tpu.models import (
+        EPSesPlusLinearConfig,
+        init_eps_plus_linear,
+        eps_plus_linear_forward,
+    )
+
+    cfg_x = EPSesPlusLinearConfig(epses_specs=((2, 3),), image_size=5)
+    cfg_p = EPSesPlusLinearConfig(
+        epses_specs=((2, 3),), image_size=5, train_backend="pallas_interpret"
+    )
+    params = init_eps_plus_linear(rng, cfg_x)
+    x = jax.random.uniform(jax.random.split(rng)[0], (1, 2, 5, 5, 2), jnp.float32)
+
+    def loss(xx, cfg):
+        return jnp.sum(
+            jnp.tanh(eps_plus_linear_forward(params, xx, cfg, training=True))
+        )
+
+    gx = jax.grad(loss)(x, cfg_x)
+    gp = jax.grad(loss)(x, cfg_p)
+    assert float(jnp.max(jnp.abs(gp))) > 0.0
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=2e-4, atol=2e-6)
+
+
+def test_bf16_operand_path(rng):
+    """The real-backend configuration (bf16 matmul operands — what the MXU's
+    single DEFAULT-precision pass truncates to anyway) at bf16 tolerances."""
+    from dctn_tpu.pallas.eps_pallas import eps_pallas_apply
+    from dctn_tpu.ops.eps import _balanced_split
+
+    k1, k2 = jax.random.split(rng)
+    core = jax.random.normal(k1, E.eps_shape(2, 1, 2, 3), jnp.float32)
+    x = jax.random.normal(k2, (1, 2, 5, 5, 2), jnp.float32)
+    n1 = _balanced_split(4, 2, 3)
+
+    def loss(c, xx, mm):
+        return jnp.sum(
+            jnp.tanh(eps_pallas_apply(c, xx, 2, n1, interpret=True, mm_dtype=mm))
+        )
+
+    out_ref = jax.grad(loss, argnums=(0, 1))(core, x, jnp.float32)
+    out_b16 = jax.grad(loss, argnums=(0, 1))(core, x, jnp.bfloat16)
+    for a, b in zip(out_b16, out_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0.1, atol=0.05
+        )
