@@ -60,6 +60,8 @@ class ConvSBSModelConfig:
     cos_sin_squared: bool = False
     input_multiplier: float = 1.0
     num_labels: int = NUM_LABELS
+    backend: str = "xla"  # "pallas": fused TT-fold kernels (sbs_pallas.py);
+    # automatically falls back to xla for ring strings (trace_edge)
 
     def __post_init__(self):
         assert self.num_sbs_layers >= 2
@@ -137,11 +139,48 @@ def _forward_layers(
         intermediate = jnp.stack(outs, axis=0)
 
 
+def _pallas_model_forward(
+    params: ConvSBSModelParams, cfg: ConvSBSModelConfig, x: jax.Array
+):
+    """Fully-transposed fused pipeline: quantum map straight into
+    (C, Q, B, H, W), every string through the fused TT-fold kernel, string
+    outputs stacked as the next layer's channels with zero relayouts, final
+    spatial mean on the (10, B, H', W') logits map. Returns None when any
+    layer's spec isn't kernel-supported (ring strings etc.)."""
+    from ..pallas.sbs_pallas import conv_sbs_pallas_t, sbs_plan
+
+    if x.dtype != jnp.float32:
+        return None
+    specs = cfg.layer_specs()
+    for layer_spec in specs:
+        if not all(sbs_plan(s)[2] for s in layer_spec):
+            return None
+    interpret = cfg.backend == "pallas_interpret"
+    if cfg.cos_sin_squared:
+        q = jnp.stack((jnp.sin(x) ** 2, jnp.cos(x) ** 2), axis=0)
+    else:
+        q = jnp.stack((jnp.sin(x), jnp.cos(x)), axis=0)
+    xT = (q * cfg.input_multiplier)[None]  # (1, 2, B, H, W)
+    outT = None
+    for layer_spec, layer_params in zip(specs, params):
+        outsT = [
+            conv_sbs_pallas_t(s, cores, xT, interpret)
+            for s, cores in zip(layer_spec, layer_params)
+        ]
+        outT = outsT[0]
+        xT = jnp.stack(outsT, axis=0)  # strings → channels, out_q → quantum
+    return jnp.mean(outT, axis=(2, 3)).T  # (10, B) → (B, 10)
+
+
 def conv_sbs_model_forward(
     params: ConvSBSModelParams, cfg: ConvSBSModelConfig, x: jax.Array
 ) -> jax.Array:
     """(B, H, W) pixels → (B, num_labels) logits: quantum map, SBS stack,
     mean over spatial dims (mnist.py:255-263)."""
+    if cfg.backend in ("pallas", "pallas_interpret"):
+        out = _pallas_model_forward(params, cfg, x)
+        if out is not None:
+            return out
     quantum = batch_to_quantum(x, cfg.cos_sin_squared, cfg.input_multiplier)
     outs = None
     for outs in _forward_layers(params, cfg, quantum):

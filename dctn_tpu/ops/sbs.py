@@ -261,14 +261,32 @@ def _merge_channels(views: Sequence[jax.Array], num_channels: int, i: int):
 
 
 def conv_sbs(
-    spec: SBSSpecString, cores: Sequence[jax.Array], x: jax.Array
+    spec: SBSSpecString, cores: Sequence[jax.Array], x: jax.Array,
+    backend: str = "xla",
 ) -> jax.Array:
     """Forward pass of the string over all windows of ``x``.
 
     ``x``: (C, B, H, W, Q) → (B, H', W', ∏ out_q) where H' = H - max_h etc.
     (parity: conv_sbs.py:258-304).
+
+    ``backend="pallas"``: fused differentiable fwd+bwd kernels that keep the
+    whole bond-chain fold in VMEM (the XLA path is ~100% HBM-bound); falls
+    back here for ring strings / >2 channels / non-f32.
     """
     validate_cores(spec, cores)
+    if backend in ("pallas", "pallas_interpret"):
+        from ..pallas.sbs_pallas import conv_sbs_pallas_t, sbs_plan
+
+        if (
+            sbs_plan(spec)[2]
+            and x.dtype == jnp.float32
+            and all(c.dtype == jnp.float32 for c in cores)
+        ):
+            xT = jnp.transpose(x, (0, 4, 1, 2, 3))
+            outT = conv_sbs_pallas_t(
+                spec, cores, xT, interpret=(backend == "pallas_interpret")
+            )
+            return jnp.transpose(outT, (1, 2, 3, 0))
     num_channels = spec.in_num_channels
     views = window_views_at_positions(x, spec.positions)
     acc_dtype = jnp.promote_types(cores[0].dtype, x.dtype)
@@ -308,10 +326,12 @@ def many_conv_sbs(
     specs: Sequence[SBSSpecString],
     cores_per_string: Sequence[Sequence[jax.Array]],
     x: jax.Array,
+    backend: str = "xla",
 ) -> Tuple[jax.Array, ...]:
     """Run several strings over the same input (ManyConvSBS, conv_sbs.py:314)."""
     return tuple(
-        conv_sbs(spec, cores, x) for spec, cores in zip(specs, cores_per_string)
+        conv_sbs(spec, cores, x, backend)
+        for spec, cores in zip(specs, cores_per_string)
     )
 
 

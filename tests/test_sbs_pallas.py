@@ -1,0 +1,127 @@
+"""Fused Pallas ConvSBS kernels (interpreter mode on CPU): forward + gradient
+parity with the XLA chain-fold path, including the legacy snake strings and
+the 2-channel merged-factor case."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dctn_tpu.ops import sbs
+from dctn_tpu.utils.pos2d import Pos2D
+from dctn_tpu.pallas.sbs_pallas import sbs_plan
+
+
+def _string(positions, out_dims, bond_sizes, channels, q=2):
+    return sbs.SBSSpecString(
+        tuple(
+            sbs.SBSSpecCore(Pos2D(h, w), o)
+            for (h, w), o in zip(positions, out_dims)
+        ),
+        tuple(bond_sizes),
+        channels,
+        q,
+    )
+
+
+SNAKE9 = [(0, 0), (0, 1), (0, 2), (1, 2), (1, 1), (1, 0), (2, 0), (2, 1), (2, 2)]
+
+CASES = [
+    # 2×2 grid, open string, one out dim in the middle
+    _string([(0, 0), (0, 1), (1, 0), (1, 1)], (1, 3, 1, 1), (1, 2, 3, 2), 1),
+    # legacy 3×3 snake, bond 2, middle core out 2
+    _string(SNAKE9, (1, 1, 1, 1, 2, 1, 1, 1, 1), (1, 2, 2, 2, 2, 2, 2, 2, 2), 1),
+    # final-layer-like: middle core emits 10, bond 4
+    _string(SNAKE9, (1, 1, 1, 1, 10, 1, 1, 1, 1), (1, 4, 4, 4, 4, 4, 4, 4, 4), 1),
+    # 2-channel string (merged q^C = 4 factors)
+    _string([(0, 0), (0, 1), (1, 1), (1, 0)], (2, 1, 1, 1), (1, 2, 2, 2), 2),
+]
+
+
+def _random_cores(rng, spec):
+    ks = jax.random.split(rng, len(spec))
+    return [
+        0.5 * jax.random.normal(k, s.as_tuple(), jnp.float32)
+        for k, s in zip(ks, spec.shapes)
+    ]
+
+
+@pytest.mark.parametrize("idx", range(len(CASES)))
+def test_sbs_pallas_forward_matches_xla(rng, idx):
+    spec = CASES[idx]
+    assert sbs_plan(spec)[2]
+    cores = _random_cores(rng, spec)
+    x = jax.random.uniform(
+        jax.random.split(rng)[0],
+        (spec.in_num_channels, 2, 5, 5, spec.in_quantum_dim_size),
+        jnp.float32,
+    )
+    ref = sbs.conv_sbs(spec, cores, x)
+    got = sbs.conv_sbs(spec, cores, x, backend="pallas_interpret")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("idx", [0, 1, 3])
+def test_sbs_pallas_grads_match_xla(rng, idx):
+    spec = CASES[idx]
+    cores = _random_cores(rng, spec)
+    x = jax.random.uniform(
+        jax.random.split(rng)[0],
+        (spec.in_num_channels, 2, 5, 5, spec.in_quantum_dim_size),
+        jnp.float32,
+    )
+
+    def loss(cs, xx, backend):
+        return jnp.sum(jnp.tanh(sbs.conv_sbs(spec, cs, xx, backend)))
+
+    gc1, gx1 = jax.grad(loss, argnums=(0, 1))(cores, x, "xla")
+    gc2, gx2 = jax.grad(loss, argnums=(0, 1))(cores, x, "pallas_interpret")
+    for a, b in zip(gc1, gc2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), rtol=2e-4, atol=2e-6)
+
+
+def test_sbs_pallas_ring_falls_back(rng):
+    """trace_edge strings (bond_sizes[0] > 1) are unsupported — conv_sbs must
+    silently use the XLA path and stay correct."""
+    spec = _string([(0, 0), (0, 1), (1, 0), (1, 1)], (1, 2, 1, 1), (2, 2, 2, 2), 1)
+    assert not sbs_plan(spec)[2]
+    cores = _random_cores(rng, spec)
+    x = jax.random.uniform(jax.random.split(rng)[0], (1, 2, 4, 4, 2), jnp.float32)
+    ref = sbs.conv_sbs(spec, cores, x)
+    got = sbs.conv_sbs(spec, cores, x, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+def test_conv_sbs_model_pallas_pipeline(rng):
+    """Legacy model end-to-end through the fused transposed pipeline:
+    forward and parameter gradients match the XLA model."""
+    from dctn_tpu.models.conv_sbs_model import (
+        ConvSBSModelConfig,
+        init_conv_sbs_model,
+        conv_sbs_model_forward,
+    )
+
+    cfg_x = ConvSBSModelConfig(num_sbs_layers=2, bond_dim_size=2)
+    cfg_p = ConvSBSModelConfig(
+        num_sbs_layers=2, bond_dim_size=2, backend="pallas_interpret"
+    )
+    params = init_conv_sbs_model(rng, cfg_x)
+    x = jax.random.uniform(jax.random.split(rng)[0], (3, 7, 7), jnp.float32)
+    y = jnp.array([1, 4, 9])
+
+    out_x = conv_sbs_model_forward(params, cfg_x, x)
+    out_p = conv_sbs_model_forward(params, cfg_p, x)
+    assert out_p.shape == out_x.shape == (3, 10)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=2e-5, atol=1e-6)
+
+    def loss(p, cfg):
+        logits = conv_sbs_model_forward(p, cfg, x)
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
+
+    gx = jax.grad(loss)(params, cfg_x)
+    gp = jax.grad(loss)(params, cfg_p)
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4, atol=3e-6)
