@@ -1,6 +1,5 @@
 from .windows import window_views, window_views_at_positions, make_windows, out_spatial
 from .rank_one import RankOneTensorsBatch
-from .contraction import contract, plan_info, clear_plan_cache
 from . import eps
 from . import sbs
 from . import composition
