@@ -410,6 +410,91 @@ def test_phi_feature_map_parity():
 
 
 # ---------------------------------------------------------------------------
+# end-to-end training-trajectory parity
+#
+# The strongest available substitute for the (data-blocked) accuracy-parity
+# runs: train this repo's jitted step and the reference's op stack (torch
+# autograd + torch.optim.SGD) from IDENTICAL initial parameters on IDENTICAL
+# synthetic batches, float64, and require the loss trajectory and the final
+# parameters to agree to near machine precision. Exercises: forward
+# (eps × 2 layers + linear), CE loss, the epses_composition regularizer
+# (inner_product recursion), backward, and the optimizer update — the whole
+# training-math stack end to end.
+
+
+def test_training_trajectory_parity_sgd():
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(77)
+    n, hw, q0 = 24, 6, 2
+    specs = ((2, 3), (2, 4))
+    lr, reg_coeff, steps, bs = 0.05, 1e-3, 12, 8
+
+    x_all = rng.uniform(0.0, 1.5, (1, n, hw, hw, q0))
+    y_all = rng.integers(0, 10, n)
+    e1 = 0.3 * _rand(rng, *(q0,) * 4, 3)
+    e2 = 0.3 * _rand(rng, *(3,) * 4, 4)
+    hp = hw - 2 + 1 - 2 + 1  # 4
+    w0 = 0.1 * _rand(rng, hp * hp * 4, 10)
+    b0 = 0.1 * _rand(rng, 10)
+
+    # --- this repo: the real jitted train step in f64
+    from dctn_tpu.models import EPSesPlusLinearConfig
+    from dctn_tpu.train import make_optimizer, make_train_step
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=specs, image_size=hw, q0=q0, dtype=jnp.float64
+    )
+    params = {
+        "epses": (jnp.asarray(e1), jnp.asarray(e2)),
+        "linear": {"w": jnp.asarray(w0), "b": jnp.asarray(b0)},
+    }
+    opt = make_optimizer("sgd", lr)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, "epses_composition", reg_coeff, donate=False)
+    xj, yj = jnp.asarray(x_all), jnp.asarray(y_all)
+    jax_losses = []
+    key = jax.random.PRNGKey(0)
+    for it in range(steps):
+        idx = jnp.asarray((np.arange(bs) + it * bs) % n)
+        xb = jnp.take(xj, idx, axis=1)
+        yb = jnp.take(yj, idx, axis=0)
+        params, opt_state, metrics = step(params, opt_state, key, xb, yb)
+        jax_losses.append(float(metrics["loss"]))
+
+    # --- reference op stack: torch autograd + torch.optim.SGD
+    te1, te2, tw, tb = _t(e1, True), _t(e2, True), _t(w0, True), _t(b0, True)
+    optim = torch.optim.SGD([te1, te2, tw, tb], lr=lr)
+    tx, ty = _t(x_all), torch.from_numpy(np.asarray(y_all))
+    ref_losses = []
+    for it in range(steps):
+        idx = torch.from_numpy(((np.arange(bs) + it * bs) % n))
+        xb = tx[:, idx]
+        yb = ty[idx]
+        h = REF.eps.eps(te1, xb)
+        h = REF.eps.eps(te2, h.unsqueeze(0))
+        logits = h.reshape(bs, -1) @ tw + tb
+        ce = F.cross_entropy(logits, yb)
+        reg = REF.comp.inner_product((te1, te2), (te1, te2)) + (tw**2).sum()
+        loss = ce + reg_coeff * reg
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        ref_losses.append(float(loss.detach()))
+
+    np.testing.assert_allclose(jax_losses, ref_losses, rtol=1e-9)
+    for got, ref in (
+        (params["epses"][0], te1),
+        (params["epses"][1], te2),
+        (params["linear"]["w"], tw),
+        (params["linear"]["b"], tb),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), _np(ref), rtol=1e-9, atol=1e-11
+        )
+
+
+# ---------------------------------------------------------------------------
 # rank-one batch statistics
 
 
