@@ -102,13 +102,24 @@ def run_sweep(
 @click.argument("config_file", type=click.Path(exists=True, dir_okay=False))
 @click.option("--experiments-dir", type=click.Path(file_okay=False), required=True)
 @click.option("-j", "--num-workers", type=int, default=1)
-def main(config_file: str, experiments_dir: str, num_workers: int) -> None:
+@click.option("--config-stride", type=int, default=1,
+              help="run every STRIDE-th config (multi-host fan-out: give "
+                   "each host the same grid with its own offset)")
+@click.option("--config-offset", type=int, default=0)
+def main(
+    config_file: str,
+    experiments_dir: str,
+    num_workers: int,
+    config_stride: int,
+    config_offset: int,
+) -> None:
     logging.basicConfig(level=logging.INFO)
     with open(config_file) as f:
         spec = json.load(f)
     configs = expand_grid(
         spec.get("base", {}), spec.get("grid", {}), spec.get("shuffle_seed", 0)
     )
+    configs = configs[config_offset::config_stride]
     for cfg in configs:
         cfg.setdefault("experiments-dir", experiments_dir)
     results = run_sweep(configs, num_workers)

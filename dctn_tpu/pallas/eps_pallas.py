@@ -374,19 +374,6 @@ def _run_bwd(views_t, cmt, g_t, n1, out_size, bn_a, bn_b, interpret, mm_dtype):
     return dviews, d_cmt.T  # (A, Z)
 
 
-def _stack_views_t(views, bn):
-    """Legacy per-view transpose stacking (kept for direct kernel tests)."""
-    n = len(views)
-    in_size = views[0].shape[-1]
-    b, hp, wp, _ = views[0].shape
-    npix = b * hp * wp
-    npad = -(-npix // bn) * bn
-    vt = jnp.stack([v.reshape(npix, in_size).T for v in views], axis=0)
-    if npad != npix:
-        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, npad - npix)))
-    return vt, npix
-
-
 def _slice_specs(kernel_size: int, num_channels: int):
     """(δh, δw, c) per view, in window_views order: position-major,
     channel-minor (windows.py:44-48)."""

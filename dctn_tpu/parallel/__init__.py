@@ -6,3 +6,10 @@ from .data_parallel import (
     replicate,
     ShardedSplit,
 )
+from .tensor_parallel import (
+    make_tp_mesh,
+    make_tp_params,
+    merge_tp_params,
+    make_tp_train_step,
+    make_tp_forward,
+)

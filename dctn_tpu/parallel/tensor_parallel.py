@@ -1,0 +1,229 @@
+"""Tensor parallelism for EPSesPlusLinear: shard the LAST EPS core's output
+dim and the linear head over a ``model`` mesh axis, composable with the
+``data`` axis.
+
+SURVEY §2.3 marks TP as the natural extension when Q_out gets large (the
+reference has no parallelism at all): the last core is (Q,)*n + (O,), so an
+O-shard computes its own slice of the features and its own rows of the
+classifier, and ONE psum over the model axis reconstructs the logits.
+Gradient flow:
+
+- sharded leaves (last core, W slice): each shard's gradient is already the
+  gradient of its slice — only the batch average (pmean over ``data``) is
+  needed;
+- replicated leaves (earlier cores, bias): every model shard sees only the
+  loss contribution routed through its O-slice, so their gradients are
+  psum'd over ``model`` first, then pmean'd over ``data``.
+
+Parameter layout: the classifier weight is kept as (H'·W', O, classes) —
+the reference's (in_features, classes) with in_features ordered (h, w, q)
+row-major has the q dim FASTEST, so an O-shard of the reference layout would
+be strided; the 3-D layout makes the model-axis shard contiguous.
+``make_tp_params`` / ``merge_tp_params`` convert to/from the reference
+pytree.
+
+Dropout note: the parameter-dropout key is folded with the model-axis index,
+so shards draw independent masks — statistically identical to, but not
+bit-identical with, single-device training (tested at p=1 for exactness).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.eps_plus_linear import EPSesPlusLinearConfig
+from ..ops import composition, eps as eps_mod
+
+
+def make_tp_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_data * n_model
+    return Mesh(
+        devices[: n_data * n_model].reshape(n_data, n_model),
+        axis_names=("data", "model"),
+    )
+
+
+def _tp_specs(params3):
+    """PartitionSpecs for the TP param layout (last core + w3 model-sharded)."""
+    n_eps = len(params3["epses"])
+    eps_specs = tuple(
+        P(*([None] * (params3["epses"][i].ndim - 1) + (["model"] if i == n_eps - 1 else [None])))
+        for i in range(n_eps)
+    )
+    return {
+        "epses": eps_specs,
+        "linear": {"w3": P(None, "model", None), "b": P()},
+    }
+
+
+def make_tp_params(params, cfg: EPSesPlusLinearConfig, mesh: Mesh):
+    """Reference pytree → TP layout, placed with model-axis shardings."""
+    o = params["epses"][-1].shape[-1]
+    hw = cfg.pre_linear_image_size ** 2
+    w3 = params["linear"]["w"].reshape(hw, o, cfg.num_classes)
+    params3 = {
+        "epses": tuple(params["epses"]),
+        "linear": {"w3": w3, "b": params["linear"]["b"]},
+    }
+    specs = _tp_specs(params3)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params3,
+        specs,
+        is_leaf=lambda x: isinstance(x, jax.Array) or isinstance(x, np.ndarray),
+    )
+
+
+def merge_tp_params(params3, cfg: EPSesPlusLinearConfig):
+    """TP layout → reference pytree (gathers shards)."""
+    w3 = np.asarray(params3["linear"]["w3"])
+    return {
+        "epses": tuple(np.asarray(e) for e in params3["epses"]),
+        "linear": {
+            "w": w3.reshape(-1, cfg.num_classes),
+            "b": np.asarray(params3["linear"]["b"]),
+        },
+    }
+
+
+def _psum_value_only(x, axis_name):
+    """psum in the VALUE; identity in the TRANSPOSE. Differentiating through
+    a real psum inside shard_map needs varying-axis tracking for its
+    transpose, and with tracking on the collective transposes scale by the
+    axis size (measured). Expressed this way the backward gives exactly the
+    per-shard partial derivative, which is what the TP gradient math wants,
+    and the shard_map can stay check_vma=False like the DP layer."""
+    return x + jax.lax.stop_gradient(jax.lax.psum(x, axis_name) - x)
+
+
+def _tp_forward_local(params3, xb, cfg, training, rng):
+    """Per-(data, model)-shard forward: replicated early layers, O-sharded
+    last layer, partial logits psum'd over the model axis."""
+    epses = params3["epses"]
+    if cfg.dropout_p < 1.0 and training:
+        m = jax.lax.axis_index("model")
+        keys = jax.random.split(jax.random.fold_in(rng, m), len(epses))
+        epses = tuple(
+            c * jax.random.bernoulli(k, cfg.dropout_p, c.shape).astype(c.dtype)
+            / cfg.dropout_p
+            for c, k in zip(epses, keys)
+        )
+    h = xb
+    for core in epses:
+        h = eps_mod.eps(core, h, compute_dtype=cfg.compute_dtype)[None]
+    h = h[0]  # (B, H', W', O_local)
+    b_, hp, wp, o_local = h.shape
+    flat = h.reshape(b_, hp * wp, o_local)
+    partial_logits = jnp.einsum("bpo,poc->bc", flat, params3["linear"]["w3"])
+    logits = _psum_value_only(partial_logits, "model") + params3["linear"]["b"]
+    return logits
+
+
+def _local_regularizer(params3, reg_type: str, n_model: int):
+    """Regularizer expressed so that EVERY term is a per-model-shard partial
+    (the caller's gradient reduction psums replicated-leaf grads over the
+    model axis): the O-sliced terms decompose naturally; the replicated
+    epswise core norms are divided by the axis size so the psum
+    reconstructs them exactly once."""
+    epses = params3["epses"]
+    w3 = params3["linear"]["w3"]
+    if reg_type == "epswise":
+        partial_reg = (
+            jnp.sum(w3**2)
+            + eps_mod.inner_product(epses[-1], epses[-1])
+            + sum(jnp.sum(c**2) for c in epses[:-1]) / n_model
+        )
+    else:  # epses_composition: the recursion's final contraction sums over O
+        partial_reg = jnp.sum(w3**2) + composition.inner_product(epses, epses)
+    return _psum_value_only(partial_reg, "model")
+
+
+def make_tp_train_step(
+    cfg: EPSesPlusLinearConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    reg_type: str = "epses_composition",
+    reg_coeff: float = 0.0,
+    donate: bool = False,
+):
+    """step(params3, opt_state, rng, xb, yb) → (params3, opt_state, metrics)
+    over a ("data", "model") mesh: batch sharded on data, last core + W on
+    model. The optimizer update runs OUTSIDE shard_map — GSPMD propagates
+    the parameter shardings into the (elementwise) update and the optimizer
+    state, so arbitrary optax state pytrees need no manual specs."""
+
+    def per_shard(params3, rng, xb, yb):
+        def local_loss(p3):
+            logits = _tp_forward_local(p3, xb, cfg, True, rng)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=1))
+            reg = (
+                _local_regularizer(p3, reg_type, mesh.shape["model"])
+                if reg_coeff != 0.0
+                else jnp.zeros((), logits.dtype)
+            )
+            return ce + reg_coeff * reg, (ce, reg)
+
+        (loss, (ce, reg)), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            params3
+        )
+        # Earlier (replicated) cores feed the last core's LOCAL slice, so each
+        # model shard holds only its slice's contribution → psum over model.
+        # The bias enters AFTER the logits psum: every shard already has its
+        # full gradient (psum'ing it would double-count); same for w3 (its
+        # gradient is its own slice) and the last core.
+        n_eps = len(params3["epses"])
+        grads = {
+            "epses": tuple(
+                g if i == n_eps - 1 else jax.lax.psum(g, "model")
+                for i, g in enumerate(grads["epses"])
+            ),
+            "linear": {"w3": grads["linear"]["w3"], "b": grads["linear"]["b"]},
+        }
+        grads = jax.lax.pmean(grads, "data")
+        metrics = {
+            "loss": jax.lax.pmean(loss, "data"),
+            "ce": jax.lax.pmean(ce, "data"),
+            "reg_term": reg,
+        }
+        return grads, metrics
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step(params3, opt_state, rng, xb, yb):
+        p_specs = _tp_specs(params3)
+        grads, metrics = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(p_specs, P(), P(None, "data"), P("data")),
+            out_specs=(p_specs, P()),
+            check_vma=False,
+        )(params3, rng, xb, yb)
+        updates, opt_state = optimizer.update(grads, opt_state, params3)
+        params3 = optax.apply_updates(params3, updates)
+        return params3, opt_state, metrics
+
+    return step
+
+
+def make_tp_forward(cfg: EPSesPlusLinearConfig, mesh: Mesh, params3_example):
+    """Jitted TP inference forward: (params3, x) → logits."""
+    p_specs = _tp_specs(params3_example)
+
+    @jax.jit
+    def forward(params3, x):
+        return jax.shard_map(
+            lambda p3, xb: _tp_forward_local(p3, xb, cfg, False, None),
+            mesh=mesh,
+            in_specs=(p_specs, P(None, "data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )(params3, x)
+
+    return forward

@@ -103,7 +103,6 @@ def log_named_outputs(
 def eps_plus_linear_named_outputs(params, x, cfg) -> Dict[str, jax.Array]:
     """{eps_0, …, eps_{n-1}, linear} — each EPS layer's output and the logits
     (the functional analog of named_modules over EPSesPlusLinear)."""
-    from ..models.eps_plus_linear import eps_plus_linear_forward  # noqa: F401
     from ..ops import eps as eps_mod
 
     named: Dict[str, jax.Array] = {}
