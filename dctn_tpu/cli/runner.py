@@ -173,6 +173,10 @@ def save_git_provenance(output_dir: str) -> str:
               help="log named transforms (mean/std/abs/histogram) of every "
                    "layer's output on a probe batch, on the eval schedule "
                    "(base_intermediate_outputs_logger.py parity)")
+@click.option("--debug-nans/--no-debug-nans", default=False,
+              help="enable jax_debug_nans: fail at the first NaN-producing op "
+                   "with a traceback (the detect_anomaly analog; slows "
+                   "execution — debugging only)")
 @click.option("--grad-accum-steps", type=int, default=1,
               help="microbatch the step into this many gradient-accumulation "
                    "slices (bounds activation memory at very large batches)")
@@ -256,6 +260,9 @@ def run(**kwargs) -> TrainLoopState:
         force=True,
     )
     logger.info("output_dir=%r", output_dir)
+    if kwargs["debug_nans"]:
+        jax.config.update("jax_debug_nans", True)
+        logger.info("jax_debug_nans enabled")
 
     # --- data (new_runner.py:345-376) ---
     autoscale = None

@@ -74,3 +74,9 @@ def test_bench_json_contract():
     result = json.loads(lines[-1])
     assert {"metric", "value", "unit", "vs_baseline"} <= set(result)
     assert result["value"] > 0
+    # self-describing roofline keys (values None off-TPU, but always present)
+    assert {
+        "xla_images_per_sec", "pallas_images_per_sec", "step_ms",
+        "flops_per_step_xla", "bytes_per_step_xla", "xla_mfu_vs_bf16_peak",
+        "xla_achieved_hbm_gbps", "device_kind",
+    } <= set(result)
