@@ -204,7 +204,10 @@ def scale_layers_using_batch(
         outs = sbs.many_conv_sbs(layer_spec, layer_params, intermediate)
         scaled_strings = []
         for string_spec, cores, out in zip(layer_spec, layer_params, outs):
-            std = float(jnp.std(out))
+            # torch .std() applies Bessel's correction — match it exactly
+            # (found by the reference-as-oracle test: biased std compounds
+            # to ~2.4e-3 core drift over two layers)
+            std = float(jnp.std(out, ddof=1))
             if std != 0.0:
                 scaled_strings.append(
                     sbs.multiply_by_scalar(string_spec, cores, 1.0 / std)

@@ -84,7 +84,8 @@ def test_scale_layers_gives_unit_std(rng):
     for layer_spec, layer_params in zip(specs, scaled):
         outs = sbs.many_conv_sbs(layer_spec, layer_params, intermediate)
         for out in outs:
-            np.testing.assert_allclose(float(jnp.std(out)), 1.0, rtol=1e-6)
+            # unbiased std like the reference's torch .std() (mnist.py:278)
+            np.testing.assert_allclose(float(jnp.std(out, ddof=1)), 1.0, rtol=1e-6)
         intermediate = jnp.stack(outs, axis=0)
 
 

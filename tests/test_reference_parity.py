@@ -362,6 +362,188 @@ def test_conv_sbs_as_eps_parity(case):
 
 
 # ---------------------------------------------------------------------------
+# legacy DCTNMnistModel (mnist.py) — model-level parity
+
+
+class _Anything:
+    """Permissive stand-in: acts as a decorator factory / decorator / any
+    attribute, so the reference's CLI/trainer glue imports resolve without
+    the real packages."""
+
+    def __call__(self, *a, **k):
+        if len(a) == 1 and callable(a[0]) and not k:
+            return a[0]
+        return self
+
+    def __getattr__(self, name):
+        return self
+
+
+_ANY = _Anything()
+
+
+def _import_reference_mnist():
+    for name in (
+        "click_log",
+        "libcrap",
+        "libcrap.torch",
+        "libcrap.torch.click",
+        "libcrap.torch.training",
+        "torchvision",
+        "torchvision.datasets",
+        "torchvision.datasets.mnist",
+        "torchvision.transforms",
+        "ignite",
+        "ignite.engine",
+        "ignite.metrics",
+        "ignite.handlers",
+        "ignite.contrib",
+        "ignite.contrib.handlers",
+        "ignite.contrib.handlers.param_scheduler",
+        "ignite.contrib.handlers.tensorboard_logger",
+    ):
+        # upgrade stubs _import_reference may have created with a fixed attr
+        # set: any missing attribute resolves to the permissive stand-in —
+        # EXCEPT dunders (__file__/__spec__/…), which introspection (e.g.
+        # torch's lazy-import frame walking) must see as genuinely absent
+        mod = _stub_module(name)
+        mod.__getattr__ = lambda attr: (
+            (_ for _ in ()).throw(AttributeError(attr))
+            if attr.startswith("__") and attr.endswith("__")
+            else _ANY
+        )
+    import mnist as ref_mnist  # /root/reference/mnist.py (read-only)
+
+    return ref_mnist
+
+
+def test_legacy_model_forward_and_grad_parity():
+    """Our conv_sbs_model vs the reference's DCTNMnistModel with identical
+    cores: quantum map, snake strings, layer chaining, spatial-mean logits
+    (mnist.py:169-263), forward AND core gradients, float64."""
+    ref_mnist = _import_reference_mnist()
+    from dctn_tpu.models.conv_sbs_model import (
+        ConvSBSModelConfig,
+        init_conv_sbs_model,
+        conv_sbs_model_forward,
+    )
+
+    cfg = ConvSBSModelConfig(
+        num_sbs_layers=2, bond_dim_size=2, cos_sin_squared=True,
+        input_multiplier=1.3,
+    )
+    params = init_conv_sbs_model(jax.random.PRNGKey(3), cfg, dtype=jnp.float64)
+    mod = ref_mnist.DCTNMnistModel(
+        num_sbs_layers=2,
+        bond_dim_size=2,
+        trace_edge=False,
+        initialization=REF.sbs.DumbNormalInitialization(0.5),
+        cos_sin_squared=True,
+        input_multiplier=1.3,
+    ).double()
+    for layer, many in zip(params, mod.conv_sbses):
+        for cores, string in zip(layer, many.strings):
+            for c, p in zip(cores, string.cores):
+                assert tuple(p.shape) == c.shape
+                p.data = _t(np.asarray(c))
+
+    rng = np.random.default_rng(90)
+    x = rng.uniform(0.0, 1.0, (3, 7, 7))
+    ref_out = mod(_t(x[:, None]))  # reference takes (B, 1, H, W)
+    got = conv_sbs_model_forward(params, cfg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), _np(ref_out), rtol=1e-11, atol=1e-12)
+
+    # core gradients of a CE loss
+    y = np.array([1, 5, 9])
+    lp = torch.log_softmax(ref_out, dim=1)
+    (-lp[np.arange(3), y].mean()).backward()
+    ref_grads = [
+        _np(p.grad)
+        for many in mod.conv_sbses
+        for string in many.strings
+        for p in string.cores
+    ]
+
+    def loss(ps):
+        logits = conv_sbs_model_forward(ps, cfg, jnp.asarray(x))
+        lpj = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lpj, jnp.asarray(y)[:, None], 1))
+
+    got_grads = [
+        np.asarray(g)
+        for layer in jax.grad(loss)(params)
+        for cores in layer
+        for g in cores
+    ]
+    assert len(got_grads) == len(ref_grads)
+    for a, b in zip(got_grads, ref_grads):
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+
+
+def test_legacy_helpers_parity():
+    """batch_to_quantum and calc_std_of_coordinates_of_windows
+    (mnist.py:130-166) on identical pixel batches."""
+    ref_mnist = _import_reference_mnist()
+    from dctn_tpu.models.conv_sbs_model import (
+        batch_to_quantum,
+        calc_std_of_coordinates_of_windows,
+    )
+
+    rng = np.random.default_rng(91)
+    x = rng.uniform(0.0, 1.0, (4, 6, 6))
+    for squared, mult in ((False, 1.0), (True, 0.7)):
+        ref_q = _np(ref_mnist.batch_to_quantum(_t(x[:, None]), squared, mult))
+        got_q = np.asarray(batch_to_quantum(jnp.asarray(x), squared, mult))
+        # ours is channel-leading (1, B, H, W, 2); reference is (B, H, W, 2)
+        np.testing.assert_allclose(got_q[0], ref_q, rtol=1e-12)
+        ref_std = float(
+            ref_mnist.calc_std_of_coordinates_of_windows(
+                _t(x[:, None]), 3, squared, mult
+            )
+        )
+        got_std = float(
+            calc_std_of_coordinates_of_windows(jnp.asarray(x), 3, squared, mult)
+        )
+        assert got_std == pytest.approx(ref_std, rel=1e-10)
+
+
+def test_legacy_scale_layers_parity():
+    """Data-dependent layer rescaling (mnist.py:265-284) produces the same
+    scaled cores as scale_layers_using_batch. Float32: the reference's own
+    internal assert (`torch.allclose(tensor.std(), torch.tensor(1.0))`,
+    mnist.py:282) type-errors on a double model, so f64 is not runnable."""
+    ref_mnist = _import_reference_mnist()
+    from dctn_tpu.models.conv_sbs_model import (
+        ConvSBSModelConfig,
+        init_conv_sbs_model,
+        scale_layers_using_batch,
+    )
+
+    cfg = ConvSBSModelConfig(num_sbs_layers=2, bond_dim_size=2)
+    params = init_conv_sbs_model(jax.random.PRNGKey(4), cfg, dtype=jnp.float32)
+    mod = ref_mnist.DCTNMnistModel(
+        num_sbs_layers=2, bond_dim_size=2, trace_edge=False,
+        initialization=REF.sbs.DumbNormalInitialization(0.5),
+        cos_sin_squared=False, input_multiplier=1.0,
+    )
+    for layer, many in zip(params, mod.conv_sbses):
+        for cores, string in zip(layer, many.strings):
+            for c, p in zip(cores, string.cores):
+                p.data = torch.from_numpy(np.asarray(c)).clone()
+
+    rng = np.random.default_rng(92)
+    x = rng.uniform(0.0, 1.0, (8, 7, 7)).astype(np.float32)
+    mod.scale_layers_using_batch(torch.from_numpy(x[:, None]))
+    scaled = scale_layers_using_batch(params, cfg, jnp.asarray(x))
+    for layer, many in zip(scaled, mod.conv_sbses):
+        for cores, string in zip(layer, many.strings):
+            for c, p in zip(cores, string.cores):
+                np.testing.assert_allclose(
+                    np.asarray(c), _np(p), rtol=2e-4, atol=1e-6
+                )
+
+
+# ---------------------------------------------------------------------------
 # logmatmulexp
 
 
