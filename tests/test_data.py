@@ -141,3 +141,87 @@ def test_batcher():
     b_fixed = Batcher(splits.val, batch_size=3, shuffle=False, drop_last=False)
     vb = list(b_fixed)
     assert len(vb) == 3 and vb[-1][1].shape == (2,)  # ragged final batch kept
+
+
+def _write_cifar_batches(root, n_per_batch=20, seed=5):
+    """Synthesize CIFAR-10 python-format pickles (the reference on-disk
+    layout: data_batch_1..5 + test_batch dicts with b"data" (N, 3072) uint8
+    row-major CHW and b"labels")."""
+    import pickle
+
+    rng = np.random.default_rng(seed)
+    d = os.path.join(root, "cifar-10-batches-py")
+    os.makedirs(d, exist_ok=True)
+    all_imgs, all_lbls = [], []
+    for b in range(1, 6):
+        data = rng.integers(0, 256, (n_per_batch, 3072), dtype=np.uint8)
+        labels = [int(v) for v in rng.integers(0, 10, n_per_batch)]
+        with open(os.path.join(d, f"data_batch_{b}"), "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+        all_imgs.append(data)
+        all_lbls.extend(labels)
+    test = rng.integers(0, 256, (n_per_batch, 3072), dtype=np.uint8)
+    test_lbls = [int(v) for v in rng.integers(0, 10, n_per_batch)]
+    with open(os.path.join(d, "test_batch"), "wb") as f:
+        pickle.dump({b"data": test, b"labels": test_lbls}, f)
+    imgs = np.concatenate(all_imgs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    test_imgs = test.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return imgs, np.asarray(all_lbls), test_imgs, np.asarray(test_lbls)
+
+
+def test_cifar_pickle_roundtrip(tmp_path):
+    imgs, lbls, test_imgs, test_lbls = _write_cifar_batches(str(tmp_path))
+    got_x, got_y = data_io.load_cifar10(str(tmp_path), train=True)
+    np.testing.assert_array_equal(got_x, imgs)
+    np.testing.assert_array_equal(got_y, lbls)
+    got_xt, got_yt = data_io.load_cifar10(str(tmp_path), train=False)
+    np.testing.assert_array_equal(got_xt, test_imgs)
+    np.testing.assert_array_equal(got_yt, test_lbls)
+
+
+@pytest.mark.parametrize("colors", ["rgb", "YCbCr"])
+def test_cifar_colored_real_file_branch(tmp_path, monkeypatch, colors):
+    """The real-data colored branch end to end on synthesized files:
+    seed-0 shuffle, color conversion, 45k/5k-analog split (train-sample
+    count scaled down for the tiny fixture)."""
+    from dctn_tpu.data import pipeline as pl
+
+    imgs, lbls, test_imgs, test_lbls = _write_cifar_batches(str(tmp_path))
+    monkeypatch.setattr(pl, "CIFAR10_NUM_TRAIN_SAMPLES", 80)
+    splits = pl._cifar_colored_splits(str(tmp_path), colors, (0, 0, 0))
+    tr, va, te = splits
+    assert tr.x.shape == (1, 80, 32, 32, 3) and va.x.shape == (1, 20, 32, 32, 3)
+    assert te.x.shape == (1, 20, 32, 32, 3)
+    # the deterministic seed-0 shuffle maps split rows back to file rows
+    order = _seed0_shuffled_indices(100)
+    np.testing.assert_array_equal(np.asarray(tr.y), lbls[order[:80]])
+    np.testing.assert_array_equal(np.asarray(va.y), lbls[order[80:]])
+    if colors == "rgb":
+        np.testing.assert_allclose(
+            np.asarray(tr.x[0, 0]), imgs[order[0]].astype(np.float32) / 255.0
+        )
+    else:
+        from PIL import Image
+
+        expect = (
+            np.asarray(
+                Image.fromarray(imgs[order[0]]).convert("YCbCr"), np.float32
+            )
+            / 255.0
+        )
+        np.testing.assert_allclose(np.asarray(tr.x[0, 0]), expect)
+
+
+def test_cifar_grayscale_real_file_branch(tmp_path, monkeypatch):
+    from dctn_tpu.data import pipeline as pl
+    from dctn_tpu.data.feature_maps import phi_cos_sin_squared_1
+
+    _write_cifar_batches(str(tmp_path))
+    monkeypatch.setattr(pl, "CIFAR10_NUM_TRAIN_SAMPLES", 80)
+    for size in (28, 32):
+        tr, va, te = pl._cifar_grayscale_splits(
+            str(tmp_path), size, phi_cos_sin_squared_1, (0, 0, 0)
+        )
+        assert tr.x.shape == (1, 80, size, size, 2)
+        assert va.x.shape == (1, 20, size, size, 2)
+        assert np.all(np.asarray(tr.x) >= 0.0)
