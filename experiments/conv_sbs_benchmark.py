@@ -33,9 +33,10 @@ def main() -> None:
     if jax.default_backend() == "tpu":
         backends.append("pallas")
     for backend in backends:
-        for bs in (100, 512):
+        for bs, trace_edge in ((100, False), (512, False), (100, True)):
             cfg = ConvSBSModelConfig(
-                num_sbs_layers=2, bond_dim_size=4, backend=backend
+                num_sbs_layers=2, bond_dim_size=4, backend=backend,
+                trace_edge=trace_edge,
             )
             params = init_conv_sbs_model(key, cfg)
             opt = optax.sgd(1e-3)
@@ -67,6 +68,7 @@ def main() -> None:
             r = {
                 "kind": "legacy ConvSBS 2 layers bond 4 train step",
                 "backend": backend,
+                "trace_edge": trace_edge,
                 "batch_size": bs,
                 "ms_per_step": round(dt * 1e3, 3),
                 "images_per_sec": round(bs / dt, 1),

@@ -82,16 +82,45 @@ def test_sbs_pallas_grads_match_xla(rng, idx):
     np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), rtol=2e-4, atol=2e-6)
 
 
-def test_sbs_pallas_ring_falls_back(rng):
-    """trace_edge strings (bond_sizes[0] > 1) are unsupported — conv_sbs must
-    silently use the XLA path and stay correct."""
+def test_sbs_pallas_ring_fwd_and_grad(rng):
+    """trace_edge rings (bond_sizes[0] > 1): the fused kernel closes the
+    ring with an in-kernel δ-trace — forward + gradient parity."""
     spec = _string([(0, 0), (0, 1), (1, 0), (1, 1)], (1, 2, 1, 1), (2, 2, 2, 2), 1)
-    assert not sbs_plan(spec)[2]
+    assert sbs_plan(spec)[2]
     cores = _random_cores(rng, spec)
     x = jax.random.uniform(jax.random.split(rng)[0], (1, 2, 4, 4, 2), jnp.float32)
+
+    def loss(cs, xx, backend):
+        return jnp.sum(jnp.tanh(sbs.conv_sbs(spec, cs, xx, backend)))
+
     ref = sbs.conv_sbs(spec, cores, x)
     got = sbs.conv_sbs(spec, cores, x, backend="pallas_interpret")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6)
+    gc1, gx1 = jax.grad(loss, argnums=(0, 1))(cores, x, "xla")
+    gc2, gx2 = jax.grad(loss, argnums=(0, 1))(cores, x, "pallas_interpret")
+    for a, b in zip(gc1, gc2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), rtol=2e-4, atol=2e-6)
+
+
+def test_sbs_pallas_ring_snake_legacy(rng):
+    """The legacy --trace-edge configuration: 9-core snake ring, bond 2,
+    middle core out 2, forward + gradient parity."""
+    spec = _string(SNAKE9, (1, 1, 1, 1, 2, 1, 1, 1, 1), (2,) * 9, 1)
+    assert sbs_plan(spec)[2]
+    cores = _random_cores(rng, spec)
+    x = jax.random.uniform(jax.random.split(rng)[0], (1, 2, 5, 5, 2), jnp.float32)
+    ref = sbs.conv_sbs(spec, cores, x)
+    got = sbs.conv_sbs(spec, cores, x, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+    def loss(cs, backend):
+        return jnp.sum(jnp.cos(sbs.conv_sbs(spec, cs, x, backend)))
+
+    gc1 = jax.grad(loss)(cores, "xla")
+    gc2 = jax.grad(loss)(cores, "pallas_interpret")
+    for a, b in zip(gc1, gc2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-6)
 
 
 def test_conv_sbs_model_pallas_pipeline(rng):
