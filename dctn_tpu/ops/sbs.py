@@ -270,8 +270,9 @@ def conv_sbs(
     (parity: conv_sbs.py:258-304).
 
     ``backend="pallas"``: fused differentiable fwd+bwd kernels that keep the
-    whole bond-chain fold in VMEM (the XLA path is ~100% HBM-bound); falls
-    back here for ring strings / >2 channels / non-f32.
+    whole bond-chain fold in VMEM (the XLA path is ~100% HBM-bound); covers
+    open strings and trace_edge rings, falls back here for >2 channels /
+    large bonds / non-f32.
     """
     validate_cores(spec, cores)
     if backend in ("pallas", "pallas_interpret"):

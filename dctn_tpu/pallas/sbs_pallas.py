@@ -10,8 +10,9 @@ views, the output/cotangent and the (tiny) cores/gradients cross HBM.
 
 Layouts, following the EPS kernels (eps_pallas.py):
 - pixel tile on lanes: every per-pixel quantity is a (rows, bn) slab;
-- fold state kept as rows ordered (r, O) — r the current right bond, O the
-  accumulated output-feature product in core order;
+- fold state kept as rows ordered (b0, r, O) — b0 the ring bond (size 1 for
+  open strings), r the current right bond, O the accumulated output-feature
+  product in core order;
 - per-core TT matrices m_i with rows ordered (l, r, o) so every slice the
   fold takes is a contiguous LEADING block (Mosaic's layout rule); the core
   matrix is row-permuted host-side to match;
