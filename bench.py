@@ -209,6 +209,12 @@ def main() -> None:
     if on_tpu:
         pallas_ips, _, _ = measure_tpu(batch_size, steps, compute_dtype, "pallas")
 
+    if xla_ips is None and pallas_ips is None:
+        # BENCH_SKIP_XLA_PATH on a non-TPU host: still honor the one-JSON-line
+        # contract by measuring the only path that exists
+        xla_ips, xla_flops, xla_bytes = measure_tpu(
+            batch_size, steps, compute_dtype, "xla"
+        )
     ours = max(v for v in (xla_ips, pallas_ips) if v is not None)
     step_s = batch_size / ours
 

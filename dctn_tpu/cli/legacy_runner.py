@@ -85,9 +85,12 @@ def permute_pixels_batch(images: np.ndarray, permutation) -> np.ndarray:
 @click.option("--shuffle-pixels", is_flag=True)
 @click.option("--seed", type=int, default=0)
 @click.option("--synthetic-sizes", nargs=2, type=int, default=(2048, 512))
-@click.option("--tb-log-every-n-epochs", type=int, default=1,
+@click.option("--tb-log-every-n-epochs", type=int, default=10,
               help="cadence of TB weights/grads/LR/intermediate-output/TT-stat "
-                   "logging (0 disables; mnist.py:510-570 parity)")
+                   "logging (0 disables; mnist.py:510-570 parity). Each log "
+                   "point fetches several MB of weights/grads/activations — "
+                   "through the tunneled-TPU relay (~450 KB/s device→host) "
+                   "that is seconds per point, hence the sparse default")
 def main(**kw) -> None:
     run(**kw)
 
@@ -100,28 +103,11 @@ def run(**kw):
                 default = () if param.multiple else None
             kw[param.name] = default
     os.makedirs(kw["models_dir"], exist_ok=True)
-    # provenance + log.log like the new runner (mnist.py writes these via
-    # libcrap's get_now_as_str/save_json setup)
-    from .runner import save_git_provenance
+    # provenance + log.log shared with the new runner (mnist.py writes these
+    # via libcrap's get_now_as_str/save_json setup)
+    from .runner import setup_run_provenance
 
-    commit = save_git_provenance(kw["models_dir"])
-    with open(os.path.join(kw["models_dir"], "run_info.txt"), "w") as f:
-        json.dump(
-            {k: v if isinstance(v, (int, float, str, bool, type(None))) else repr(v)
-             for k, v in kw.items()} | {"commit": commit},
-            f, indent=2,
-        )
-    logging.basicConfig(
-        level=logging.INFO,
-        handlers=(
-            logging.StreamHandler(),
-            logging.FileHandler(
-                os.path.join(kw["models_dir"], "log.log"), "w", "utf-8"
-            ),
-        ),
-        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
-        force=True,
-    )
+    setup_run_provenance(kw["models_dir"], kw)
     assert not (kw["make_input_window_std_one"] and kw["input_multiplier"] is not None)
 
     # --- data: MNIST train split into train/val (random_split analog) ---

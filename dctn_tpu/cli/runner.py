@@ -103,6 +103,28 @@ def save_git_provenance(output_dir: str) -> str:
     return commit
 
 
+def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str:
+    """run_info.txt (JSON-safe config + commit), git diff patch, and
+    console+log.log logging — shared by both runners (new_runner.py:326-341)."""
+    commit = save_git_provenance(output_dir)
+    with open(os.path.join(output_dir, RUN_INFO_FNAME), "w") as f:
+        json.dump(
+            {k: repr(v) if not isinstance(v, (int, float, str, bool, type(None))) else v
+             for k, v in kwargs.items()} | {"commit": commit},
+            f, indent=2,
+        )
+    logging.basicConfig(
+        level=getattr(logging, str(verbosity).upper(), logging.INFO),
+        handlers=(
+            logging.StreamHandler(),
+            logging.FileHandler(os.path.join(output_dir, LOG_FNAME), "w", "utf-8"),
+        ),
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+        force=True,
+    )
+    return commit
+
+
 @click.command()
 @click.option("--experiments-dir", type=click.Path(file_okay=False), required=True)
 @click.option("--ds-type", type=click.Choice((
@@ -243,22 +265,7 @@ def run(**kwargs) -> TrainLoopState:
     assert implies(kwargs["add_constant_channel"] is not None, colored)
 
     # --- provenance + logging (new_runner.py:326-341) ---
-    commit = save_git_provenance(output_dir)
-    with open(os.path.join(output_dir, RUN_INFO_FNAME), "w") as f:
-        json.dump(
-            {k: repr(v) if not isinstance(v, (int, float, str, bool, type(None))) else v
-             for k, v in kwargs.items()} | {"commit": commit},
-            f, indent=2,
-        )
-    logging.basicConfig(
-        level=getattr(logging, str(kwargs["verbosity"]).upper(), logging.INFO),
-        handlers=(
-            logging.StreamHandler(),
-            logging.FileHandler(os.path.join(output_dir, LOG_FNAME), "w", "utf-8"),
-        ),
-        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
-        force=True,
-    )
+    setup_run_provenance(output_dir, kwargs, kwargs["verbosity"])
     logger.info("output_dir=%r", output_dir)
     if kwargs["debug_nans"]:
         jax.config.update("jax_debug_nans", True)

@@ -102,10 +102,10 @@ def run_sweep(
 @click.argument("config_file", type=click.Path(exists=True, dir_okay=False))
 @click.option("--experiments-dir", type=click.Path(file_okay=False), required=True)
 @click.option("-j", "--num-workers", type=int, default=1)
-@click.option("--config-stride", type=int, default=1,
+@click.option("--config-stride", type=click.IntRange(min=1), default=1,
               help="run every STRIDE-th config (multi-host fan-out: give "
                    "each host the same grid with its own offset)")
-@click.option("--config-offset", type=int, default=0)
+@click.option("--config-offset", type=click.IntRange(min=0), default=0)
 def main(
     config_file: str,
     experiments_dir: str,

@@ -149,8 +149,10 @@ def _pallas_model_forward(
     layer's spec isn't kernel-supported (ring strings etc.)."""
     from ..pallas.sbs_pallas import conv_sbs_pallas_t, sbs_pallas_profitable
 
-    if x.dtype != jnp.float32:
-        return None
+    if x.dtype != jnp.float32 or any(
+        c.dtype != jnp.float32 for layer in params for cores in layer for c in cores
+    ):
+        return None  # kernels declare f32 blocks; f64 params take the XLA path
     interpret = cfg.backend == "pallas_interpret"
     specs = cfg.layer_specs()
     for layer_spec in specs:

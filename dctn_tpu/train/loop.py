@@ -223,11 +223,16 @@ def make_stopper_on_nan_loss(
     runs — put it on the eval schedule, unlike the reference's per-iteration
     check, to avoid a relay round trip per step). On trigger, dumps params,
     the last batch's indices AND contents, and — when ``forward_fn(params,
-    xb) → output`` is given — the model output, to ``nan_loss_stop/``
-    (parity: training.py:213-237, which saves model + x + y + output). The
-    output here is recomputed with post-update params (the jitted step has
-    already applied the optimizer when the flag is observed); the device→host
-    fetches only happen on this rare failure path."""
+    xb) → output`` is given — the model output, to ``nan_loss_stop/``.
+
+    Honest difference from training.py:213-237 (which checks every
+    iteration and saves the TRIGGERING x/y/output): because the flag is
+    device-accumulated and observed on the schedule, the dumped batch and
+    output are from the OBSERVATION step, and the output is recomputed with
+    post-update params. They bracket the failure (the NaN happened at or
+    before this step since the previous observation); a README in the dump
+    directory records this so nobody debugs the wrong batch. Tighten the
+    eval schedule to localize further."""
 
     def stop_on_nan(state: TrainLoopState) -> None:
         if state.nan_flag is None:
@@ -241,6 +246,15 @@ def make_stopper_on_nan_loss(
                 logger.error("%s already exists", subdir)
                 return
             os.mkdir(subdir)
+            with open(os.path.join(subdir, "README.txt"), "w") as f:
+                f.write(
+                    "NaN/Inf was detected by the device-accumulated flag at "
+                    f"observation step {state.num_iters_done}. The saved "
+                    "batch/output are from THIS step (post-update params), "
+                    "not necessarily the iteration that produced the NaN — "
+                    "that happened at or before this step, since the "
+                    "previous scheduled observation.\n"
+                )
             save_pytree(
                 state.params,
                 os.path.join(subdir, f"model_nitd={state.num_iters_done}.npz"),
