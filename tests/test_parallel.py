@@ -155,3 +155,39 @@ def test_parallel_training_learns(problem):
     mce1, acc1 = scoreN(p, split)
     assert float(mce1) < float(mce0)
     assert float(acc1) > 0.3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs the virtual mesh")
+def test_parallel_step_with_pallas_backend(problem):
+    """The production pod configuration: the fused Pallas kernels INSIDE the
+    shard_map DP step (the runner resolves train_backend=auto → pallas on
+    TPU even with --mesh-devices). One step must match the XLA-backend DP
+    step bit-for-... well, to f32 kernel tolerance."""
+    splits, _, _ = problem
+    x = np.asarray(splits.train.x)[:, :16]
+    y = np.asarray(splits.train.y)[:16]
+    mesh = make_mesh(4)
+    split = shard_split(mesh, x, y)
+    idx = jax.device_put(
+        np.tile(np.arange(4, dtype=np.int32), (4, 1)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+    )
+    results = {}
+    for backend in ("xla", "pallas_interpret"):
+        cfg = EPSesPlusLinearConfig(
+            epses_specs=((2, 3), (2, 4)), image_size=x.shape[2], q0=2,
+            train_backend=backend,
+        )
+        params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer("sgd", 0.05)
+        step = make_parallel_train_step(cfg, opt, mesh, "epswise", 1e-4, donate=False)
+        p = replicate(mesh, params)
+        o = replicate(mesh, opt.init(params))
+        p2, _, m = step(p, o, jax.random.PRNGKey(2), split.x, split.y, idx)
+        results[backend] = (float(m["loss"]), p2)
+    assert results["xla"][0] == pytest.approx(results["pallas_interpret"][0], rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results["xla"][1]),
+        jax.tree_util.tree_leaves(results["pallas_interpret"][1]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
