@@ -1,0 +1,134 @@
+"""Inference / serving entry point: load a checkpoint, emit predictions and
+latency statistics.
+
+The reference has no serving surface (its closest analog is the
+pre-publication batch evaluation scripts,
+``small_experiments/pre_publishing_test_evaluation/*.py``); this CLI is the
+deployment-facing complement: batch prediction to a file plus a fenced
+latency benchmark (batch-1 and batch-N) of the jitted forward on whatever
+backend the host has (fused Pallas kernels on TPU).
+
+Usage:
+  python -m dctn_tpu.cli.predict CKPT.npz --ds-type fashionmnist \
+      --ds-path synthetic --epses-specs "(2,4)" --split test \
+      --out preds.npy --latency-bench
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import click
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import load_dataset
+from ..models import (
+    EPSesPlusLinearConfig,
+    eps_plus_linear_forward,
+    init_eps_plus_linear,
+)
+from ..train import load_pytree
+from .runner import parse_epses_specs
+
+
+def predict_split(params, cfg, x, batch_size: int) -> np.ndarray:
+    """Argmax predictions over a (C, N, H, W, Q) split, batched; the last
+    ragged batch is padded and trimmed (static shapes → one compile)."""
+    forward = jax.jit(
+        lambda p, xb: jnp.argmax(
+            eps_plus_linear_forward(p, xb, cfg, training=False), axis=1
+        )
+    )
+    n = x.shape[1]
+    preds = []
+    for start in range(0, n, batch_size):
+        xb = x[:, start : start + batch_size]
+        pad = batch_size - xb.shape[1]
+        if pad:
+            xb = jnp.concatenate([xb, xb[:, :1].repeat(pad, axis=1)], axis=1)
+        p = np.asarray(forward(params, xb))
+        preds.append(p[: batch_size - pad] if pad else p)
+    return np.concatenate(preds)
+
+
+def latency_stats(params, cfg, x, batch_size: int, iters: int = 30) -> dict:
+    """Fenced per-call latency of the jitted forward (value-fetch sync — the
+    reliable fence on the tunneled backend)."""
+    forward = jax.jit(
+        lambda p, xb: eps_plus_linear_forward(p, xb, cfg, training=False)
+    )
+    xb = jnp.asarray(x[:, :batch_size])
+    out = forward(params, xb)
+    float(jnp.sum(out))  # compile + warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = forward(params, xb)
+        float(jnp.sum(out))  # per-call fence: this IS the serving latency
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return {
+        "batch_size": batch_size,
+        "p50_ms": round(1e3 * times[len(times) // 2], 3),
+        "p90_ms": round(1e3 * times[int(len(times) * 0.9)], 3),
+        "min_ms": round(1e3 * times[0], 3),
+        "throughput_img_per_s": round(batch_size / times[len(times) // 2], 1),
+    }
+
+
+@click.command()
+@click.argument("checkpoint", type=click.Path(exists=True, dir_okay=False))
+@click.option("--ds-type", required=True)
+@click.option("--ds-path", required=True)
+@click.option("--epses-specs", type=parse_epses_specs, required=True)
+@click.option("--phi-multiplier", type=float, default=None)
+@click.option("--split", type=click.Choice(("train", "val", "test")), default="test")
+@click.option("--batch-size", type=int, default=128)
+@click.option("--out", type=click.Path(dir_okay=False), default=None,
+              help="write predictions (int64 npy) here")
+@click.option("--latency-bench", is_flag=True,
+              help="print a JSON latency line for batch sizes 1 and --batch-size")
+def main(checkpoint, ds_type, ds_path, epses_specs, phi_multiplier, split,
+         batch_size, out, latency_bench):
+    run(checkpoint=checkpoint, ds_type=ds_type, ds_path=ds_path,
+        epses_specs=epses_specs, phi_multiplier=phi_multiplier, split=split,
+        batch_size=batch_size, out=out, latency_bench=latency_bench)
+
+
+def run(*, checkpoint, ds_type, ds_path, epses_specs, phi_multiplier=None,
+        split="test", batch_size=128, out=None, latency_bench=False,
+        synthetic_sizes=(8192, 2048, 2048)):
+    splits = load_dataset(
+        ds_type, ds_path, phi_multiplier=phi_multiplier,
+        autoscale_kernel_size=None if phi_multiplier else epses_specs[0][0],
+        synthetic_sizes=synthetic_sizes,
+    )
+    sp = getattr(splits, split)
+    image_size = sp.x.shape[2]
+    q0 = sp.x.shape[-1]
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=epses_specs, image_size=image_size, q0=q0,
+        eval_backend=backend,
+    )
+    template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    params = load_pytree(template, checkpoint)
+    x = jnp.asarray(sp.x)
+    preds = predict_split(params, cfg, x, batch_size)
+    acc = float(np.mean(preds == np.asarray(sp.y)))
+    print(f"{split}: n={len(preds)} accuracy={acc:.2%}")
+    if out:
+        np.save(out, preds)
+        print(f"predictions written to {out}")
+    if latency_bench:
+        for bs in sorted({1, batch_size}):
+            stats = latency_stats(params, cfg, x, bs)
+            print(json.dumps({"metric": "forward_latency", **stats}))
+    return preds
+
+
+if __name__ == "__main__":
+    main()

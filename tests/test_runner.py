@@ -159,3 +159,39 @@ def test_increasing_subsequence():
     recs = [Record(i, 0, 0, t, 0) for i, t in enumerate([0.1, 0.3, 0.2, 0.4])]
     inc = list(get_increasing_subsequence(recs, lambda r: r.tracc))
     assert [r.tracc for r in inc] == [0.1, 0.3, 0.4]
+
+
+def test_predict_cli(tmp_path):
+    """Serving path: train briefly, save a checkpoint, predict with the
+    inference CLI and check predictions equal the forward argmax."""
+    from dctn_tpu.cli.predict import run as predict_run
+    from dctn_tpu.models import (
+        EPSesPlusLinearConfig,
+        eps_plus_linear_forward,
+        init_eps_plus_linear,
+    )
+    from dctn_tpu.train import save_pytree
+    from dctn_tpu.data import load_dataset
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sizes = (64, 32, 32)
+    splits = load_dataset("mnist", "synthetic", autoscale_kernel_size=2,
+                          synthetic_sizes=sizes)
+    q0 = splits.test.x.shape[-1]
+    cfg = EPSesPlusLinearConfig(epses_specs=((2, 4),), image_size=28, q0=q0)
+    params = init_eps_plus_linear(jax.random.PRNGKey(3), cfg)
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_pytree(params, ckpt)
+    out_file = str(tmp_path / "preds.npy")
+    preds = predict_run(
+        checkpoint=ckpt, ds_type="mnist", ds_path="synthetic",
+        epses_specs=((2, 4),), split="test", batch_size=16, out=out_file,
+        synthetic_sizes=sizes,
+    )
+    assert preds.shape == (32,)
+    expected = np.asarray(jnp.argmax(eps_plus_linear_forward(
+        params, jnp.asarray(splits.test.x), cfg, training=False), axis=1))
+    np.testing.assert_array_equal(preds, expected)
+    np.testing.assert_array_equal(np.load(out_file), preds)
