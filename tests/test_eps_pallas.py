@@ -173,3 +173,28 @@ def test_bf16_operand_path(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0.1, atol=0.05
         )
+
+
+def test_remat_composes_with_pallas_pipeline(rng):
+    """cfg.remat wraps each transposed-pipeline layer in jax.checkpoint —
+    gradients must be unchanged (memory/time tradeoff only)."""
+    from dctn_tpu.models import (
+        EPSesPlusLinearConfig,
+        init_eps_plus_linear,
+        eps_plus_linear_forward,
+    )
+
+    base = dict(epses_specs=((2, 3), (2, 4)), image_size=6,
+                train_backend="pallas_interpret")
+    cfg = EPSesPlusLinearConfig(**base)
+    cfg_r = EPSesPlusLinearConfig(**base, remat=True)
+    params = init_eps_plus_linear(rng, cfg)
+    x = jax.random.uniform(jax.random.split(rng)[0], (1, 3, 6, 6, 2), jnp.float32)
+
+    def loss(p, c):
+        return jnp.sum(jnp.tanh(eps_plus_linear_forward(p, x, c, training=True)))
+
+    g1 = jax.grad(loss)(params, cfg)
+    g2 = jax.grad(loss)(params, cfg_r)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
