@@ -115,9 +115,12 @@ def _tp_forward_local(params3, xb, cfg, training, rng):
             / cfg.dropout_p
             for c, k in zip(epses, keys)
         )
+    backend = cfg.train_backend if training else cfg.eval_backend
     h = xb
     for core in epses:
-        h = eps_mod.eps(core, h, compute_dtype=cfg.compute_dtype)[None]
+        h = eps_mod.eps(
+            core, h, compute_dtype=cfg.compute_dtype, backend=backend
+        )[None]
     h = h[0]  # (B, H', W', O_local)
     b_, hp, wp, o_local = h.shape
     flat = h.reshape(b_, hp * wp, o_local)

@@ -103,3 +103,35 @@ def test_tp_adam_state_sharding_propagates():
     mu_last = o2[0].mu["epses"][-1]
     spec = mu_last.sharding.spec
     assert "model" in jax.tree_util.tree_leaves(tuple(spec))
+
+
+def test_tp_step_with_pallas_backend():
+    """TP with the fused Pallas kernels inside shard_map (the pod
+    configuration when train_backend=auto resolves to pallas)."""
+    from dctn_tpu.parallel import make_tp_mesh, make_tp_params, make_tp_train_step
+
+    cfg_p = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=6, q0=2,
+        train_backend="pallas_interpret", dtype=jnp.float32,
+    )
+    cfg_x = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=6, q0=2, dtype=jnp.float32,
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg_x)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 6, 6, 2), jnp.float32)
+    y = jnp.asarray(np.arange(8) % 10)
+    mesh = make_tp_mesh(2, 2)
+    results = {}
+    for name, cfg in (("xla", cfg_x), ("pallas", cfg_p)):
+        p3 = make_tp_params(params, cfg, mesh)
+        opt = make_optimizer("sgd", 0.05)
+        o3 = jax.jit(opt.init)(p3)
+        step = make_tp_train_step(cfg, opt, mesh, "epswise", 1e-4)
+        p3b, _, m = step(p3, o3, jax.random.PRNGKey(2), x, y)
+        results[name] = (float(m["loss"]), p3b)
+    assert results["xla"][0] == pytest.approx(results["pallas"][0], rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results["xla"][1]),
+        jax.tree_util.tree_leaves(results["pallas"][1]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
