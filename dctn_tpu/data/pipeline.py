@@ -50,6 +50,11 @@ CIFAR10_NUM_TRAIN_SAMPLES = 45000
 FASHIONMNIST_K4_SCALED_MEAN = 0.7284077405929565
 FASHIONMNIST_K4_SCALED_STD = 0.6384438872337341
 
+# train/val boundary of the torchvision-train split (dataset_loading.py:47-57);
+# a module constant so file-format tests can run the real branch on small
+# synthesized files
+MNISTLIKE_NUM_TRAIN_SAMPLES = 50000
+
 
 @dataclasses.dataclass
 class QuantumSplit:
@@ -137,11 +142,12 @@ def _mnist_like_splits(
         test_images, test_labels = data_io.load_mnist_like(root, name, train=False)
         images = images.astype(np.float32) / 255.0
         test_images = test_images.astype(np.float32) / 255.0
-        raws = (images[:50000], images[50000:60000], test_images)
-        ys = (labels[:50000], labels[50000:60000], test_labels)
+        n_tr = MNISTLIKE_NUM_TRAIN_SAMPLES
+        raws = (images[:n_tr], images[n_tr : n_tr + 10000], test_images)
+        ys = (labels[:n_tr], labels[n_tr : n_tr + 10000], test_labels)
         idxs = (
-            np.arange(50000),
-            np.arange(50000, 50000 + len(ys[1])),
+            np.arange(len(ys[0])),
+            np.arange(n_tr, n_tr + len(ys[1])),
             np.arange(len(test_labels)),
         )
     return tuple(

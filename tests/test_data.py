@@ -225,3 +225,35 @@ def test_cifar_grayscale_real_file_branch(tmp_path, monkeypatch):
         assert tr.x.shape == (1, 80, size, size, 2)
         assert va.x.shape == (1, 20, size, size, 2)
         assert np.all(np.asarray(tr.x) >= 0.0)
+
+
+def test_mnist_real_file_branch(tmp_path, monkeypatch):
+    """The real-file MNIST-like branch end to end on synthesized IDX files:
+    /255 normalization, 50k/10k-analog split, φ application, index arrays."""
+    from dctn_tpu.data import pipeline as pl
+    from dctn_tpu.data.feature_maps import phi_cos_sin_squared_1
+
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 256, (120, 28, 28), dtype=np.uint8)
+    lbls = rng.integers(0, 10, 120).astype(np.uint8)
+    test_imgs = rng.integers(0, 256, (30, 28, 28), dtype=np.uint8)
+    test_lbls = rng.integers(0, 10, 30).astype(np.uint8)
+    for prefix, im, lb in (("train", imgs, lbls), ("t10k", test_imgs, test_lbls)):
+        with open(tmp_path / f"{prefix}-images-idx3-ubyte", "wb") as f:
+            f.write(struct.pack(">IIII", 2051, *im.shape))
+            f.write(im.tobytes())
+        with open(tmp_path / f"{prefix}-labels-idx1-ubyte", "wb") as f:
+            f.write(struct.pack(">II", 2049, len(lb)))
+            f.write(lb.tobytes())
+    monkeypatch.setattr(pl, "MNISTLIKE_NUM_TRAIN_SAMPLES", 100)
+    tr, va, te = pl._mnist_like_splits(
+        "mnist", str(tmp_path), phi_cos_sin_squared_1, (0, 0, 0)
+    )
+    assert tr.x.shape == (1, 100, 28, 28, 2)
+    assert va.x.shape == (1, 20, 28, 28, 2)
+    assert te.x.shape == (1, 30, 28, 28, 2)
+    np.testing.assert_array_equal(np.asarray(va.y), lbls[100:120])
+    np.testing.assert_array_equal(va.indices, np.arange(100, 120))
+    # φ of the raw pixel value round-trips
+    expect = 2.0 * np.sin(imgs[0, 0, 0] / 255.0 * np.pi / 2.0) ** 2
+    assert tr.x[0, 0, 0, 0, 0] == pytest.approx(expect, rel=1e-6)
