@@ -1,19 +1,31 @@
-"""Tensor parallelism for EPSesPlusLinear: shard the LAST EPS core's output
-dim and the linear head over a ``model`` mesh axis, composable with the
-``data`` axis.
+"""Tensor parallelism for EPSesPlusLinear: shard EPS cores' output dims and
+the linear head over a ``model`` mesh axis, composable with the ``data``
+axis.
 
 SURVEY §2.3 marks TP as the natural extension when Q_out gets large (the
-reference has no parallelism at all): the last core is (Q,)*n + (O,), so an
-O-shard computes its own slice of the features and its own rows of the
-classifier, and ONE psum over the model axis reconstructs the logits.
+reference has no parallelism at all). Two layouts:
+
+- ``shard_all=False`` (default): only the LAST core is O-sharded. The last
+  core is (Q,)*n + (O,), so an O-shard computes its own slice of the
+  features and its own rows of the classifier, and ONE psum over the model
+  axis reconstructs the logits.
+- ``shard_all=True``: EVERY core's output dim is sharded. Each shard
+  computes its layer's output slice, and an all_gather over ``model``
+  rebuilds the full activation between layers (its transpose is a
+  reduce_scatter, expressed as an explicit custom VJP below). This halves
+  (per 2-way shard) both the core parameters and the per-layer activation
+  compute per chip — the layout for Q_out too large for one chip's VMEM/HBM.
+
 Gradient flow:
 
-- sharded leaves (last core, W slice): each shard's gradient is already the
-  gradient of its slice — only the batch average (pmean over ``data``) is
-  needed;
-- replicated leaves (earlier cores, bias): every model shard sees only the
-  loss contribution routed through its O-slice, so their gradients are
-  psum'd over ``model`` first, then pmean'd over ``data``.
+- sharded leaves: with the gather VJP in place each shard's gradient of its
+  own slice is exact locally — only the batch average (pmean over ``data``)
+  is needed;
+- replicated leaves (earlier cores in last-only mode, bias): every model
+  shard sees only the loss contribution routed through its O-slice, so
+  their gradients are psum'd over ``model`` first, then pmean'd over
+  ``data``. (The bias enters AFTER the logits psum, so it is full on every
+  shard.)
 
 Parameter layout: the classifier weight is kept as (H'·W', O, classes) —
 the reference's (in_features, classes) with in_features ordered (h, w, q)
@@ -50,11 +62,17 @@ def make_tp_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
     )
 
 
-def _tp_specs(params3):
-    """PartitionSpecs for the TP param layout (last core + w3 model-sharded)."""
+def _tp_specs(params3, shard_all: bool = False):
+    """PartitionSpecs for the TP param layout: w3 + the last core (or every
+    core with ``shard_all``) sharded on the output dim."""
     n_eps = len(params3["epses"])
     eps_specs = tuple(
-        P(*([None] * (params3["epses"][i].ndim - 1) + (["model"] if i == n_eps - 1 else [None])))
+        P(
+            *(
+                [None] * (params3["epses"][i].ndim - 1)
+                + (["model"] if shard_all or i == n_eps - 1 else [None])
+            )
+        )
         for i in range(n_eps)
     )
     return {
@@ -63,8 +81,14 @@ def _tp_specs(params3):
     }
 
 
-def make_tp_params(params, cfg: EPSesPlusLinearConfig, mesh: Mesh):
+def make_tp_params(params, cfg: EPSesPlusLinearConfig, mesh: Mesh, shard_all: bool = False):
     """Reference pytree → TP layout, placed with model-axis shardings."""
+    n_model = mesh.shape["model"]
+    sharded = params["epses"] if shard_all else params["epses"][-1:]
+    for c in sharded:
+        assert c.shape[-1] % n_model == 0, (
+            f"output dim {c.shape[-1]} not divisible by model axis {n_model}"
+        )
     o = params["epses"][-1].shape[-1]
     hw = cfg.pre_linear_image_size ** 2
     w3 = params["linear"]["w"].reshape(hw, o, cfg.num_classes)
@@ -72,7 +96,7 @@ def make_tp_params(params, cfg: EPSesPlusLinearConfig, mesh: Mesh):
         "epses": tuple(params["epses"]),
         "linear": {"w3": w3, "b": params["linear"]["b"]},
     }
-    specs = _tp_specs(params3)
+    specs = _tp_specs(params3, shard_all)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params3,
@@ -93,6 +117,28 @@ def merge_tp_params(params3, cfg: EPSesPlusLinearConfig):
     }
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _gather_model(x, axis):
+    """all_gather over ``model`` along ``axis`` with its TRUE transpose — a
+    tiled reduce_scatter — as an explicit custom VJP. Needed because the TP
+    shard_maps run check_vma=False (see _psum_value_only), where autodiff'd
+    collective transposes are unreliable; written explicitly, the backward
+    sums every shard's cotangent contribution and hands each shard exactly
+    its slice, which makes sharded-leaf gradients exact locally."""
+    return jax.lax.all_gather(x, "model", axis=axis, tiled=True)
+
+
+def _gather_model_fwd(x, axis):
+    return _gather_model(x, axis), None
+
+
+def _gather_model_bwd(axis, _, g):
+    return (jax.lax.psum_scatter(g, "model", scatter_dimension=axis, tiled=True),)
+
+
+_gather_model.defvjp(_gather_model_fwd, _gather_model_bwd)
+
+
 def _psum_value_only(x, axis_name):
     """psum in the VALUE; identity in the TRANSPOSE. Differentiating through
     a real psum inside shard_map needs varying-axis tracking for its
@@ -103,9 +149,13 @@ def _psum_value_only(x, axis_name):
     return x + jax.lax.stop_gradient(jax.lax.psum(x, axis_name) - x)
 
 
-def _tp_forward_local(params3, xb, cfg, training, rng):
-    """Per-(data, model)-shard forward: replicated early layers, O-sharded
-    last layer, partial logits psum'd over the model axis."""
+def _tp_forward_local(params3, xb, cfg, training, rng, shard_all=False):
+    """Per-(data, model)-shard forward. Last-only mode: replicated early
+    layers, O-sharded last layer. shard_all mode: every layer computes its
+    output-dim slice and an all_gather rebuilds the full activation between
+    layers (each slice is computed on exactly ONE shard, so the gathered
+    activation — dropout masks included — is consistent across shards).
+    Either way the partial logits are psum'd over the model axis."""
     epses = params3["epses"]
     if cfg.dropout_p < 1.0 and training:
         m = jax.lax.axis_index("model")
@@ -117,10 +167,13 @@ def _tp_forward_local(params3, xb, cfg, training, rng):
         )
     backend = cfg.train_backend if training else cfg.eval_backend
     h = xb
-    for core in epses:
+    for i, core in enumerate(epses):
         h = eps_mod.eps(
             core, h, compute_dtype=cfg.compute_dtype, backend=backend
-        )[None]
+        )
+        if shard_all and i < len(epses) - 1:
+            h = _gather_model(h, h.ndim - 1)  # full Q for the next layer
+        h = h[None]
     h = h[0]  # (B, H', W', O_local)
     b_, hp, wp, o_local = h.shape
     flat = h.reshape(b_, hp * wp, o_local)
@@ -129,21 +182,32 @@ def _tp_forward_local(params3, xb, cfg, training, rng):
     return logits
 
 
-def _local_regularizer(params3, reg_type: str, n_model: int):
+def _local_regularizer(params3, reg_type: str, n_model: int, shard_all: bool):
     """Regularizer expressed so that EVERY term is a per-model-shard partial
     (the caller's gradient reduction psums replicated-leaf grads over the
     model axis): the O-sliced terms decompose naturally; the replicated
     epswise core norms are divided by the axis size so the psum
-    reconstructs them exactly once."""
+    reconstructs them exactly once. In shard_all mode every core is an
+    O-slice: the epswise norms all decompose, and the composition recursion
+    runs on gathered (full) early cores — its intermediate contractions mix
+    output indices — while the final contraction still decomposes over the
+    last core's local O-slice."""
     epses = params3["epses"]
     w3 = params3["linear"]["w3"]
     if reg_type == "epswise":
-        partial_reg = (
-            jnp.sum(w3**2)
-            + eps_mod.inner_product(epses[-1], epses[-1])
-            + sum(jnp.sum(c**2) for c in epses[:-1]) / n_model
-        )
+        if shard_all:
+            partial_reg = jnp.sum(w3**2) + sum(jnp.sum(c**2) for c in epses)
+        else:
+            partial_reg = (
+                jnp.sum(w3**2)
+                + eps_mod.inner_product(epses[-1], epses[-1])
+                + sum(jnp.sum(c**2) for c in epses[:-1]) / n_model
+            )
     else:  # epses_composition: the recursion's final contraction sums over O
+        if shard_all:
+            epses = tuple(
+                _gather_model(c, c.ndim - 1) for c in epses[:-1]
+            ) + (epses[-1],)
         partial_reg = jnp.sum(w3**2) + composition.inner_product(epses, epses)
     return _psum_value_only(partial_reg, "model")
 
@@ -155,20 +219,22 @@ def make_tp_train_step(
     reg_type: str = "epses_composition",
     reg_coeff: float = 0.0,
     donate: bool = False,
+    shard_all: bool = False,
 ):
     """step(params3, opt_state, rng, xb, yb) → (params3, opt_state, metrics)
-    over a ("data", "model") mesh: batch sharded on data, last core + W on
-    model. The optimizer update runs OUTSIDE shard_map — GSPMD propagates
-    the parameter shardings into the (elementwise) update and the optimizer
-    state, so arbitrary optax state pytrees need no manual specs."""
+    over a ("data", "model") mesh: batch sharded on data, last core + W (or
+    every core with ``shard_all``) on model. The optimizer update runs
+    OUTSIDE shard_map — GSPMD propagates the parameter shardings into the
+    (elementwise) update and the optimizer state, so arbitrary optax state
+    pytrees need no manual specs."""
 
     def per_shard(params3, rng, xb, yb):
         def local_loss(p3):
-            logits = _tp_forward_local(p3, xb, cfg, True, rng)
+            logits = _tp_forward_local(p3, xb, cfg, True, rng, shard_all)
             logp = jax.nn.log_softmax(logits, axis=-1)
             ce = -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=1))
             reg = (
-                _local_regularizer(p3, reg_type, mesh.shape["model"])
+                _local_regularizer(p3, reg_type, mesh.shape["model"], shard_all)
                 if reg_coeff != 0.0
                 else jnp.zeros((), logits.dtype)
             )
@@ -177,15 +243,19 @@ def make_tp_train_step(
         (loss, (ce, reg)), grads = jax.value_and_grad(local_loss, has_aux=True)(
             params3
         )
-        # Earlier (replicated) cores feed the last core's LOCAL slice, so each
-        # model shard holds only its slice's contribution → psum over model.
-        # The bias enters AFTER the logits psum: every shard already has its
-        # full gradient (psum'ing it would double-count); same for w3 (its
-        # gradient is its own slice) and the last core.
+        # Sharded leaves' gradients are exact locally (the activation/core
+        # gathers carry a true reduce_scatter transpose). In last-only mode
+        # the earlier REPLICATED cores feed the last core's LOCAL slice, so
+        # each model shard holds only its slice's contribution → psum over
+        # model. The bias enters AFTER the logits psum: every shard already
+        # has its full gradient (psum'ing it would double-count); same for
+        # w3 (its gradient is its own slice) and any sharded core.
         n_eps = len(params3["epses"])
         grads = {
             "epses": tuple(
-                g if i == n_eps - 1 else jax.lax.psum(g, "model")
+                g
+                if (shard_all or i == n_eps - 1)
+                else jax.lax.psum(g, "model")
                 for i, g in enumerate(grads["epses"])
             ),
             "linear": {"w3": grads["linear"]["w3"], "b": grads["linear"]["b"]},
@@ -200,7 +270,7 @@ def make_tp_train_step(
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params3, opt_state, rng, xb, yb):
-        p_specs = _tp_specs(params3)
+        p_specs = _tp_specs(params3, shard_all)
         grads, metrics = jax.shard_map(
             per_shard,
             mesh=mesh,
@@ -215,14 +285,16 @@ def make_tp_train_step(
     return step
 
 
-def make_tp_forward(cfg: EPSesPlusLinearConfig, mesh: Mesh, params3_example):
+def make_tp_forward(
+    cfg: EPSesPlusLinearConfig, mesh: Mesh, params3_example, shard_all: bool = False
+):
     """Jitted TP inference forward: (params3, x) → logits."""
-    p_specs = _tp_specs(params3_example)
+    p_specs = _tp_specs(params3_example, shard_all)
 
     @jax.jit
     def forward(params3, x):
         return jax.shard_map(
-            lambda p3, xb: _tp_forward_local(p3, xb, cfg, False, None),
+            lambda p3, xb: _tp_forward_local(p3, xb, cfg, False, None, shard_all),
             mesh=mesh,
             in_specs=(p_specs, P(None, "data")),
             out_specs=P("data"),

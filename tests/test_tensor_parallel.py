@@ -19,9 +19,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _setup(dtype=jnp.float64):
+def _setup(dtype=jnp.float64, shard_all=False):
+    # shard_all needs every core's output dim divisible by the model axis
+    specs = ((2, 4), (2, 4)) if shard_all else ((2, 3), (2, 4))
     cfg = EPSesPlusLinearConfig(
-        epses_specs=((2, 3), (2, 4)), image_size=6, q0=2, dtype=dtype
+        epses_specs=specs, image_size=6, q0=2, dtype=dtype
     )
     params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
@@ -32,20 +34,22 @@ def _setup(dtype=jnp.float64):
     return cfg, params, x, y
 
 
-def test_tp_forward_matches_single_device():
+@pytest.mark.parametrize("shard_all", [False, True])
+def test_tp_forward_matches_single_device(shard_all):
     from dctn_tpu.parallel import make_tp_mesh, make_tp_params, make_tp_forward
 
-    cfg, params, x, y = _setup()
+    cfg, params, x, y = _setup(shard_all=shard_all)
     mesh = make_tp_mesh(2, 2)
-    params3 = make_tp_params(params, cfg, mesh)
-    forward = make_tp_forward(cfg, mesh, params3)
+    params3 = make_tp_params(params, cfg, mesh, shard_all)
+    forward = make_tp_forward(cfg, mesh, params3, shard_all)
     got = forward(params3, x)
     ref = eps_plus_linear_forward(params, x, cfg, training=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12)
 
 
+@pytest.mark.parametrize("shard_all", [False, True])
 @pytest.mark.parametrize("reg_type", ["epswise", "epses_composition"])
-def test_tp_train_step_matches_single_device(reg_type):
+def test_tp_train_step_matches_single_device(reg_type, shard_all):
     from dctn_tpu.parallel import (
         make_tp_mesh,
         make_tp_params,
@@ -53,7 +57,7 @@ def test_tp_train_step_matches_single_device(reg_type):
         make_tp_train_step,
     )
 
-    cfg, params, x, y = _setup()
+    cfg, params, x, y = _setup(shard_all=shard_all)
     lr, reg_coeff = 0.05, 1e-3
 
     # single-device reference trajectory (2 steps)
@@ -69,10 +73,12 @@ def test_tp_train_step_matches_single_device(reg_type):
 
     # TP over a (2 data, 2 model) mesh
     mesh = make_tp_mesh(2, 2)
-    params3 = make_tp_params(params, cfg, mesh)
+    params3 = make_tp_params(params, cfg, mesh, shard_all)
     opt_tp = make_optimizer("sgd", lr)
     o3 = jax.jit(opt_tp.init)(params3)
-    tp_step = make_tp_train_step(cfg, opt_tp, mesh, reg_type, reg_coeff)
+    tp_step = make_tp_train_step(
+        cfg, opt_tp, mesh, reg_type, reg_coeff, shard_all=shard_all
+    )
     losses_tp = []
     for _ in range(2):
         params3, o3, m3 = tp_step(params3, o3, rng, x, y)
@@ -103,6 +109,46 @@ def test_tp_adam_state_sharding_propagates():
     mu_last = o2[0].mu["epses"][-1]
     spec = mu_last.sharding.spec
     assert "model" in jax.tree_util.tree_leaves(tuple(spec))
+
+
+def test_tp_shard_all_four_way_model_axis():
+    """shard_all over a 1×4 mesh: all_gather/reduce_scatter with >2 shards,
+    every core's output dim split four ways."""
+    from dctn_tpu.parallel import (
+        make_tp_mesh,
+        make_tp_params,
+        merge_tp_params,
+        make_tp_train_step,
+    )
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4), (2, 8)), image_size=6, q0=2, dtype=jnp.float64
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.float64), params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 6, 6, 2), jnp.float64)
+    y = jnp.asarray(np.arange(8) % 10)
+
+    opt = make_optimizer("sgd", 0.05)
+    step = make_train_step(cfg, opt, "epses_composition", 1e-3, donate=False)
+    p_ref, o_ref, m_ref = step(params, opt.init(params), jax.random.PRNGKey(2), x, y)
+
+    mesh = make_tp_mesh(1, 4)
+    params3 = make_tp_params(params, cfg, mesh, shard_all=True)
+    for c in params3["epses"]:
+        assert "model" in jax.tree_util.tree_leaves(tuple(c.sharding.spec))
+    opt_tp = make_optimizer("sgd", 0.05)
+    o3 = jax.jit(opt_tp.init)(params3)
+    tp_step = make_tp_train_step(
+        cfg, opt_tp, mesh, "epses_composition", 1e-3, shard_all=True
+    )
+    p3, o3, m3 = tp_step(params3, o3, jax.random.PRNGKey(2), x, y)
+    np.testing.assert_allclose(float(m3["loss"]), float(m_ref["loss"]), rtol=1e-11)
+    merged = merge_tp_params(p3, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(merged), jax.tree_util.tree_leaves(p_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13)
 
 
 def test_tp_step_with_pallas_backend():
