@@ -204,6 +204,14 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
                    "slices (bounds activation memory at very large batches)")
 @click.option("--mesh-devices", type=int, default=1,
               help="data-parallel over this many devices (1 = single-chip path)")
+@click.option("--model-devices", type=int, default=1,
+              help="tensor-parallel over this many devices: EPS output dim(s) "
+                   "+ classifier rows sharded over a model mesh axis, "
+                   "composable with --mesh-devices as the data axis "
+                   "(parallel/tensor_parallel.py)")
+@click.option("--tp-shard-all/--tp-shard-last", default=False,
+              help="shard EVERY EPS core's output dim (inter-layer all_gather) "
+                   "instead of only the last core's")
 @click.option("--resume-from", type=click.Path(exists=True, dir_okay=False),
               default=None,
               help="resume params+optimizer+step from a train_state .npz "
@@ -352,7 +360,62 @@ def run(**kwargs) -> TrainLoopState:
     opt_state = optimizer.init(params)
 
     n_mesh = kwargs["mesh_devices"]
-    if n_mesh > 1:
+    n_model = kwargs["model_devices"]
+    params_view = None  # device→checkpoint layout transform (TP only)
+    if n_model > 1:
+        # tensor-parallel path (optionally × data-parallel): EPS output
+        # dim(s) + classifier sharded over the model axis; checkpoints are
+        # merged back to the reference layout so every downstream consumer
+        # (predict CLI, --load-model-state, evaluation scripts) still works.
+        from ..parallel.tensor_parallel import (
+            make_tp_mesh,
+            make_tp_params,
+            merge_tp_params,
+            make_tp_train_step,
+            make_tp_score_fn,
+        )
+
+        for opt_name, ok in (
+            ("tb_batches", not kwargs["tb_batches"]),
+            ("log_intermediate_outputs", not kwargs["log_intermediate_outputs"]),
+            ("grad_accum_steps", kwargs["grad_accum_steps"] == 1),
+            ("freeze_eps", not kwargs["freeze_eps"]),
+        ):
+            assert ok, f"--{opt_name.replace('_', '-')} is not supported with --model-devices"
+        assert kwargs["batch_size"] % n_mesh == 0, "batch size must divide data mesh"
+        shard_all = kwargs["tp_shard_all"]
+        mesh = make_tp_mesh(n_mesh, n_model)
+        params = make_tp_params(params, cfg, mesh, shard_all)
+        opt_state = jax.jit(optimizer.init)(params)
+        step = make_tp_train_step(
+            cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
+            shard_all=shard_all,
+        )
+        x_tr = jnp.asarray(splits.train.x)
+        y_tr = jnp.asarray(splits.train.y)
+        x_val = jnp.asarray(splits.val.x)
+        y_val = jnp.asarray(splits.val.y)
+        gather = make_gather_batch(x_tr, y_tr)
+        score = make_tp_score_fn(cfg, mesh, kwargs["batch_size"], params, shard_all)
+        n_eval_train = kwargs["eval_train_subset"] or y_tr.shape[0]
+        x_tr_eval, y_tr_eval = x_tr[:, :n_eval_train], y_tr[:n_eval_train]
+
+        def do_score(p, which):
+            if which == "train":
+                return score(p, x_tr_eval, y_tr_eval)
+            return score(p, x_val, y_val)
+
+        batcher = Batcher(
+            splits.train, kwargs["batch_size"], shuffle=True, drop_last=True,
+            seed=kwargs["seed"],
+        )
+        index_stream = batcher.indices_forever()
+        params_view = lambda p3: merge_tp_params(p3, cfg)  # noqa: E731
+        logger.info(
+            "tensor parallelism: mesh (data=%d, model=%d), shard_all=%s",
+            n_mesh, n_model, shard_all,
+        )
+    elif n_mesh > 1:
         # data-parallel path: dataset sharded over the mesh, replicated
         # params, pmean grad all-reduce (parallel/data_parallel.py)
         from ..parallel import (
@@ -446,7 +509,8 @@ def run(**kwargs) -> TrainLoopState:
         else:
             from ..train.step import REGULARIZERS
 
-            reg_term = float(REGULARIZERS[kwargs["reg_type"]](state.params))
+            p_host = params_view(state.params) if params_view else state.params
+            reg_term = float(REGULARIZERS[kwargs["reg_type"]](p_host))
         # exact reference eval-line format (new_runner.py:468-473), parsed by
         # viz.log_parsing
         logger.info(
@@ -474,12 +538,17 @@ def run(**kwargs) -> TrainLoopState:
             os.path.join(output_dir, "train_state_latest.npz"),
         )
 
-    last_ckpt = LastModelsCheckpointer(output_dir, kwargs["keep_last_models"], writer)
+    last_ckpt = LastModelsCheckpointer(
+        output_dir, kwargs["keep_last_models"], writer, params_view=params_view
+    )
     metrics = (
         ("train_acc", False), ("val_acc", False),
         ("train_mean_ce", True), ("val_mean_ce", True),
     )
-    best_ckpts = [BestModelCheckpointer(output_dir, k, low, writer) for k, low in metrics]
+    best_ckpts = [
+        BestModelCheckpointer(output_dir, k, low, writer, params_view=params_view)
+        for k, low in metrics
+    ]
     es_metrics = tuple(
         (name, low) for name, low in metrics if kwargs[f"es_{name}"]
     )
@@ -494,8 +563,8 @@ def run(**kwargs) -> TrainLoopState:
             make_stopper_after_n_iters(kwargs["max_num_iters"])))
     nan_forward = (
         jax.jit(lambda p, xb: eps_plus_linear_forward(p, xb, cfg, training=False))
-        if n_mesh == 1
-        else None  # DP dump keeps indices only; the split is device-sharded
+        if n_mesh == 1 and n_model == 1
+        else None  # DP/TP dump keeps indices only (sharded split / TP layout)
     )
     after_step = [schedule(make_stopper_on_nan_loss(output_dir, nan_forward))]
     tb_writer = None

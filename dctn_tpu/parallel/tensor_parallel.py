@@ -285,6 +285,61 @@ def make_tp_train_step(
     return step
 
 
+def make_tp_score_fn(
+    cfg: EPSesPlusLinearConfig,
+    mesh: Mesh,
+    batch_size: int,
+    params3_example,
+    shard_all: bool = False,
+):
+    """score(params3, x, y) → (mean_ce, accuracy): the TP analog of
+    train.evaluation.make_score_fn — ONE lax.scan over padded fixed-size
+    batches per model shard (the scan lives INSIDE the shard_map so the
+    per-batch logits psum is the only collective), two scalars out."""
+    p_specs = _tp_specs(params3_example, shard_all)
+
+    @jax.jit
+    def score(params3, x, y):
+        n = y.shape[0]
+        num_batches = -(-n // batch_size)
+        padded = num_batches * batch_size
+        ids = jnp.arange(padded)
+        valid = (ids < n).reshape(num_batches, batch_size)
+        ids = jnp.minimum(ids, n - 1).reshape(num_batches, batch_size)
+
+        def per_shard(p3, xx, yy):
+            def body(carry, inp):
+                ce_sum, correct = carry
+                idx, mask = inp
+                xb = jnp.take(xx, idx, axis=1)
+                yb = jnp.take(yy, idx, axis=0)
+                logits = _tp_forward_local(p3, xb, cfg, False, None, shard_all)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                ce = -jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+                pred = jnp.argmax(logits, axis=1)
+                ce_sum = ce_sum + jnp.sum(ce * mask).astype(jnp.float32)
+                correct = correct + jnp.sum((pred == yb) & mask).astype(jnp.int32)
+                return (ce_sum, correct), None
+
+            (ce_sum, correct), _ = jax.lax.scan(
+                body,
+                (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+                (ids, valid),
+            )
+            return ce_sum, correct
+
+        ce_sum, correct = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(p_specs, P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params3, x, y)
+        return ce_sum / n, correct.astype(jnp.float32) / n
+
+    return score
+
+
 def make_tp_forward(
     cfg: EPSesPlusLinearConfig, mesh: Mesh, params3_example, shard_all: bool = False
 ):

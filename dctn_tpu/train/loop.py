@@ -118,16 +118,28 @@ class LastModelsCheckpointer:
     """Ring buffer of the N most recent model checkpoints
     (training.py:127-145)."""
 
-    def __init__(self, dir: str, n: int, writer: Optional[AsyncWriter] = None):
+    def __init__(
+        self,
+        dir: str,
+        n: int,
+        writer: Optional[AsyncWriter] = None,
+        params_view: Optional[Callable] = None,
+    ):
         assert n >= 1
         self.dir = dir
         self.n = n
         self.filenames: deque = deque()
         self.writer = writer or AsyncWriter()
+        # optional device→checkpoint layout transform (e.g. merge_tp_params,
+        # so TP runs still save reference-layout checkpoints)
+        self.params_view = params_view
 
     def __call__(self, state: TrainLoopState) -> None:
         filename = _metrics_filename("model", state)
-        self.writer.submit(state.params, os.path.join(self.dir, filename))
+        payload = (
+            self.params_view(state.params) if self.params_view else state.params
+        )
+        self.writer.submit(payload, os.path.join(self.dir, filename))
         self.filenames.appendleft(filename)
         while len(self.filenames) > self.n:
             old = self.filenames.pop()
@@ -146,6 +158,7 @@ class BestModelCheckpointer:
         key: str,
         low_is_good: bool,
         writer: Optional[AsyncWriter] = None,
+        params_view: Optional[Callable] = None,
     ):
         self.dir = dir
         self.key = key
@@ -153,6 +166,7 @@ class BestModelCheckpointer:
         self.best_value = float("inf") if low_is_good else float("-inf")
         self.filename: Optional[str] = None
         self.writer = writer or AsyncWriter()
+        self.params_view = params_view
 
     def __call__(self, state: TrainLoopState) -> None:
         if self.key not in state.iter_metrics:
@@ -161,7 +175,10 @@ class BestModelCheckpointer:
         better = value < self.best_value if self.low_is_good else value > self.best_value
         if better:
             new_filename = _metrics_filename(f"model_best_{self.key}", state)
-            self.writer.submit(state.params, os.path.join(self.dir, new_filename))
+            payload = (
+                self.params_view(state.params) if self.params_view else state.params
+            )
+            self.writer.submit(payload, os.path.join(self.dir, new_filename))
             self.best_value = value
             if self.filename is not None:
                 self.writer.wait()

@@ -155,6 +155,58 @@ def test_runner_mesh_data_parallel(tmp_path):
     assert {"loss", "probs_of_true_class", "batch"} <= tags
 
 
+def test_runner_tensor_parallel(tmp_path):
+    """--model-devices 2 --tp-shard-all × --mesh-devices 2: the runner's TP
+    path trains, logs the reference eval-line format, and writes checkpoints
+    in the REFERENCE layout (loadable by the predict CLI / --load-model-state
+    consumers)."""
+    import glob
+
+    import jax
+    import numpy as _np
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    state = run(
+        experiments_dir=str(tmp_path),
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4), (2, 4)),
+        batch_size=32,
+        mesh_devices=2,
+        model_devices=2,
+        tp_shard_all=True,
+        optimizer_name="adam",
+        lr=3e-3,
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=30,
+        keep_last_models=1,
+        synthetic_sizes=(128, 64, 64),
+        patience=50,
+        reg_coeff=1e-6,
+    )
+    assert state.stop_reason == "max_iters"
+    out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    records = load_records(os.path.join(out, "log.log"))
+    assert len(records) == 4
+    assert records[-1].trmce < records[0].trmce  # TP training learns
+    # checkpoints are merged to the reference pytree layout: a reference
+    # template must load them (the contract predict/--load-model-state rely on)
+    from dctn_tpu.models import EPSesPlusLinearConfig, init_eps_plus_linear
+    from dctn_tpu.train import load_pytree
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4), (2, 4)), image_size=28, q0=2,
+        dtype=state.extras["cfg"].dtype,
+    )
+    template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    ckpts = glob.glob(os.path.join(out, "model_nitd=*.npz"))
+    assert ckpts
+    restored = load_pytree(template, ckpts[0])
+    assert all(bool(_np.all(_np.isfinite(l))) for l in jax.tree_util.tree_leaves(restored))
+
+
 def test_increasing_subsequence():
     recs = [Record(i, 0, 0, t, 0) for i, t in enumerate([0.1, 0.3, 0.2, 0.4])]
     inc = list(get_increasing_subsequence(recs, lambda r: r.tracc))
