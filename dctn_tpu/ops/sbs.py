@@ -271,8 +271,8 @@ def conv_sbs(
 
     ``backend="pallas"``: fused differentiable fwd+bwd kernels that keep the
     whole bond-chain fold in VMEM (the XLA path is ~100% HBM-bound); covers
-    open strings and trace_edge rings, falls back here for >2 channels /
-    large bonds / non-f32.
+    open strings and trace_edge rings up to 3 channels, falls back here for
+    larger merged factors / large bonds / non-f32.
     """
     validate_cores(spec, cores)
     if backend in ("pallas", "pallas_interpret"):

@@ -29,7 +29,15 @@ d_cores).
 
 Scope: open strings AND trace_edge rings (the ring bond b0 ≤ 4 is carried
 through the fold state as an extra leading dim and closed by an in-kernel
-δ-trace); ≤2 channels; unsupported specs keep the XLA path silently.
+δ-trace); ≤3 channels (merged factor q^C ≤ 36 — covers the CIFAR-colored
+C=3 strings); unsupported specs keep the XLA path silently.
+
+Ring-loop note (measured r2, same-session A/B at bs 100 / 20 fenced iters):
+vectorizing the b0 loop into the rows — fold state (r, b0, O) so each fold
+op carries all ring-bond copies — is a DEAD END: 23.9 ms vs 21.9 ms for
+this many-small-leading-blocks form. The bigger blocks force 4-D
+broadcast products and U-block concatenations that lower into more Mosaic
+relayout work than the extra unrolled ops cost.
 
 Measured r2 on v5e (legacy model, 2 layers, bond 4, bs 100, fenced value
 fetches — unfenced timings on the async relay are garbage): open strings
@@ -67,7 +75,8 @@ def sbs_plan(spec):
     )
     qc = spec.in_quantum_dim_size**spec.in_num_channels
     supported = (
-        spec.in_num_channels <= 2
+        spec.in_num_channels <= 3  # CIFAR-colored strings are C=3
+        and qc <= 36  # merged-factor rows: the build/d_core loops unroll qc×
         and spec.bond_sizes[0] <= 4  # ring bond unrolls an extra b0 loop
         and all(l <= 8 and r <= 8 for _, l, r in olr)
     )

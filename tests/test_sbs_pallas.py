@@ -35,6 +35,8 @@ CASES = [
     _string(SNAKE9, (1, 1, 1, 1, 10, 1, 1, 1, 1), (1, 4, 4, 4, 4, 4, 4, 4, 4), 1),
     # 2-channel string (merged q^C = 4 factors)
     _string([(0, 0), (0, 1), (1, 1), (1, 0)], (2, 1, 1, 1), (1, 2, 2, 2), 2),
+    # 3-channel string (CIFAR-colored: merged q^C = 8 factors)
+    _string([(0, 0), (0, 1), (1, 1), (1, 0)], (1, 3, 1, 1), (1, 2, 2, 2), 3),
 ]
 
 
@@ -62,7 +64,7 @@ def test_sbs_pallas_forward_matches_xla(rng, idx):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("idx", [0, 1, 3])
+@pytest.mark.parametrize("idx", [0, 1, 3, 4])
 def test_sbs_pallas_grads_match_xla(rng, idx):
     spec = CASES[idx]
     cores = _random_cores(rng, spec)
