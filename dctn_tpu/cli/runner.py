@@ -378,8 +378,6 @@ def run(**kwargs) -> TrainLoopState:
         for opt_name, ok in (
             ("tb_batches", not kwargs["tb_batches"]),
             ("log_intermediate_outputs", not kwargs["log_intermediate_outputs"]),
-            ("grad_accum_steps", kwargs["grad_accum_steps"] == 1),
-            ("freeze_eps", not kwargs["freeze_eps"]),
         ):
             assert ok, f"--{opt_name.replace('_', '-')} is not supported with --model-devices"
         assert kwargs["batch_size"] % n_mesh == 0, "batch size must divide data mesh"
@@ -390,6 +388,8 @@ def run(**kwargs) -> TrainLoopState:
         step = make_tp_train_step(
             cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
             shard_all=shard_all,
+            frozen_eps_indices=kwargs["freeze_eps"],
+            grad_accum_steps=kwargs["grad_accum_steps"],
         )
         x_tr = jnp.asarray(splits.train.x)
         y_tr = jnp.asarray(splits.train.y)

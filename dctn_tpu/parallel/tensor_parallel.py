@@ -220,19 +220,23 @@ def make_tp_train_step(
     reg_coeff: float = 0.0,
     donate: bool = False,
     shard_all: bool = False,
+    frozen_eps_indices=(),
+    grad_accum_steps: int = 1,
 ):
     """step(params3, opt_state, rng, xb, yb) → (params3, opt_state, metrics)
     over a ("data", "model") mesh: batch sharded on data, last core + W (or
     every core with ``shard_all``) on model. The optimizer update runs
     OUTSIDE shard_map — GSPMD propagates the parameter shardings into the
     (elementwise) update and the optimizer state, so arbitrary optax state
-    pytrees need no manual specs."""
+    pytrees need no manual specs. ``frozen_eps_indices`` and
+    ``grad_accum_steps`` mirror the single-device step (train/step.py)."""
+    frozen = frozenset(frozen_eps_indices)
 
     def per_shard(params3, rng, xb, yb):
-        def local_loss(p3):
-            logits = _tp_forward_local(p3, xb, cfg, True, rng, shard_all)
+        def local_loss(p3, xs, ys, r):
+            logits = _tp_forward_local(p3, xs, cfg, True, r, shard_all)
             logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=1))
+            ce = -jnp.mean(jnp.take_along_axis(logp, ys[:, None], axis=1))
             reg = (
                 _local_regularizer(p3, reg_type, mesh.shape["model"], shard_all)
                 if reg_coeff != 0.0
@@ -240,9 +244,38 @@ def make_tp_train_step(
             )
             return ce + reg_coeff * reg, (ce, reg)
 
-        (loss, (ce, reg)), grads = jax.value_and_grad(local_loss, has_aux=True)(
-            params3
-        )
+        if grad_accum_steps == 1:
+            (loss, (ce, reg)), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(params3, xb, yb, rng)
+        else:
+            # microbatch the per-shard step (train/step.py grad-accum scan)
+            b = yb.shape[0]
+            assert b % grad_accum_steps == 0
+            mb = b // grad_accum_steps
+            xm = xb.reshape(xb.shape[0], grad_accum_steps, mb, *xb.shape[2:])
+            xm = jnp.moveaxis(xm, 1, 0)
+            ym = yb.reshape(grad_accum_steps, mb)
+            rngs = jax.random.split(rng, grad_accum_steps)
+
+            def body(carry, inp):
+                loss_sum, ce_sum, reg_last, grad_sum = carry
+                xs, ys, r = inp
+                (l, (ce_, reg_)), g = jax.value_and_grad(
+                    local_loss, has_aux=True
+                )(params3, xs, ys, r)
+                grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g)
+                return (loss_sum + l, ce_sum + ce_, reg_, grad_sum), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params3)
+            acc_dtype = jax.tree_util.tree_leaves(params3)[0].dtype
+            zero = jnp.zeros((), acc_dtype)
+            (loss_sum, ce_sum, reg, grads), _ = jax.lax.scan(
+                body, (zero, zero, zero, zero_grads), (xm, ym, rngs)
+            )
+            inv = 1.0 / grad_accum_steps
+            loss, ce = loss_sum * inv, ce_sum * inv
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         # Sharded leaves' gradients are exact locally (the activation/core
         # gathers carry a true reduce_scatter transpose). In last-only mode
         # the earlier REPLICATED cores feed the last core's LOCAL slice, so
@@ -253,9 +286,13 @@ def make_tp_train_step(
         n_eps = len(params3["epses"])
         grads = {
             "epses": tuple(
-                g
-                if (shard_all or i == n_eps - 1)
-                else jax.lax.psum(g, "model")
+                jnp.zeros_like(g)
+                if i in frozen
+                else (
+                    g
+                    if (shard_all or i == n_eps - 1)
+                    else jax.lax.psum(g, "model")
+                )
                 for i, g in enumerate(grads["epses"])
             ),
             "linear": {"w3": grads["linear"]["w3"], "b": grads["linear"]["b"]},

@@ -151,6 +151,50 @@ def test_tp_shard_all_four_way_model_axis():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13)
 
 
+@pytest.mark.parametrize("shard_all", [False, True])
+def test_tp_freeze_and_grad_accum_match_single_device(shard_all):
+    """freeze-eps + gradient accumulation inside the TP step: 2-step
+    trajectory equals the single-device step with the same options (and the
+    frozen core must not move)."""
+    from dctn_tpu.parallel import (
+        make_tp_mesh,
+        make_tp_params,
+        merge_tp_params,
+        make_tp_train_step,
+    )
+
+    cfg, params, x, y = _setup(shard_all=shard_all)
+    opt = make_optimizer("sgd", 0.05)
+    step = make_train_step(
+        cfg, opt, "epswise", 1e-3, frozen_eps_indices=(0,),
+        grad_accum_steps=2, donate=False,
+    )
+    p_ref, o_ref = params, opt.init(params)
+    for _ in range(2):
+        p_ref, o_ref, m_ref = step(p_ref, o_ref, jax.random.PRNGKey(2), x, y)
+
+    mesh = make_tp_mesh(2, 2)
+    params3 = make_tp_params(params, cfg, mesh, shard_all)
+    opt_tp = make_optimizer("sgd", 0.05)
+    o3 = jax.jit(opt_tp.init)(params3)
+    tp_step = make_tp_train_step(
+        cfg, opt_tp, mesh, "epswise", 1e-3, shard_all=shard_all,
+        frozen_eps_indices=(0,), grad_accum_steps=2,
+    )
+    for _ in range(2):
+        params3, o3, m3 = tp_step(params3, o3, jax.random.PRNGKey(2), x, y)
+
+    np.testing.assert_allclose(float(m3["loss"]), float(m_ref["loss"]), rtol=1e-11)
+    merged = merge_tp_params(params3, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(merged["epses"][0]), np.asarray(params["epses"][0])
+    )  # frozen core untouched
+    for a, b in zip(
+        jax.tree_util.tree_leaves(merged), jax.tree_util.tree_leaves(p_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13)
+
+
 def test_tp_step_with_pallas_backend():
     """TP with the fused Pallas kernels inside shard_map (the pod
     configuration when train_backend=auto resolves to pallas)."""
