@@ -155,6 +155,40 @@ def test_runner_mesh_data_parallel(tmp_path):
     assert {"loss", "probs_of_true_class", "batch"} <= tags
 
 
+def test_runner_tensor_parallel_resume(tmp_path):
+    """--resume-from in TP mode: the full train state (params3 layout +
+    optimizer state + step + rng) round-trips."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    common = dict(
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=32,
+        model_devices=2,
+        optimizer_name="adam",
+        lr=3e-3,
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        keep_last_models=1,
+        synthetic_sizes=(128, 64, 64),
+        patience=50,
+    )
+    run(experiments_dir=str(tmp_path / "a"), max_num_iters=20, **common)
+    out = os.path.join(str(tmp_path / "a"), os.listdir(str(tmp_path / "a"))[0])
+    state_file = os.path.join(out, "train_state_latest.npz")
+    assert os.path.exists(state_file)
+    state = run(
+        experiments_dir=str(tmp_path / "b"),
+        max_num_iters=40,
+        resume_from=state_file,
+        **common,
+    )
+    assert state.num_iters_done == 40
+
+
 def test_runner_tensor_parallel(tmp_path):
     """--model-devices 2 --tp-shard-all × --mesh-devices 2: the runner's TP
     path trains, logs the reference eval-line format, and writes checkpoints
