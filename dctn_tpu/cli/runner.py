@@ -357,7 +357,6 @@ def run(**kwargs) -> TrainLoopState:
 
     # --- training assembly (new_runner.py:443-546) ---
     optimizer = make_optimizer(kwargs["optimizer_name"], kwargs["lr"], kwargs["wd"])
-    opt_state = optimizer.init(params)
 
     n_mesh = kwargs["mesh_devices"]
     n_model = kwargs["model_devices"]
@@ -391,25 +390,7 @@ def run(**kwargs) -> TrainLoopState:
             frozen_eps_indices=kwargs["freeze_eps"],
             grad_accum_steps=kwargs["grad_accum_steps"],
         )
-        x_tr = jnp.asarray(splits.train.x)
-        y_tr = jnp.asarray(splits.train.y)
-        x_val = jnp.asarray(splits.val.x)
-        y_val = jnp.asarray(splits.val.y)
-        gather = make_gather_batch(x_tr, y_tr)
         score = make_tp_score_fn(cfg, mesh, kwargs["batch_size"], params, shard_all)
-        n_eval_train = kwargs["eval_train_subset"] or y_tr.shape[0]
-        x_tr_eval, y_tr_eval = x_tr[:, :n_eval_train], y_tr[:n_eval_train]
-
-        def do_score(p, which):
-            if which == "train":
-                return score(p, x_tr_eval, y_tr_eval)
-            return score(p, x_val, y_val)
-
-        batcher = Batcher(
-            splits.train, kwargs["batch_size"], shuffle=True, drop_last=True,
-            seed=kwargs["seed"],
-        )
-        index_stream = batcher.indices_forever()
         params_view = lambda p3: merge_tp_params(p3, cfg)  # noqa: E731
         logger.info(
             "tensor parallelism: mesh (data=%d, model=%d), shard_all=%s",
@@ -433,8 +414,8 @@ def run(**kwargs) -> TrainLoopState:
         mesh = make_mesh(n_mesh)
         tr_split = shard_split(mesh, splits.train.x, np.asarray(splits.train.y))
         val_split = shard_split(mesh, splits.val.x, np.asarray(splits.val.y))
+        opt_state = replicate(mesh, optimizer.init(params))
         params = replicate(mesh, params)
-        opt_state = replicate(mesh, opt_state)
         step_sharded = make_parallel_train_step(
             cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
             frozen_eps_indices=kwargs["freeze_eps"],
@@ -463,12 +444,17 @@ def run(**kwargs) -> TrainLoopState:
             with_probs=kwargs["tb_batches"],
             grad_accum_steps=kwargs["grad_accum_steps"],
         )
+        opt_state = optimizer.init(params)
+        score = make_score_fn(cfg, kwargs["batch_size"])
+
+    if n_model > 1 or n_mesh == 1:
+        # shared single-device/TP assembly: device-resident split, device
+        # batch gathers, host-side index batcher, score(params, x, y)
         x_tr = jnp.asarray(splits.train.x)
         y_tr = jnp.asarray(splits.train.y)
         x_val = jnp.asarray(splits.val.x)
         y_val = jnp.asarray(splits.val.y)
         gather = make_gather_batch(x_tr, y_tr)
-        score = make_score_fn(cfg, kwargs["batch_size"])
         n_eval_train = kwargs["eval_train_subset"] or y_tr.shape[0]
         x_tr_eval, y_tr_eval = x_tr[:, :n_eval_train], y_tr[:n_eval_train]
 
@@ -564,9 +550,10 @@ def run(**kwargs) -> TrainLoopState:
     nan_forward = (
         jax.jit(lambda p, xb: eps_plus_linear_forward(p, xb, cfg, training=False))
         if n_mesh == 1 and n_model == 1
-        else None  # DP/TP dump keeps indices only (sharded split / TP layout)
+        else None  # DP: indices only (sharded split); TP: params+batch, no output
     )
-    after_step = [schedule(make_stopper_on_nan_loss(output_dir, nan_forward))]
+    after_step = [schedule(make_stopper_on_nan_loss(
+        output_dir, nan_forward, params_view=params_view))]
     tb_writer = None
     if kwargs["tb_batches"] or kwargs["log_intermediate_outputs"]:
         from ..train.tb_logging import MetricsWriter

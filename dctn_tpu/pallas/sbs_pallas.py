@@ -29,7 +29,7 @@ d_cores).
 
 Scope: open strings AND trace_edge rings (the ring bond b0 ≤ 4 is carried
 through the fold state as an extra leading dim and closed by an in-kernel
-δ-trace); ≤3 channels (merged factor q^C ≤ 36 — covers the CIFAR-colored
+δ-trace); ≤3 channels (merged factor q^C ≤ 64 — covers the CIFAR-colored
 C=3 strings); unsupported specs keep the XLA path silently.
 
 Ring-loop note (measured r2, same-session A/B at bs 100 / 20 fenced iters):
@@ -76,7 +76,11 @@ def sbs_plan(spec):
     qc = spec.in_quantum_dim_size**spec.in_num_channels
     supported = (
         spec.in_num_channels <= 3  # CIFAR-colored strings are C=3
-        and qc <= 36  # merged-factor rows: the build/d_core loops unroll qc×
+        # merged-factor bound: the _build_m/d_core loops unroll qc× at trace
+        # time and views cost P·qc rows of VMEM per tile; 64 covers every
+        # spec the kernel handled before the C=3 extension (C=2 at q≤8) and
+        # guards the untested/VMEM-blowing tail beyond it
+        and qc <= 64
         and spec.bond_sizes[0] <= 4  # ring bond unrolls an extra b0 loop
         and all(l <= 8 and r <= 8 for _, l, r in olr)
     )

@@ -330,21 +330,33 @@ def make_tp_score_fn(
     shard_all: bool = False,
 ):
     """score(params3, x, y) → (mean_ce, accuracy): the TP analog of
-    train.evaluation.make_score_fn — ONE lax.scan over padded fixed-size
-    batches per model shard (the scan lives INSIDE the shard_map so the
-    per-batch logits psum is the only collective), two scalars out."""
+    train.evaluation.make_score_fn — the split is sharded along samples over
+    the ``data`` axis (like the DP path's sharded eval, so TP×DP eval scales
+    with the data mesh instead of replicating the whole split per chip); each
+    data row scans ITS chunk in padded fixed-size batches inside the
+    shard_map (the per-batch logits psum over ``model`` is the only inner
+    collective), then one psum over ``data`` reduces the two scalars."""
     p_specs = _tp_specs(params3_example, shard_all)
+    ndata = mesh.shape["data"]
 
     @jax.jit
     def score(params3, x, y):
         n = y.shape[0]
-        num_batches = -(-n // batch_size)
-        padded = num_batches * batch_size
-        ids = jnp.arange(padded)
-        valid = (ids < n).reshape(num_batches, batch_size)
-        ids = jnp.minimum(ids, n - 1).reshape(num_batches, batch_size)
+        n_local = -(-n // ndata)  # samples per data row
+        n_pad = n_local * ndata
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n)) + ((0, 0),) * (x.ndim - 2))
+            y = jnp.pad(y, (0, n_pad - n))
+        num_batches = -(-n_local // batch_size)
+        padded_local = num_batches * batch_size
 
         def per_shard(p3, xx, yy):
+            base = jax.lax.axis_index("data") * n_local
+            ids = jnp.arange(padded_local)
+            valid = (ids < n_local) & (base + ids < n)
+            ids = jnp.minimum(ids, n_local - 1).reshape(num_batches, batch_size)
+            valid = valid.reshape(num_batches, batch_size)
+
             def body(carry, inp):
                 ce_sum, correct = carry
                 idx, mask = inp
@@ -363,12 +375,15 @@ def make_tp_score_fn(
                 (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
                 (ids, valid),
             )
-            return ce_sum, correct
+            return (
+                jax.lax.psum(ce_sum, "data"),
+                jax.lax.psum(correct, "data"),
+            )
 
         ce_sum, correct = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(p_specs, P(), P()),
+            in_specs=(p_specs, P(None, "data"), P("data")),
             out_specs=(P(), P()),
             check_vma=False,
         )(params3, x, y)

@@ -234,7 +234,9 @@ def make_stopper_after_n_iters(n: int) -> Hook:
 
 
 def make_stopper_on_nan_loss(
-    dir: str, forward_fn: Optional[Callable[[Any, Any], Any]] = None
+    dir: str,
+    forward_fn: Optional[Callable[[Any, Any], Any]] = None,
+    params_view: Optional[Callable] = None,
 ) -> Hook:
     """Checks the device-accumulated NaN flag (fetched only when this hook
     runs — put it on the eval schedule, unlike the reference's per-iteration
@@ -273,7 +275,7 @@ def make_stopper_on_nan_loss(
                     "previous scheduled observation.\n"
                 )
             save_pytree(
-                state.params,
+                params_view(state.params) if params_view else state.params,
                 os.path.join(subdir, f"model_nitd={state.num_iters_done}.npz"),
             )
             if state.batch_indices is not None:

@@ -195,6 +195,25 @@ def test_tp_freeze_and_grad_accum_match_single_device(shard_all):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13)
 
 
+@pytest.mark.parametrize("n_eval", [8, 7, 5])  # divisible, ragged, < a batch
+def test_tp_score_matches_single_device(n_eval):
+    """make_tp_score_fn shards the split over the data axis (with padding
+    for ragged sample counts) and must equal the single-device score."""
+    from dctn_tpu.parallel import make_tp_mesh, make_tp_params
+    from dctn_tpu.parallel.tensor_parallel import make_tp_score_fn
+    from dctn_tpu.train.evaluation import make_score_fn
+
+    cfg, params, x, y = _setup(dtype=jnp.float64, shard_all=True)
+    x, y = x[:, :n_eval], y[:n_eval]
+    ref = make_score_fn(cfg, batch_size=3)(params, x, y)
+
+    mesh = make_tp_mesh(2, 2)
+    params3 = make_tp_params(params, cfg, mesh, shard_all=True)
+    got = make_tp_score_fn(cfg, mesh, 3, params3, shard_all=True)(params3, x, y)
+    np.testing.assert_allclose(float(got[0]), float(ref[0]), rtol=1e-12)
+    assert float(got[1]) == float(ref[1])
+
+
 def test_tp_step_with_pallas_backend():
     """TP with the fused Pallas kernels inside shard_map (the pod
     configuration when train_backend=auto resolves to pallas)."""
