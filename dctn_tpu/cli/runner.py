@@ -374,11 +374,6 @@ def run(**kwargs) -> TrainLoopState:
             make_tp_score_fn,
         )
 
-        for opt_name, ok in (
-            ("tb_batches", not kwargs["tb_batches"]),
-            ("log_intermediate_outputs", not kwargs["log_intermediate_outputs"]),
-        ):
-            assert ok, f"--{opt_name.replace('_', '-')} is not supported with --model-devices"
         assert kwargs["batch_size"] % n_mesh == 0, "batch size must divide data mesh"
         shard_all = kwargs["tp_shard_all"]
         mesh = make_tp_mesh(n_mesh, n_model)
@@ -389,6 +384,7 @@ def run(**kwargs) -> TrainLoopState:
             shard_all=shard_all,
             frozen_eps_indices=kwargs["freeze_eps"],
             grad_accum_steps=kwargs["grad_accum_steps"],
+            with_probs=kwargs["tb_batches"],
         )
         score = make_tp_score_fn(cfg, mesh, kwargs["batch_size"], params, shard_all)
         params_view = lambda p3: merge_tp_params(p3, cfg)  # noqa: E731
@@ -565,12 +561,14 @@ def run(**kwargs) -> TrainLoopState:
         raw_images = splits.train.unmodified_x
         # DP: batch_indices are (ndev, b) LOCAL per-shard positions; shard d
         # holds the contiguous block [d·n_local, (d+1)·n_local) of the split,
-        # so the host-side global index is d·n_local + local.
-        n_local_dp = tr_split.n_local if n_mesh > 1 else None
+        # so the host-side global index is d·n_local + local. The TP path
+        # batches with GLOBAL indices regardless of its data axis.
+        dp_only = n_mesh > 1 and n_model == 1
+        n_local_dp = tr_split.n_local if dp_only else None
 
         def global_batch_indices(state: TrainLoopState) -> np.ndarray:
             idx = np.asarray(state.batch_indices)
-            if n_mesh == 1:
+            if not dp_only:
                 return idx
             ndev = idx.shape[0]
             return (np.arange(ndev)[:, None] * n_local_dp + idx).reshape(-1)
@@ -606,7 +604,10 @@ def run(**kwargs) -> TrainLoopState:
         )
 
         def log_intermediates(state: TrainLoopState) -> None:
-            named = named_fn(state.params)
+            # TP runs merge to the reference layout first (host round trip,
+            # eval cadence only)
+            p = params_view(state.params) if params_view else state.params
+            named = named_fn(p)
             log_named_outputs(
                 tb_writer, named, state.num_iters_done, DEFAULT_TRANSFORMS
             )

@@ -222,30 +222,37 @@ def make_tp_train_step(
     shard_all: bool = False,
     frozen_eps_indices=(),
     grad_accum_steps: int = 1,
+    with_probs: bool = False,
 ):
     """step(params3, opt_state, rng, xb, yb) → (params3, opt_state, metrics)
     over a ("data", "model") mesh: batch sharded on data, last core + W (or
     every core with ``shard_all``) on model. The optimizer update runs
     OUTSIDE shard_map — GSPMD propagates the parameter shardings into the
     (elementwise) update and the optimizer state, so arbitrary optax state
-    pytrees need no manual specs. ``frozen_eps_indices`` and
-    ``grad_accum_steps`` mirror the single-device step (train/step.py)."""
+    pytrees need no manual specs. ``frozen_eps_indices``,
+    ``grad_accum_steps`` and ``with_probs`` (per-sample true-class
+    probabilities, gathered over the data axis — the tb-batches hook) mirror
+    the single-device step (train/step.py)."""
     frozen = frozenset(frozen_eps_indices)
+    assert not (with_probs and grad_accum_steps > 1), (
+        "tb-batches is incompatible with gradient accumulation"
+    )
 
     def per_shard(params3, rng, xb, yb):
         def local_loss(p3, xs, ys, r):
             logits = _tp_forward_local(p3, xs, cfg, True, r, shard_all)
             logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.mean(jnp.take_along_axis(logp, ys[:, None], axis=1))
+            per_sample = jnp.take_along_axis(logp, ys[:, None], axis=1)[:, 0]
+            ce = -jnp.mean(per_sample)
             reg = (
                 _local_regularizer(p3, reg_type, mesh.shape["model"], shard_all)
                 if reg_coeff != 0.0
                 else jnp.zeros((), logits.dtype)
             )
-            return ce + reg_coeff * reg, (ce, reg)
+            return ce + reg_coeff * reg, (ce, reg, jnp.exp(per_sample))
 
         if grad_accum_steps == 1:
-            (loss, (ce, reg)), grads = jax.value_and_grad(
+            (loss, (ce, reg, probs)), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(params3, xb, yb, rng)
         else:
@@ -261,7 +268,7 @@ def make_tp_train_step(
             def body(carry, inp):
                 loss_sum, ce_sum, reg_last, grad_sum = carry
                 xs, ys, r = inp
-                (l, (ce_, reg_)), g = jax.value_and_grad(
+                (l, (ce_, reg_, _)), g = jax.value_and_grad(
                     local_loss, has_aux=True
                 )(params3, xs, ys, r)
                 grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g)
@@ -303,20 +310,26 @@ def make_tp_train_step(
             "ce": jax.lax.pmean(ce, "data"),
             "reg_term": reg,
         }
-        return grads, metrics
+        if with_probs:
+            return grads, metrics, probs
+        return grads, metrics, jnp.zeros((0,), jnp.float32)
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params3, opt_state, rng, xb, yb):
         p_specs = _tp_specs(params3, shard_all)
-        grads, metrics = jax.shard_map(
+        grads, metrics, probs = jax.shard_map(
             per_shard,
             mesh=mesh,
             in_specs=(p_specs, P(), P(None, "data"), P("data")),
-            out_specs=(p_specs, P()),
+            # probs come back data-sharded: concatenating the shards
+            # reconstructs the global batch's per-sample values
+            out_specs=(p_specs, P(), P("data")),
             check_vma=False,
         )(params3, rng, xb, yb)
         updates, opt_state = optimizer.update(grads, opt_state, params3)
         params3 = optax.apply_updates(params3, updates)
+        if with_probs:
+            metrics["probs_of_true_class"] = probs
         return params3, opt_state, metrics
 
     return step

@@ -219,12 +219,19 @@ def test_runner_tensor_parallel(tmp_path):
         synthetic_sizes=(128, 64, 64),
         patience=50,
         reg_coeff=1e-6,
+        tb_batches=True,
+        log_intermediate_outputs=True,
     )
     assert state.stop_reason == "max_iters"
     out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
     records = load_records(os.path.join(out, "log.log"))
     assert len(records) == 4
     assert records[-1].trmce < records[0].trmce  # TP training learns
+    # TP observability: per-batch probs (gathered over the data axis) and
+    # intermediate-output transforms land in metrics.jsonl like the DP path
+    tags = {json.loads(l)["tag"] for l in open(os.path.join(out, "metrics.jsonl"))}
+    assert {"loss", "probs_of_true_class", "batch"} <= tags
+    assert any("intermediate" in t or "linear" in t for t in tags), tags
     # checkpoints are merged to the reference pytree layout: a reference
     # template must load them (the contract predict/--load-model-state rely on)
     from dctn_tpu.models import EPSesPlusLinearConfig, init_eps_plus_linear
