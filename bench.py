@@ -91,11 +91,15 @@ def measure_tpu(batch_size: int, steps: int, compute_dtype: str, backend: str):
     y = jax.random.randint(key, (batch_size,), 0, 10)
 
     flops, bytes_ = None, None
-    try:
-        compiled = step.lower(params, opt_state, jax.random.PRNGKey(1), x, y).compile()
-        flops, bytes_ = _cost_analysis(compiled)
-    except Exception:
-        pass
+    if backend == "xla":
+        # AOT-compile only the XLA path for cost_analysis (Pallas custom
+        # calls are opaque to it and the extra relay compile would be pure
+        # waste — main() only reports the XLA algorithm numbers)
+        try:
+            compiled = step.lower(params, opt_state, jax.random.PRNGKey(1), x, y).compile()
+            flops, bytes_ = _cost_analysis(compiled)
+        except Exception:
+            pass
 
     rng = jax.random.PRNGKey(1)
     # warmup / compile; NOTE: on the tunneled axon backend block_until_ready

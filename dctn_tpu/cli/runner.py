@@ -381,6 +381,7 @@ def run(**kwargs) -> TrainLoopState:
         opt_state = jax.jit(optimizer.init)(params)
         step = make_tp_train_step(
             cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
+            donate=True,
             shard_all=shard_all,
             frozen_eps_indices=kwargs["freeze_eps"],
             grad_accum_steps=kwargs["grad_accum_steps"],

@@ -156,7 +156,7 @@ def _pallas_model_forward(
     interpret = cfg.backend == "pallas_interpret"
     specs = cfg.layer_specs()
     for layer_spec in specs:
-        if not all(sbs_pallas_profitable(s, interpret) for s in layer_spec):
+        if not all(sbs_pallas_profitable(s) for s in layer_spec):
             return None
     if cfg.cos_sin_squared:
         q = jnp.stack((jnp.sin(x) ** 2, jnp.cos(x) ** 2), axis=0)

@@ -279,7 +279,7 @@ def conv_sbs(
         from ..pallas.sbs_pallas import conv_sbs_pallas_t, sbs_pallas_profitable
 
         if (
-            sbs_pallas_profitable(spec, backend == "pallas_interpret")
+            sbs_pallas_profitable(spec)
             and x.dtype == jnp.float32
             and all(c.dtype == jnp.float32 for c in cores)
         ):

@@ -87,10 +87,9 @@ def sbs_plan(spec):
     return olr, qc, supported
 
 
-def sbs_pallas_profitable(spec, interpret: bool) -> bool:
+def sbs_pallas_profitable(spec) -> bool:
     """Whether the fused kernel should be used (measured faster than the XLA
     fold for every supported spec — open strings AND rings)."""
-    del interpret
     return sbs_plan(spec)[2]
 
 

@@ -203,34 +203,17 @@ def make_parallel_score_fn(
     """score(params, sharded_split) → (mean_ce, acc) with per-device scans and
     a final psum. Padding samples are masked out by global position."""
 
+    from ..train.evaluation import masked_ce_acc_scan, padded_batch_ids
+
     def per_device(params, x_shard, y_shard, n_valid_arr):
         n_local = y_shard.shape[0]
         d = jax.lax.axis_index("data")
         base = d * n_local
-        num_batches = -(-n_local // batch_size)
-        padded = num_batches * batch_size
-        ids = jnp.arange(padded)
-        valid = (ids < n_local) & (base + jnp.minimum(ids, n_local - 1) < n_valid_arr[0])
-        ids = jnp.minimum(ids, n_local - 1).reshape(num_batches, batch_size)
-        valid = valid.reshape(num_batches, batch_size)
-
-        def body(carry, inp):
-            ce_sum, correct = carry
-            idx, mask = inp
-            xb = jnp.take(x_shard, idx, axis=1)
-            yb = jnp.take(y_shard, idx, axis=0)
-            logits = eps_plus_linear_forward(params, xb, cfg, training=False)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
-            pred = jnp.argmax(logits, axis=1)
-            ce_sum = ce_sum + jnp.sum(ce * mask).astype(jnp.float32)
-            correct = correct + jnp.sum((pred == yb) & mask).astype(jnp.int32)
-            return (ce_sum, correct), None
-
-        (ce_sum, correct), _ = jax.lax.scan(
-            body,
-            (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
-            (ids, valid),
+        ids, in_range = padded_batch_ids(n_local, batch_size)
+        valid = in_range & (base + ids < n_valid_arr[0])
+        ce_sum, correct = masked_ce_acc_scan(
+            lambda xb: eps_plus_linear_forward(params, xb, cfg, training=False),
+            x_shard, y_shard, ids, valid,
         )
         return jax.lax.psum(ce_sum, "data"), jax.lax.psum(correct, "data")
 

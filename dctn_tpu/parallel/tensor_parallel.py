@@ -34,9 +34,10 @@ be strided; the 3-D layout makes the model-axis shard contiguous.
 ``make_tp_params`` / ``merge_tp_params`` convert to/from the reference
 pytree.
 
-Dropout note: the parameter-dropout key is folded with the model-axis index,
-so shards draw independent masks — statistically identical to, but not
-bit-identical with, single-device training (tested at p=1 for exactness).
+Dropout note: parameter-dropout masks are drawn with the single-device key
+chain over each core's FULL shape (sharded cores then slice their O-range),
+so every shard sees one consistent mask realization and TP training with
+dropout is BIT-IDENTICAL to single-device training (tested at p=0.7).
 """
 
 from __future__ import annotations
@@ -149,22 +150,39 @@ def _psum_value_only(x, axis_name):
     return x + jax.lax.stop_gradient(jax.lax.psum(x, axis_name) - x)
 
 
-def _tp_forward_local(params3, xb, cfg, training, rng, shard_all=False):
+def _tp_forward_local(
+    params3, xb, cfg, training, rng, shard_all=False, n_model=1
+):
     """Per-(data, model)-shard forward. Last-only mode: replicated early
     layers, O-sharded last layer. shard_all mode: every layer computes its
     output-dim slice and an all_gather rebuilds the full activation between
-    layers (each slice is computed on exactly ONE shard, so the gathered
-    activation — dropout masks included — is consistent across shards).
-    Either way the partial logits are psum'd over the model axis."""
+    layers. Either way the partial logits are psum'd over the model axis.
+
+    Parameter dropout draws each core's mask with the SAME key chain and
+    FULL core shape as the single-device ``_dropout_epses``, then slices a
+    sharded core's own O-range — so every shard sees one consistent mask
+    realization and TP training at p<1 is bit-identical to single-device
+    (an earlier per-shard fold_in drew n_model inconsistent masks for the
+    replicated early cores, silently weakening dropout's noise)."""
     epses = params3["epses"]
+    n_eps = len(epses)
     if cfg.dropout_p < 1.0 and training:
         m = jax.lax.axis_index("model")
-        keys = jax.random.split(jax.random.fold_in(rng, m), len(epses))
-        epses = tuple(
-            c * jax.random.bernoulli(k, cfg.dropout_p, c.shape).astype(c.dtype)
-            / cfg.dropout_p
-            for c, k in zip(epses, keys)
-        )
+        keys = jax.random.split(rng, n_eps)
+        masked = []
+        for i, (c, k) in enumerate(zip(epses, keys)):
+            sharded = shard_all or i == n_eps - 1
+            if sharded and n_model > 1:
+                o_loc = c.shape[-1]
+                full = c.shape[:-1] + (o_loc * n_model,)
+                mask = jax.random.bernoulli(k, cfg.dropout_p, full).astype(c.dtype)
+                mask = jax.lax.dynamic_slice_in_dim(
+                    mask, m * o_loc, o_loc, axis=c.ndim - 1
+                )
+            else:
+                mask = jax.random.bernoulli(k, cfg.dropout_p, c.shape).astype(c.dtype)
+            masked.append(c * mask / cfg.dropout_p)
+        epses = tuple(masked)
     backend = cfg.train_backend if training else cfg.eval_backend
     h = xb
     for i, core in enumerate(epses):
@@ -240,7 +258,9 @@ def make_tp_train_step(
 
     def per_shard(params3, rng, xb, yb):
         def local_loss(p3, xs, ys, r):
-            logits = _tp_forward_local(p3, xs, cfg, True, r, shard_all)
+            logits = _tp_forward_local(
+                p3, xs, cfg, True, r, shard_all, mesh.shape["model"]
+            )
             logp = jax.nn.log_softmax(logits, axis=-1)
             per_sample = jnp.take_along_axis(logp, ys[:, None], axis=1)[:, 0]
             ce = -jnp.mean(per_sample)
@@ -256,33 +276,12 @@ def make_tp_train_step(
                 local_loss, has_aux=True
             )(params3, xb, yb, rng)
         else:
-            # microbatch the per-shard step (train/step.py grad-accum scan)
-            b = yb.shape[0]
-            assert b % grad_accum_steps == 0
-            mb = b // grad_accum_steps
-            xm = xb.reshape(xb.shape[0], grad_accum_steps, mb, *xb.shape[2:])
-            xm = jnp.moveaxis(xm, 1, 0)
-            ym = yb.reshape(grad_accum_steps, mb)
-            rngs = jax.random.split(rng, grad_accum_steps)
+            # the shared microbatching scan (train/step.py)
+            from ..train.step import grad_accum_scan
 
-            def body(carry, inp):
-                loss_sum, ce_sum, reg_last, grad_sum = carry
-                xs, ys, r = inp
-                (l, (ce_, reg_, _)), g = jax.value_and_grad(
-                    local_loss, has_aux=True
-                )(params3, xs, ys, r)
-                grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g)
-                return (loss_sum + l, ce_sum + ce_, reg_, grad_sum), None
-
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params3)
-            acc_dtype = jax.tree_util.tree_leaves(params3)[0].dtype
-            zero = jnp.zeros((), acc_dtype)
-            (loss_sum, ce_sum, reg, grads), _ = jax.lax.scan(
-                body, (zero, zero, zero, zero_grads), (xm, ym, rngs)
+            loss, ce, reg, grads = grad_accum_scan(
+                local_loss, params3, xb, yb, rng, grad_accum_steps
             )
-            inv = 1.0 / grad_accum_steps
-            loss, ce = loss_sum * inv, ce_sum * inv
-            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         # Sharded leaves' gradients are exact locally (the activation/core
         # gathers carry a true reduce_scatter transpose). In last-only mode
         # the earlier REPLICATED cores feed the last core's LOCAL slice, so
@@ -360,33 +359,15 @@ def make_tp_score_fn(
         if n_pad != n:
             x = jnp.pad(x, ((0, 0), (0, n_pad - n)) + ((0, 0),) * (x.ndim - 2))
             y = jnp.pad(y, (0, n_pad - n))
-        num_batches = -(-n_local // batch_size)
-        padded_local = num_batches * batch_size
-
         def per_shard(p3, xx, yy):
+            from ..train.evaluation import masked_ce_acc_scan, padded_batch_ids
+
             base = jax.lax.axis_index("data") * n_local
-            ids = jnp.arange(padded_local)
-            valid = (ids < n_local) & (base + ids < n)
-            ids = jnp.minimum(ids, n_local - 1).reshape(num_batches, batch_size)
-            valid = valid.reshape(num_batches, batch_size)
-
-            def body(carry, inp):
-                ce_sum, correct = carry
-                idx, mask = inp
-                xb = jnp.take(xx, idx, axis=1)
-                yb = jnp.take(yy, idx, axis=0)
-                logits = _tp_forward_local(p3, xb, cfg, False, None, shard_all)
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                ce = -jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
-                pred = jnp.argmax(logits, axis=1)
-                ce_sum = ce_sum + jnp.sum(ce * mask).astype(jnp.float32)
-                correct = correct + jnp.sum((pred == yb) & mask).astype(jnp.int32)
-                return (ce_sum, correct), None
-
-            (ce_sum, correct), _ = jax.lax.scan(
-                body,
-                (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
-                (ids, valid),
+            ids, in_range = padded_batch_ids(n_local, batch_size)
+            valid = in_range & (base + ids < n)
+            ce_sum, correct = masked_ce_acc_scan(
+                lambda xb: _tp_forward_local(p3, xb, cfg, False, None, shard_all),
+                xx, yy, ids, valid,
             )
             return (
                 jax.lax.psum(ce_sum, "data"),

@@ -20,6 +20,41 @@ import jax.numpy as jnp
 from ..models.eps_plus_linear import EPSesPlusLinearConfig, eps_plus_linear_forward
 
 
+def padded_batch_ids(n_local: int, batch_size: int):
+    """Clamped sample ids + in-range mask for scanning ``n_local`` samples
+    in fixed ``batch_size`` batches: both (num_batches, batch_size)."""
+    num_batches = -(-n_local // batch_size)
+    ids = jnp.arange(num_batches * batch_size)
+    in_range = (ids < n_local).reshape(num_batches, batch_size)
+    clamped = jnp.minimum(ids, n_local - 1).reshape(num_batches, batch_size)
+    return clamped, in_range
+
+
+def masked_ce_acc_scan(forward_fn, x, y, ids, valid):
+    """Σ masked CE (sum reduction) and correct count over padded fixed-size
+    batches, as ONE lax.scan — the shared core of every score fn (single
+    device, DP per-device shard, TP per-shard). ``forward_fn(xb) → logits``;
+    ``ids``/``valid``: (num_batches, batch_size)."""
+
+    def body(carry, inp):
+        ce_sum, correct = carry
+        idx, mask = inp
+        xb = jnp.take(x, idx, axis=1)
+        yb = jnp.take(y, idx, axis=0)
+        logits = forward_fn(xb)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+        pred = jnp.argmax(logits, axis=1)
+        ce_sum = ce_sum + jnp.sum(ce * mask).astype(jnp.float32)
+        correct = correct + jnp.sum((pred == yb) & mask).astype(jnp.int32)
+        return (ce_sum, correct), None
+
+    (ce_sum, correct), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), (ids, valid)
+    )
+    return ce_sum, correct
+
+
 def make_score_fn(
     cfg: EPSesPlusLinearConfig, batch_size: int
 ) -> Callable[[dict, jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
@@ -31,28 +66,10 @@ def make_score_fn(
     @jax.jit
     def score(params, x, y):
         n = y.shape[0]
-        num_batches = -(-n // batch_size)
-        padded = num_batches * batch_size
-        ids = jnp.arange(padded)
-        valid = ids < n
-        ids = jnp.minimum(ids, n - 1).reshape(num_batches, batch_size)
-        valid = valid.reshape(num_batches, batch_size)
-
-        def body(carry, inp):
-            ce_sum, correct = carry
-            idx, mask = inp
-            xb = jnp.take(x, idx, axis=1)
-            yb = jnp.take(y, idx, axis=0)
-            logits = eps_plus_linear_forward(params, xb, cfg, training=False)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
-            pred = jnp.argmax(logits, axis=1)
-            ce_sum = ce_sum + jnp.sum(ce * mask).astype(jnp.float32)
-            correct = correct + jnp.sum((pred == yb) & mask).astype(jnp.int32)
-            return (ce_sum, correct), None
-
-        (ce_sum, correct), _ = jax.lax.scan(
-            body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), (ids, valid)
+        ids, valid = padded_batch_ids(n, batch_size)
+        ce_sum, correct = masked_ce_acc_scan(
+            lambda xb: eps_plus_linear_forward(params, xb, cfg, training=False),
+            x, y, ids, valid,
         )
         return ce_sum / n, correct.astype(jnp.float32) / n
 

@@ -29,6 +29,40 @@ REGULARIZERS = {
 }
 
 
+def grad_accum_scan(loss_fn, params, xb, yb, rng, steps: int):
+    """Microbatched value_and_grad: scan ``steps`` equal slices of the batch
+    (x batch axis 1, y axis 0), averaging losses and gradients — bounds
+    activation memory at very large batches. ``loss_fn(params, xs, ys, r) →
+    (loss, aux)`` with aux[0]=ce, aux[1]=reg. Shared by the single-device
+    and tensor-parallel steps. Returns (loss, ce, reg, grads)."""
+    b = yb.shape[0]
+    assert b % steps == 0
+    mb = b // steps
+    xm = xb.reshape(xb.shape[0], steps, mb, *xb.shape[2:])
+    xm = jnp.moveaxis(xm, 1, 0)  # (steps, C, mb, H, W, Q)
+    ym = yb.reshape(steps, mb)
+    rngs = jax.random.split(rng, steps)
+
+    def body(carry, inp):
+        loss_sum, ce_sum, reg_last, grad_sum = carry
+        xs, ys, r = inp
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, xs, ys, r
+        )
+        grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g)
+        return (loss_sum + l, ce_sum + aux[0], aux[1], grad_sum), None
+
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    acc_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+    zero = jnp.zeros((), acc_dtype)
+    (loss_sum, ce_sum, reg, grads), _ = jax.lax.scan(
+        body, (zero, zero, zero, zero_grads), (xm, ym, rngs)
+    )
+    inv = 1.0 / steps
+    grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+    return loss_sum * inv, ce_sum * inv, reg, grads
+
+
 def make_train_step(
     cfg: EPSesPlusLinearConfig,
     optimizer: optax.GradientTransformation,
@@ -83,37 +117,11 @@ def make_train_step(
                 params, xb, yb, rng
             )
         else:
-            # microbatch the step: scan over grad_accum_steps slices of the
-            # batch, averaging losses and gradients — bounds the activation
-            # memory of very large batches (see CLAUDE.md scaling notes)
             assert not with_probs, "tb-batches is incompatible with grad accumulation"
-            b = yb.shape[0]
-            assert b % grad_accum_steps == 0
-            mb = b // grad_accum_steps
-            xm = xb.reshape(xb.shape[0], grad_accum_steps, mb, *xb.shape[2:])
-            xm = jnp.moveaxis(xm, 1, 0)  # (steps, C, mb, H, W, Q)
-            ym = yb.reshape(grad_accum_steps, mb)
-            rngs = jax.random.split(rng, grad_accum_steps)
-
-            def body(carry, inp):
-                loss_sum, ce_sum, reg_last, grad_sum = carry
-                xs, ys, r = inp
-                (l, (ce, reg)), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, xs, ys, r
-                )
-                grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g)
-                return (loss_sum + l, ce_sum + ce, reg, grad_sum), None
-
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
-            acc_dtype = jax.tree_util.tree_leaves(params)[0].dtype
-            zero = jnp.zeros((), acc_dtype)
-            (loss_sum, ce_sum, reg, grads), _ = jax.lax.scan(
-                body, (zero, zero, zero, zero_grads), (xm, ym, rngs)
+            loss, ce, reg, grads = grad_accum_scan(
+                loss_fn, params, xb, yb, rng, grad_accum_steps
             )
-            inv = 1.0 / grad_accum_steps
-            loss = loss_sum * inv
-            aux = (ce_sum * inv, reg)
-            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            aux = (ce, reg)
         grads = mask_frozen(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

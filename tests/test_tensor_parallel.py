@@ -195,6 +195,53 @@ def test_tp_freeze_and_grad_accum_match_single_device(shard_all):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13)
 
 
+@pytest.mark.parametrize("shard_all", [False, True])
+def test_tp_dropout_matches_single_device(shard_all):
+    """Parameter dropout at p<1: masks are drawn with the single-device key
+    chain over full core shapes (sharded cores slice their O-range), so the
+    TP trajectory is BIT-identical to single-device — including the
+    replicated early cores, which must see ONE consistent mask across model
+    shards (a per-shard fold_in would mix n_model realizations)."""
+    from dctn_tpu.parallel import (
+        make_tp_mesh,
+        make_tp_params,
+        merge_tp_params,
+        make_tp_train_step,
+    )
+
+    specs = ((2, 4), (2, 4)) if shard_all else ((2, 3), (2, 4))
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=specs, image_size=6, q0=2, dtype=jnp.float64, dropout_p=0.7
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.float64), params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 6, 6, 2), jnp.float64)
+    y = jnp.asarray(np.arange(8) % 10)
+
+    opt = make_optimizer("sgd", 0.05)
+    step = make_train_step(cfg, opt, "epswise", 1e-3, donate=False)
+    p_ref, o_ref = params, opt.init(params)
+    for i in range(2):
+        p_ref, o_ref, m_ref = step(p_ref, o_ref, jax.random.PRNGKey(7 + i), x, y)
+
+    mesh = make_tp_mesh(2, 2)
+    params3 = make_tp_params(params, cfg, mesh, shard_all)
+    opt_tp = make_optimizer("sgd", 0.05)
+    o3 = jax.jit(opt_tp.init)(params3)
+    tp_step = make_tp_train_step(
+        cfg, opt_tp, mesh, "epswise", 1e-3, shard_all=shard_all
+    )
+    for i in range(2):
+        params3, o3, m3 = tp_step(params3, o3, jax.random.PRNGKey(7 + i), x, y)
+
+    np.testing.assert_allclose(float(m3["loss"]), float(m_ref["loss"]), rtol=1e-11)
+    merged = merge_tp_params(params3, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(merged), jax.tree_util.tree_leaves(p_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13)
+
+
 @pytest.mark.parametrize("n_eval", [8, 7, 5])  # divisible, ragged, < a batch
 def test_tp_score_matches_single_device(n_eval):
     """make_tp_score_fn shards the split over the data axis (with padding
