@@ -242,6 +242,30 @@ def test_tp_dropout_matches_single_device(shard_all):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-11, atol=1e-13)
 
 
+def test_tp_three_channel_input_matches_single_device():
+    """CIFAR-colored-style C=3 input through TP (the first core carries
+    K²·C input dims; built by the empirical init which infers C from
+    data)."""
+    from dctn_tpu.parallel import make_tp_mesh, make_tp_params, make_tp_forward
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4),), image_size=6, q0=2, dtype=jnp.float64
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 8, 6, 6, 2), jnp.float64)
+    params = init_eps_plus_linear(
+        jax.random.PRNGKey(0), cfg, "unit_empirical_output_std", init_input=x
+    )
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), params)
+    ref = eps_plus_linear_forward(params, x, cfg, training=False)
+
+    mesh = make_tp_mesh(2, 2)
+    params3 = make_tp_params(params, cfg, mesh)
+    forward = make_tp_forward(cfg, mesh, params3)
+    np.testing.assert_allclose(
+        np.asarray(forward(params3, x)), np.asarray(ref), rtol=1e-12
+    )
+
+
 @pytest.mark.parametrize("n_eval", [8, 7, 5])  # divisible, ragged, < a batch
 def test_tp_score_matches_single_device(n_eval):
     """make_tp_score_fn shards the split over the data axis (with padding
