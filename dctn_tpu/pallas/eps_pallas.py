@@ -536,7 +536,8 @@ def _eps_pallas_t_bwd(
     core, xT, views_t, npix = res
     n_k, q_k, npad = views_t.shape
     out_size = core.shape[-1]
-    n1_k = n1 // 2 if merge_pairs else n1
+    n1_k = n1 // 2 if merge_pairs else n1  # _kernel_dims' n1 rule (c, q are
+    # not in scope here; n_k/q_k come from the saved views)
     mm_bytes = jnp.dtype(mm_dtype).itemsize
     cmt = _core_to_cmt_k(core, n1_k, q_k).astype(mm_dtype)
     g_t = g.reshape(out_size, npix)
