@@ -46,7 +46,7 @@ def test_dryrun_multichip_with_locked_small_backend():
         cwd=repo,
         capture_output=True,
         text=True,
-        timeout=540,
+        timeout=900,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
 
@@ -67,7 +67,7 @@ def test_bench_json_contract():
     proc = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "bench.py")],
-        capture_output=True, text=True, env=env, timeout=600,
+        capture_output=True, text=True, env=env, timeout=900,
     )
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     assert lines, proc.stderr[-2000:]
