@@ -83,10 +83,20 @@ def measure_tpu(batch_size: int, steps: int, compute_dtype: str, backend: str):
     key = jax.random.PRNGKey(0)
     params = init_eps_plus_linear(key, cfg)
     opt = make_optimizer("adam", 3e-3)
-    opt_state = opt.init(params)
     # the reference's two-EPS FashionMNIST family trained with Adam + epswise
     # L2 (the 'adam_and_epswise_l2' runs behind the 88.20% val checkpoint)
-    step = make_train_step(cfg, opt, "epswise", 1e-6, donate=True)
+    if backend == "pallas":
+        # fast (cmt) parameter layout: cores stored matricized, so the
+        # per-step 10-D transposes (~3.2 ms, batch-independent) vanish —
+        # trajectory-exact vs the reference layout (tests/test_fast_layout.py)
+        from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
+        from dctn_tpu.train.step import make_fast_train_step
+
+        params, plans = fast_params_from_reference(params, cfg)
+        step = make_fast_train_step(cfg, opt, plans, "epswise", 1e-6, donate=True)
+    else:
+        step = make_train_step(cfg, opt, "epswise", 1e-6, donate=True)
+    opt_state = opt.init(params)
     x = jax.random.uniform(key, (1, batch_size, 28, 28, 2), jnp.float32) * 1.4
     y = jax.random.randint(key, (batch_size,), 0, 10)
 
@@ -260,6 +270,7 @@ def main() -> None:
         "device_kind": device_kind,
         "xla_images_per_sec": round(xla_ips, 1) if xla_ips else None,
         "pallas_images_per_sec": round(pallas_ips, 1) if pallas_ips else None,
+        "pallas_param_layout": "cmt",  # fast matricized cores (test_fast_layout)
         "step_ms": round(1e3 * step_s, 3),
         "flops_per_step_xla": xla_flops,
         "bytes_per_step_xla": xla_bytes,

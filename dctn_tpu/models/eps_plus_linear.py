@@ -220,16 +220,20 @@ def _pallas_pipeline_forward(
             layer = jax.checkpoint(layer)
         outT = layer(core, xT)
         xT = outT[None]
+    return _transposed_classifier(outT, params["linear"])
+
+
+def _transposed_classifier(outT, linear):
+    """logits[b, cls] = Σ_{p,o} outT[o,b,p]·W[(p,o),cls] — W rows are ordered
+    (h, w, q) row-major (reference layout), no transpose of outT needed."""
     o, b2, hp2, wp2 = outT.shape
-    # logits[b, cls] = Σ_{p,o} outT[o,b,p]·W[(p,o),cls] — W rows are ordered
-    # (h, w, q) row-major (reference layout), no transpose of outT needed
-    w_lin = params["linear"]["w"].reshape(hp2 * wp2, o, -1)
+    w_lin = linear["w"].reshape(hp2 * wp2, o, -1)
     logits = jax.lax.dot_general(
         outT.reshape(o, b2, hp2 * wp2),
         w_lin,
         (((0, 2), (1, 0)), ((), ())),
     )
-    return logits + params["linear"]["b"]
+    return logits + linear["b"]
 
 
 def eps_plus_linear_forward(
@@ -260,6 +264,147 @@ def eps_plus_linear_forward(
     h = intermediate[0]  # (B, H', W', Q_out)
     flat = h.reshape(h.shape[0], -1)  # b (h w q) — row-major like the reference
     return flat @ params["linear"]["w"] + params["linear"]["b"]
+
+
+# ---------------------------------------------------------------------------
+# fast ("cmt") parameter layout for the Pallas train path
+#
+# Storing each EPS core as its kernel matrix (Z, A) float32 removes the
+# per-step 10-D->matrix transpose + bf16-cast fusion + gradient unpermute --
+# measured at ~3.2 ms per flagship step (batch-independent) late-r2 -- and
+# lets the optimizer run elementwise on clean 2-D shapes. Conversion happens
+# once at init / checkpoint boundaries; checkpoints stay in the REFERENCE
+# layout (the params_view pattern).
+
+
+def fast_layer_plans(cfg: EPSesPlusLinearConfig, in_channels: int = 1):
+    """Static per-layer plan for the fast layout (batch-size independent):
+    (kernel_size, n1, merge_pairs, out_size, core_shape, c, q) per layer.
+    Raises if any layer can't run on the Pallas pipeline (the fast layout
+    exists only there)."""
+    from ..pallas.eps_pallas import pallas_forward_fits, plan_pallas_call
+
+    c, q = in_channels, cfg.q0
+    plans = []
+    for kernel_size, out_size in cfg.epses_specs:
+        n = kernel_size**2 * c
+        n1 = eps_mod._balanced_split(n, q, out_size)
+        assert pallas_forward_fits(n, n1, q, out_size), (
+            "fast (cmt) params require the Pallas pipeline to cover every layer"
+        )
+        # nominal npix: bn is batch-dependent and resolved at call time; the
+        # n1 / merge_pairs the conversion needs are not
+        n1, _bn, merge_pairs, _mm = plan_pallas_call(
+            c, q, kernel_size, n1, out_size, 128 * 128, None, False
+        )
+        plans.append(
+            {
+                "kernel_size": kernel_size,
+                "n1": n1,
+                "merge_pairs": merge_pairs,
+                "out_size": out_size,
+                "core_shape": (q,) * n + (out_size,),
+                "c": c,
+                "q": q,
+            }
+        )
+        c, q = 1, out_size
+    return tuple(plans)
+
+
+def fast_params_from_reference(params: Params, cfg: EPSesPlusLinearConfig):
+    """Reference pytree -> (fast_params, plans): each EPS core matricized to
+    the kernel's (Z, A) float32 layout."""
+    from ..pallas.eps_pallas import _core_to_cmt_k, _kernel_dims
+
+    k0 = cfg.epses_specs[0][0]
+    in_channels = (params["epses"][0].ndim - 1) // (k0 * k0)
+    plans = fast_layer_plans(cfg, in_channels)
+    cmts = []
+    for core, p in zip(params["epses"], plans):
+        _, q_k, n1_k = _kernel_dims(
+            p["c"], p["q"], p["kernel_size"], p["n1"], p["merge_pairs"]
+        )
+        cmts.append(_core_to_cmt_k(core, n1_k, q_k))
+    return {
+        "epses_cmt": tuple(cmts),
+        "linear": dict(params["linear"]),
+    }, plans
+
+
+def reference_params_from_fast(fast, cfg: EPSesPlusLinearConfig, plans) -> Params:
+    """Inverse of ``fast_params_from_reference`` (exact: pure transposes)."""
+    from ..pallas.eps_pallas import _kernel_dims
+
+    cores = []
+    for cmt, p in zip(fast["epses_cmt"], plans):
+        _, q_k, n1_k = _kernel_dims(
+            p["c"], p["q"], p["kernel_size"], p["n1"], p["merge_pairs"]
+        )
+        shape = p["core_shape"]
+        o = shape[-1]
+        a = q_k**n1_k
+        btot = math.prod(shape[:-1]) // a
+        core = (
+            jnp.asarray(cmt).reshape(o, btot, a).transpose(2, 1, 0).reshape(shape)
+        )
+        cores.append(core)
+    return {"epses": tuple(cores), "linear": dict(fast["linear"])}
+
+
+def eps_plus_linear_forward_fast(
+    fast,
+    x: jax.Array,
+    cfg: EPSesPlusLinearConfig,
+    plans,
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """The transposed Pallas pipeline over fast (cmt) params. Parameter
+    dropout masks cmt components elementwise -- the same iid-Bernoulli-per-
+    core-component semantics (eps_plus_linear.py:139-143), drawn in the cmt
+    order."""
+    from ..pallas.eps_pallas import eps_pallas_apply_t_cmt, plan_pallas_call
+
+    cmts = fast["epses_cmt"]
+    if cfg.dropout_p < 1.0 and training:
+        assert rng is not None, "dropout needs an rng key in training mode"
+        keys = jax.random.split(rng, len(cmts))
+        cmts = tuple(
+            c * jax.random.bernoulli(k, cfg.dropout_p, c.shape).astype(c.dtype)
+            / cfg.dropout_p
+            for c, k in zip(cmts, keys)
+        )
+    backend = cfg.train_backend if training else cfg.eval_backend
+    assert backend in ("pallas", "pallas_interpret"), (
+        "fast params run only on the Pallas pipeline"
+    )
+    interpret = backend == "pallas_interpret"
+    c0, b, h, w, q0 = x.shape
+    xT = jnp.transpose(x, (0, 4, 1, 2, 3))
+    ch, qq, hh, ww = c0, q0, h, w
+    outT = None
+    for i, (cmt, p) in enumerate(zip(cmts, plans)):
+        k_, out_size = p["kernel_size"], p["out_size"]
+        hp, wp = hh - k_ + 1, ww - k_ + 1
+        n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
+            ch, qq, k_, p["n1"], out_size, b * hp * wp, None, interpret
+        )
+        assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
+
+        def layer(cmt_, xT_, _p=(k_, n1, bn, merge_pairs, mm_dtype, out_size, i)):
+            kk, n1_, bn_, mp_, mm_, o_, i_ = _p
+            return eps_pallas_apply_t_cmt(
+                cmt_, xT_, o_, kk, n1_, bn_, interpret, mm_, mp_, i_ == 0
+            )
+
+        if cfg.remat and training:
+            layer = jax.checkpoint(layer)
+        outT = layer(cmt, xT)
+        xT = outT[None]
+        ch, qq, hh, ww = 1, out_size, hp, wp
+    return _transposed_classifier(outT, fast["linear"])
 
 
 # ---------------------------------------------------------------------------

@@ -279,15 +279,6 @@ def _core_to_cmt(core, n1):
     return core.reshape(a, b, o).transpose(2, 1, 0).reshape(o * b, a)
 
 
-def _cmt_grad_to_core(d_cmt_t, core_shape, n1):
-    """Inverse mapping for the (A, Z) gradient produced outside the kernel."""
-    n = len(core_shape) - 1
-    q = core_shape[0]
-    o = core_shape[-1]
-    a, b = q**n1, q ** (n - n1)
-    return d_cmt_t.reshape(a, o, b).transpose(0, 2, 1).reshape(core_shape)
-
-
 @partial(jax.jit, static_argnames=("n1", "out_size", "bn", "interpret"))
 def _run_fwd(views_t, cmt, n1, out_size, bn, interpret):
     n, q, npad = views_t.shape
@@ -329,7 +320,7 @@ def _run_bwd_fused(views_t, cmt, g_t, n1, out_size, bn, interpret):
         ),
         interpret=interpret,
     )(views_t, cmt, g_t)
-    return dviews, d_cmt.T  # (A, Z) like the two-pass path
+    return dviews, d_cmt  # (Z, A) — cmt's own layout
 
 
 @partial(
@@ -371,7 +362,7 @@ def _run_bwd(views_t, cmt, g_t, n1, out_size, bn_a, bn_b, interpret, mm_dtype):
         ),
         interpret=interpret,
     )(views_t, cmt, g_t)
-    return dviews, d_cmt.T  # (A, Z)
+    return dviews, d_cmt  # (Z, A) — cmt's own layout
 
 
 def _slice_specs(kernel_size: int, num_channels: int):
@@ -561,12 +552,88 @@ def _eps_pallas_t_bwd(
         dviews_t, d_cmt_t = _run_bwd(
             views_t, cmt, g_t, n1_k, out_size, bn_a, bn_b, interpret, mm_dtype
         )
-    d_core = _cmt_grad_to_core_k(d_cmt_t, core.shape, n1_k, q_k)
+    d_core = _cmt_grad_to_core_k(d_cmt_t.T, core.shape, n1_k, q_k)
     d_xT = _dxT_from_dviews_t(dviews_t, xT, kernel_size, npix, merge_pairs)
     return d_core, d_xT
 
 
 eps_pallas_apply_t.defvjp(_eps_pallas_t_fwd, _eps_pallas_t_bwd)
+
+
+# ---------------------------------------------------------------------------
+# cmt-native entry: the core arrives ALREADY matricized ("fast" param layout)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def eps_pallas_apply_t_cmt(
+    cmt32, xT, out_size, kernel_size, n1, bn, interpret, mm_dtype,
+    merge_pairs, force_two_pass,
+):
+    """``eps_pallas_apply_t`` with the core stored in the kernel's
+    matricized (Z, A) float32 layout (``models.eps_plus_linear``'s fast
+    param layout). The 10-D→matrix transpose, its bf16-cast fusion and the
+    gradient unpermute cost ~3.2 ms per flagship step — batch-independent,
+    measured late-r2 — and disappear entirely when the matrix IS the stored
+    parameter: the forward only casts a dense 2-D array, and the backward's
+    d_cmt is returned in the parameter's own (Z, A) layout straight from the
+    kernel."""
+    out, _ = _eps_pallas_t_cmt_fwd(
+        cmt32, xT, out_size, kernel_size, n1, bn, interpret, mm_dtype,
+        merge_pairs, force_two_pass,
+    )
+    return out
+
+
+def _eps_pallas_t_cmt_fwd(
+    cmt32, xT, out_size, kernel_size, n1, bn, interpret, mm_dtype,
+    merge_pairs, force_two_pass,
+):
+    c, q, b, h, w = xT.shape
+    hp, wp = h - kernel_size + 1, w - kernel_size + 1
+    n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
+    views_t, npix = _stack_views_from_xT(xT, kernel_size, bn, merge_pairs)
+    out_t = _run_fwd(
+        views_t, cmt32.astype(mm_dtype), n1_k, out_size, bn, interpret
+    )
+    outT = out_t[:, :npix].reshape(out_size, b, hp, wp)
+    return outT, (cmt32, xT, views_t, npix)
+
+
+def _eps_pallas_t_cmt_bwd(
+    out_size, kernel_size, n1, bn, interpret, mm_dtype, merge_pairs,
+    force_two_pass, res, g,
+):
+    cmt32, xT, views_t, npix = res
+    n_k, q_k, npad = views_t.shape
+    n1_k = n1 // 2 if merge_pairs else n1  # _kernel_dims' n1 rule
+    mm_bytes = jnp.dtype(mm_dtype).itemsize
+    cmt = cmt32.astype(mm_dtype)
+    g_t = g.reshape(out_size, npix)
+    if npad != npix:
+        g_t = jnp.pad(g_t, ((0, 0), (0, npad - npix)))
+    bn_f = _largest_bn(
+        lambda v: _fused_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+    )
+    if not force_two_pass and bn_f is not None and bn_f >= _FUSED_MIN_BN:
+        dviews_t, d_cmt = _run_bwd_fused(
+            views_t, cmt, g_t, n1_k, out_size, bn_f, interpret
+        )
+    else:
+        bn_a = _largest_bn(
+            lambda v: _dcore_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+        )
+        bn_b = _largest_bn(
+            lambda v: _dviews_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+        )
+        assert bn_a is not None and bn_b is not None, (n_k, n1_k, q_k, out_size, bn)
+        dviews_t, d_cmt = _run_bwd(
+            views_t, cmt, g_t, n1_k, out_size, bn_a, bn_b, interpret, mm_dtype
+        )
+    d_xT = _dxT_from_dviews_t(dviews_t, xT, kernel_size, npix, merge_pairs)
+    return d_cmt, d_xT
+
+
+eps_pallas_apply_t_cmt.defvjp(_eps_pallas_t_cmt_fwd, _eps_pallas_t_cmt_bwd)
 
 
 def plan_pallas_call(c, q, kernel_size, n1, out_size, npix, mm_dtype, interpret):

@@ -133,6 +133,60 @@ def make_train_step(
     return step
 
 
+def make_fast_train_step(
+    cfg: EPSesPlusLinearConfig,
+    optimizer: optax.GradientTransformation,
+    plans,
+    reg_type: str = "epswise",
+    reg_coeff: float = 0.0,
+    donate: bool = True,
+):
+    """Training step over the FAST (cmt) parameter layout
+    (models/eps_plus_linear.fast_params_from_reference): the Pallas pipeline
+    consumes the matricized cores directly, eliminating the per-step
+    10-D→matrix transposes (~3.2 ms/step on the flagship, batch-independent)
+    and running the optimizer on clean 2-D shapes.
+
+    The epswise regularizer is permutation-invariant, so it computes the
+    EXACT reference value on the cmt leaves. The composition regularizer
+    needs the 10-D cores and unpermutes per step (re-adding transpose cost —
+    prefer epswise with this step). Trajectories equal the regular Pallas
+    step's exactly (elementwise optimizers commute with the layout
+    permutation); see tests/test_fast_layout.py."""
+    from ..models.eps_plus_linear import (
+        eps_plus_linear_forward_fast,
+        reference_params_from_fast,
+    )
+
+    def reg_fn(fast):
+        if reg_type == "epswise":
+            return jnp.sum(fast["linear"]["w"] ** 2) + sum(
+                jnp.sum(c**2) for c in fast["epses_cmt"]
+            )
+        ref = reference_params_from_fast(fast, cfg, plans)
+        return REGULARIZERS[reg_type](ref)
+
+    def loss_fn(fast, xb, yb, rng):
+        logits = eps_plus_linear_forward_fast(
+            fast, xb, cfg, plans, training=True, rng=rng
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=1))
+        reg = reg_fn(fast) if reg_coeff != 0.0 else jnp.zeros((), logits.dtype)
+        return ce + reg_coeff * reg, (ce, reg)
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step(fast, opt_state, rng, xb, yb):
+        (loss, (ce, reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            fast, xb, yb, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, fast)
+        fast = optax.apply_updates(fast, updates)
+        return fast, opt_state, {"loss": loss, "ce": ce, "reg_term": reg}
+
+    return step
+
+
 def make_gather_batch(x_full: jax.Array, y_full: jax.Array):
     """Device-side batch gather from the resident split: idx (B,) → (xb, yb).
     Jitted; the split arrays stay on device across all calls."""
