@@ -360,7 +360,8 @@ def run(**kwargs) -> TrainLoopState:
 
     n_mesh = kwargs["mesh_devices"]
     n_model = kwargs["model_devices"]
-    params_view = None  # device→checkpoint layout transform (TP only)
+    params_view = None  # device→checkpoint layout transform (TP / fast layout)
+    single_forward = None  # jitted (params, xb)→logits for the NaN dump
     if n_model > 1:
         # tensor-parallel path (optionally × data-parallel): EPS output
         # dim(s) + classifier sharded over the model axis; checkpoints are
@@ -435,14 +436,62 @@ def run(**kwargs) -> TrainLoopState:
         def do_score(p, which):
             return score_split(p, tr_split if which == "train" else val_split)
     else:
-        step = make_train_step(
-            cfg, optimizer, kwargs["reg_type"], kwargs["reg_coeff"],
-            frozen_eps_indices=kwargs["freeze_eps"],
-            with_probs=kwargs["tb_batches"],
-            grad_accum_steps=kwargs["grad_accum_steps"],
+        # fast (cmt) parameter layout on the full-Pallas single-chip path:
+        # cores stored matricized — no per-step 10-D transposes (~3.2 ms on
+        # the flagship), trajectory-exact vs the reference layout
+        # (tests/test_fast_layout.py). Checkpoints stay reference-layout via
+        # params_view. Excluded with options the fast step doesn't carry.
+        use_fast = (
+            cfg.train_backend in ("pallas", "pallas_interpret")
+            and cfg.eval_backend == cfg.train_backend
+            and cfg.compute_dtype is None
+            and not kwargs["freeze_eps"]
+            and kwargs["grad_accum_steps"] == 1
+            and not kwargs["tb_batches"]
         )
+        if use_fast:
+            from ..models.eps_plus_linear import (
+                eps_plus_linear_forward_fast,
+                fast_params_from_reference,
+                reference_params_from_fast,
+            )
+            from ..train.step import make_fast_train_step
+
+            try:
+                params, fast_plans = fast_params_from_reference(params, cfg)
+            except AssertionError:
+                use_fast = False  # a layer exceeds the Pallas VMEM plan
+        if use_fast:
+            step = make_fast_train_step(
+                cfg, optimizer, fast_plans,
+                kwargs["reg_type"], kwargs["reg_coeff"],
+            )
+            params_view = lambda f: reference_params_from_fast(  # noqa: E731
+                f, cfg, fast_plans
+            )
+
+            def _fast_forward(f, xb):
+                return eps_plus_linear_forward_fast(
+                    f, xb, cfg, fast_plans, training=False
+                )
+
+            score = make_score_fn(
+                cfg, kwargs["batch_size"], forward_fn=_fast_forward
+            )
+            single_forward = jax.jit(_fast_forward)
+            logger.info("fast (cmt) parameter layout active")
+        else:
+            step = make_train_step(
+                cfg, optimizer, kwargs["reg_type"], kwargs["reg_coeff"],
+                frozen_eps_indices=kwargs["freeze_eps"],
+                with_probs=kwargs["tb_batches"],
+                grad_accum_steps=kwargs["grad_accum_steps"],
+            )
+            score = make_score_fn(cfg, kwargs["batch_size"])
+            single_forward = jax.jit(
+                lambda p, xb: eps_plus_linear_forward(p, xb, cfg, training=False)
+            )
         opt_state = optimizer.init(params)
-        score = make_score_fn(cfg, kwargs["batch_size"])
 
     if n_model > 1 or n_mesh == 1:
         # shared single-device/TP assembly: device-resident split, device
@@ -544,11 +593,8 @@ def run(**kwargs) -> TrainLoopState:
     if kwargs["max_num_iters"] is not None:
         at_iter_start.append(schedule(
             make_stopper_after_n_iters(kwargs["max_num_iters"])))
-    nan_forward = (
-        jax.jit(lambda p, xb: eps_plus_linear_forward(p, xb, cfg, training=False))
-        if n_mesh == 1 and n_model == 1
-        else None  # DP: indices only (sharded split); TP: params+batch, no output
-    )
+    # DP: indices only (sharded split); TP: params+batch, no output
+    nan_forward = single_forward
     after_step = [schedule(make_stopper_on_nan_loss(
         output_dir, nan_forward, params_view=params_view))]
     tb_writer = None

@@ -56,20 +56,24 @@ def masked_ce_acc_scan(forward_fn, x, y, ids, valid):
 
 
 def make_score_fn(
-    cfg: EPSesPlusLinearConfig, batch_size: int
+    cfg: EPSesPlusLinearConfig, batch_size: int, forward_fn=None
 ) -> Callable[[dict, jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
     """Returns score(params, x, y) → (mean_ce, accuracy) computed on device.
 
     ``x``: (C, N, H, W, Q), ``y``: (N,). Jitted once per split size.
-    """
+    ``forward_fn(params, xb) → logits`` overrides the model forward (e.g.
+    the fast-cmt-layout pipeline)."""
+    if forward_fn is None:
+        forward_fn = lambda p, xb: eps_plus_linear_forward(  # noqa: E731
+            p, xb, cfg, training=False
+        )
 
     @jax.jit
     def score(params, x, y):
         n = y.shape[0]
         ids, valid = padded_batch_ids(n, batch_size)
         ce_sum, correct = masked_ce_acc_scan(
-            lambda xb: eps_plus_linear_forward(params, xb, cfg, training=False),
-            x, y, ids, valid,
+            lambda xb: forward_fn(params, xb), x, y, ids, valid
         )
         return ce_sum / n, correct.astype(jnp.float32) / n
 

@@ -155,6 +155,54 @@ def test_runner_mesh_data_parallel(tmp_path):
     assert {"loss", "probs_of_true_class", "batch"} <= tags
 
 
+def test_runner_fast_layout(tmp_path):
+    """The full-Pallas single-chip path auto-activates the fast (cmt)
+    parameter layout: training learns, the log announces it, and checkpoints
+    stay in the REFERENCE layout."""
+    import glob
+
+    import jax
+    import numpy as _np
+
+    state = run(
+        experiments_dir=str(tmp_path),
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4), (2, 4)),
+        batch_size=32,
+        optimizer_name="adam",
+        lr=3e-3,
+        train_backend="pallas_interpret",
+        eval_backend="pallas_interpret",
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=30,
+        keep_last_models=1,
+        synthetic_sizes=(128, 64, 64),
+        patience=50,
+        reg_coeff=1e-6,
+    )
+    assert state.stop_reason == "max_iters"
+    out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    log = open(os.path.join(out, "log.log")).read()
+    assert "fast (cmt) parameter layout active" in log
+    records = load_records(os.path.join(out, "log.log"))
+    assert records[-1].trmce < records[0].trmce
+    # checkpoint is reference-layout loadable
+    from dctn_tpu.models import EPSesPlusLinearConfig, init_eps_plus_linear
+    from dctn_tpu.train import load_pytree
+
+    cfg = EPSesPlusLinearConfig(epses_specs=((2, 4), (2, 4)), image_size=28, q0=2)
+    template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    ckpts = glob.glob(os.path.join(out, "model_nitd=*.npz"))
+    assert ckpts
+    restored = load_pytree(template, ckpts[0])
+    assert all(
+        bool(_np.all(_np.isfinite(l)))
+        for l in jax.tree_util.tree_leaves(restored)
+    )
+
+
 def test_runner_tensor_parallel_resume(tmp_path):
     """--resume-from in TP mode: the full train state (params3 layout +
     optimizer state + step + rng) round-trips."""
