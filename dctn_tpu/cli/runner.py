@@ -362,6 +362,7 @@ def run(**kwargs) -> TrainLoopState:
     n_model = kwargs["model_devices"]
     params_view = None  # device→checkpoint layout transform (TP / fast layout)
     single_forward = None  # jitted (params, xb)→logits for the NaN dump
+    use_fast = False  # fast (cmt) parameter layout (single-chip Pallas only)
     if n_model > 1:
         # tensor-parallel path (optionally × data-parallel): EPS output
         # dim(s) + classifier sharded over the model axis; checkpoints are
@@ -445,6 +446,7 @@ def run(**kwargs) -> TrainLoopState:
             cfg.train_backend in ("pallas", "pallas_interpret")
             and cfg.eval_backend == cfg.train_backend
             and cfg.compute_dtype is None
+            and cfg.dropout_p == 1.0  # dropout masks differ across layouts
             and not kwargs["freeze_eps"]
             and kwargs["grad_accum_steps"] == 1
             and not kwargs["tb_batches"]
@@ -459,8 +461,12 @@ def run(**kwargs) -> TrainLoopState:
 
             try:
                 params, fast_plans = fast_params_from_reference(params, cfg)
-            except AssertionError:
+            except AssertionError as e:
                 use_fast = False  # a layer exceeds the Pallas VMEM plan
+                logger.warning(
+                    "fast (cmt) parameter layout unavailable (%s); using the "
+                    "reference layout", e,
+                )
         if use_fast:
             step = make_fast_train_step(
                 cfg, optimizer, fast_plans,
@@ -515,7 +521,20 @@ def run(**kwargs) -> TrainLoopState:
         )
         index_stream = batcher.indices_forever()
 
+    params_layout_fast = use_fast
     if kwargs["resume_from"]:
+        with np.load(kwargs["resume_from"]) as _d:
+            saved_fast = bool(_d["param_layout"]) if "param_layout" in _d else False
+        if saved_fast != params_layout_fast:
+            raise click.ClickException(
+                f"{kwargs['resume_from']} was saved with the "
+                f"{'fast (cmt)' if saved_fast else 'reference'} parameter "
+                "layout, but the current options resolve to the "
+                f"{'fast (cmt)' if params_layout_fast else 'reference'} "
+                "layout — resume with matching backend/dropout/freeze/"
+                "grad-accum/tb options, or start fresh from a model "
+                "checkpoint via --load-model-state"
+            )
         template = {"params": params, "opt_state": opt_state,
                     "step": 0, "rng": jax.random.key_data(k_train)}
         restored = load_pytree(template, kwargs["resume_from"])
@@ -559,13 +578,17 @@ def run(**kwargs) -> TrainLoopState:
     writer = AsyncWriter()
 
     def save_train_state(state: TrainLoopState) -> None:
-        """Full-resume checkpoint: params + optimizer state + step + rng."""
+        """Full-resume checkpoint: params + optimizer state + step + rng.
+        ``param_layout`` tags the layout (0 = reference/TP, 1 = fast cmt) so
+        a resume under different options fails with a clear message instead
+        of a cryptic missing-leaf error."""
         writer.submit(
             {
                 "params": state.params,
                 "opt_state": state.opt_state,
                 "step": state.num_iters_done,
                 "rng": jax.random.key_data(state.rng),
+                "param_layout": np.int32(1 if params_layout_fast else 0),
             },
             os.path.join(output_dir, "train_state_latest.npz"),
         )

@@ -370,12 +370,12 @@ def eps_plus_linear_forward_fast(
     cmts = fast["epses_cmt"]
     if cfg.dropout_p < 1.0 and training:
         assert rng is not None, "dropout needs an rng key in training mode"
-        keys = jax.random.split(rng, len(cmts))
-        cmts = tuple(
-            c * jax.random.bernoulli(k, cfg.dropout_p, c.shape).astype(c.dtype)
-            / cfg.dropout_p
-            for c, k in zip(cmts, keys)
-        )
+        # NOTE: masks are drawn over the cmt shapes — statistically identical
+        # to, but NOT bit-identical with, the reference layout's draw (the
+        # same flat random bits land on permuted components). Seeded
+        # trajectory exactness vs the regular step holds only at p=1; the
+        # runner gates the fast layout accordingly.
+        cmts = _dropout_epses(cmts, cfg.dropout_p, rng)
     backend = cfg.train_backend if training else cfg.eval_backend
     assert backend in ("pallas", "pallas_interpret"), (
         "fast params run only on the Pallas pipeline"

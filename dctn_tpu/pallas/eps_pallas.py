@@ -520,17 +520,15 @@ def _eps_pallas_t_fwd(
     return outT, (core, xT, views_t, npix)
 
 
-def _eps_pallas_t_bwd(
-    kernel_size, n1, bn, interpret, mm_dtype, merge_pairs, force_two_pass,
-    res, g,
+def _bwd_dispatch(
+    views_t, cmt, g, npix, n1_k, out_size, bn, interpret, mm_dtype,
+    force_two_pass,
 ):
-    core, xT, views_t, npix = res
+    """Shared backward tile planning + kernel dispatch for BOTH parameter
+    layouts: pads the cotangent, picks fused vs two-pass by VMEM fit, and
+    returns (dviews_t, d_cmt) with d_cmt in the (Z, A) cmt layout."""
     n_k, q_k, npad = views_t.shape
-    out_size = core.shape[-1]
-    n1_k = n1 // 2 if merge_pairs else n1  # _kernel_dims' n1 rule (c, q are
-    # not in scope here; n_k/q_k come from the saved views)
     mm_bytes = jnp.dtype(mm_dtype).itemsize
-    cmt = _core_to_cmt_k(core, n1_k, q_k).astype(mm_dtype)
     g_t = g.reshape(out_size, npix)
     if npad != npix:
         g_t = jnp.pad(g_t, ((0, 0), (0, npad - npix)))
@@ -538,21 +536,34 @@ def _eps_pallas_t_bwd(
         lambda v: _fused_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
     )
     if not force_two_pass and bn_f is not None and bn_f >= _FUSED_MIN_BN:
-        dviews_t, d_cmt_t = _run_bwd_fused(
-            views_t, cmt, g_t, n1_k, out_size, bn_f, interpret
-        )
-    else:
-        bn_a = _largest_bn(
-            lambda v: _dcore_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
-        )
-        bn_b = _largest_bn(
-            lambda v: _dviews_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
-        )
-        assert bn_a is not None and bn_b is not None, (n_k, n1_k, q_k, out_size, bn)
-        dviews_t, d_cmt_t = _run_bwd(
-            views_t, cmt, g_t, n1_k, out_size, bn_a, bn_b, interpret, mm_dtype
-        )
-    d_core = _cmt_grad_to_core_k(d_cmt_t.T, core.shape, n1_k, q_k)
+        return _run_bwd_fused(views_t, cmt, g_t, n1_k, out_size, bn_f, interpret)
+    bn_a = _largest_bn(
+        lambda v: _dcore_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+    )
+    bn_b = _largest_bn(
+        lambda v: _dviews_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+    )
+    assert bn_a is not None and bn_b is not None, (n_k, n1_k, q_k, out_size, bn)
+    return _run_bwd(
+        views_t, cmt, g_t, n1_k, out_size, bn_a, bn_b, interpret, mm_dtype
+    )
+
+
+def _eps_pallas_t_bwd(
+    kernel_size, n1, bn, interpret, mm_dtype, merge_pairs, force_two_pass,
+    res, g,
+):
+    core, xT, views_t, npix = res
+    _, q_k, _ = views_t.shape
+    out_size = core.shape[-1]
+    n1_k = n1 // 2 if merge_pairs else n1  # _kernel_dims' n1 rule (c, q are
+    # not in scope here; n_k/q_k come from the saved views)
+    cmt = _core_to_cmt_k(core, n1_k, q_k).astype(mm_dtype)
+    dviews_t, d_cmt = _bwd_dispatch(
+        views_t, cmt, g, npix, n1_k, out_size, bn, interpret, mm_dtype,
+        force_two_pass,
+    )
+    d_core = _cmt_grad_to_core_k(d_cmt.T, core.shape, n1_k, q_k)
     d_xT = _dxT_from_dviews_t(dviews_t, xT, kernel_size, npix, merge_pairs)
     return d_core, d_xT
 
@@ -604,31 +615,11 @@ def _eps_pallas_t_cmt_bwd(
     force_two_pass, res, g,
 ):
     cmt32, xT, views_t, npix = res
-    n_k, q_k, npad = views_t.shape
     n1_k = n1 // 2 if merge_pairs else n1  # _kernel_dims' n1 rule
-    mm_bytes = jnp.dtype(mm_dtype).itemsize
-    cmt = cmt32.astype(mm_dtype)
-    g_t = g.reshape(out_size, npix)
-    if npad != npix:
-        g_t = jnp.pad(g_t, ((0, 0), (0, npad - npix)))
-    bn_f = _largest_bn(
-        lambda v: _fused_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+    dviews_t, d_cmt = _bwd_dispatch(
+        views_t, cmt32.astype(mm_dtype), g, npix, n1_k, out_size, bn,
+        interpret, mm_dtype, force_two_pass,
     )
-    if not force_two_pass and bn_f is not None and bn_f >= _FUSED_MIN_BN:
-        dviews_t, d_cmt = _run_bwd_fused(
-            views_t, cmt, g_t, n1_k, out_size, bn_f, interpret
-        )
-    else:
-        bn_a = _largest_bn(
-            lambda v: _dcore_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
-        )
-        bn_b = _largest_bn(
-            lambda v: _dviews_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
-        )
-        assert bn_a is not None and bn_b is not None, (n_k, n1_k, q_k, out_size, bn)
-        dviews_t, d_cmt = _run_bwd(
-            views_t, cmt, g_t, n1_k, out_size, bn_a, bn_b, interpret, mm_dtype
-        )
     d_xT = _dxT_from_dviews_t(dviews_t, xT, kernel_size, npix, merge_pairs)
     return d_cmt, d_xT
 
