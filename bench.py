@@ -85,12 +85,11 @@ def measure_tpu(batch_size: int, steps: int, compute_dtype: str, backend: str):
     opt = make_optimizer("adam", 3e-3)
     # the reference's two-EPS FashionMNIST family trained with Adam + epswise
     # L2 (the 'adam_and_epswise_l2' runs behind the 88.20% val checkpoint)
-    if backend == "pallas" and compute_dtype != "bfloat16":
+    if backend == "pallas":
         # fast (cmt) parameter layout: cores stored matricized, so the
         # per-step 10-D transposes (~3.2 ms, batch-independent) vanish —
         # trajectory-exact vs the reference layout (tests/test_fast_layout.py).
-        # bf16 compute_dtype keeps the reference layout (the fast pipeline
-        # has no compute_dtype plumbing — it would silently ignore it).
+        # compute_dtype plumbs through as the kernels' mm_dtype (r3).
         from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
         from dctn_tpu.train.step import make_fast_train_step
 
@@ -272,10 +271,7 @@ def main() -> None:
         "device_kind": device_kind,
         "xla_images_per_sec": round(xla_ips, 1) if xla_ips else None,
         "pallas_images_per_sec": round(pallas_ips, 1) if pallas_ips else None,
-        "pallas_param_layout": (
-            None if pallas_ips is None
-            else ("cmt" if compute_dtype != "bfloat16" else "reference")
-        ),
+        "pallas_param_layout": None if pallas_ips is None else "cmt",
         "step_ms": round(1e3 * step_s, 3),
         "flops_per_step_xla": xla_flops,
         "bytes_per_step_xla": xla_bytes,

@@ -439,20 +439,18 @@ def run(**kwargs) -> TrainLoopState:
     else:
         # fast (cmt) parameter layout on the full-Pallas single-chip path:
         # cores stored matricized — no per-step 10-D transposes (~3.2 ms on
-        # the flagship), trajectory-exact vs the reference layout
-        # (tests/test_fast_layout.py). Checkpoints stay reference-layout via
-        # params_view. Excluded with options the fast step doesn't carry.
+        # the flagship), trajectory-exact vs the reference layout INCLUDING
+        # dropout p<1 (reference-order masks permuted to cmt) and
+        # compute_dtype (mm_dtype plumbing); freeze-eps / grad-accum /
+        # tb-batches run natively on the fast step (tests/test_fast_layout).
+        # Checkpoints stay reference-layout via params_view.
         use_fast = (
             cfg.train_backend in ("pallas", "pallas_interpret")
             and cfg.eval_backend == cfg.train_backend
-            and cfg.compute_dtype is None
-            and cfg.dropout_p == 1.0  # dropout masks differ across layouts
-            and not kwargs["freeze_eps"]
-            and kwargs["grad_accum_steps"] == 1
-            and not kwargs["tb_batches"]
         )
         if use_fast:
             from ..models.eps_plus_linear import (
+                FastLayoutUnavailable,
                 eps_plus_linear_forward_fast,
                 fast_params_from_reference,
                 reference_params_from_fast,
@@ -461,7 +459,7 @@ def run(**kwargs) -> TrainLoopState:
 
             try:
                 params, fast_plans = fast_params_from_reference(params, cfg)
-            except AssertionError as e:
+            except FastLayoutUnavailable as e:
                 use_fast = False  # a layer exceeds the Pallas VMEM plan
                 logger.warning(
                     "fast (cmt) parameter layout unavailable (%s); using the "
@@ -471,6 +469,9 @@ def run(**kwargs) -> TrainLoopState:
             step = make_fast_train_step(
                 cfg, optimizer, fast_plans,
                 kwargs["reg_type"], kwargs["reg_coeff"],
+                frozen_eps_indices=kwargs["freeze_eps"],
+                with_probs=kwargs["tb_batches"],
+                grad_accum_steps=kwargs["grad_accum_steps"],
             )
             params_view = lambda f: reference_params_from_fast(  # noqa: E731
                 f, cfg, fast_plans

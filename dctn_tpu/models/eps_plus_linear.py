@@ -184,8 +184,10 @@ def _pallas_pipeline_forward(
     )
 
     interpret = backend == "pallas_interpret"
-    # plan every layer first; bail out early if any layer can't
-    if x.dtype != jnp.float32 or cfg.compute_dtype is not None:
+    # plan every layer first; bail out early if any layer can't.
+    # compute_dtype=bfloat16 maps to the kernels' mm_dtype (MXU operand
+    # cast, f32 accumulate) — the same semantics the XLA path gives it.
+    if x.dtype != jnp.float32:
         return None
     plans = []
     c, b, h, w, q = x.shape
@@ -200,7 +202,8 @@ def _pallas_pipeline_forward(
             return None
         hp, wp = h - kernel_size + 1, w - kernel_size + 1
         n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
-            c, q, kernel_size, n1, out_size, b * hp * wp, None, interpret
+            c, q, kernel_size, n1, out_size, b * hp * wp,
+            cfg.compute_dtype, interpret,
         )
         plans.append((kernel_size, n1, bn, merge_pairs, mm_dtype))
         c, q, h, w = 1, out_size, hp, wp
@@ -277,11 +280,18 @@ def eps_plus_linear_forward(
 # layout (the params_view pattern).
 
 
+class FastLayoutUnavailable(ValueError):
+    """A layer doesn't fit the Pallas VMEM plan, so the fast (cmt) parameter
+    layout (which exists only on the Pallas pipeline) can't be used. A
+    dedicated exception — NOT an assert — so the runner's logged fallback to
+    the reference layout survives ``python -O``."""
+
+
 def fast_layer_plans(cfg: EPSesPlusLinearConfig, in_channels: int = 1):
     """Static per-layer plan for the fast layout (batch-size independent):
     (kernel_size, n1, merge_pairs, out_size, core_shape, c, q) per layer.
-    Raises if any layer can't run on the Pallas pipeline (the fast layout
-    exists only there)."""
+    Raises FastLayoutUnavailable if any layer can't run on the Pallas
+    pipeline (the fast layout exists only there)."""
     from ..pallas.eps_pallas import pallas_forward_fits, plan_pallas_call
 
     c, q = in_channels, cfg.q0
@@ -289,9 +299,12 @@ def fast_layer_plans(cfg: EPSesPlusLinearConfig, in_channels: int = 1):
     for kernel_size, out_size in cfg.epses_specs:
         n = kernel_size**2 * c
         n1 = eps_mod._balanced_split(n, q, out_size)
-        assert pallas_forward_fits(n, n1, q, out_size), (
-            "fast (cmt) params require the Pallas pipeline to cover every layer"
-        )
+        if not pallas_forward_fits(n, n1, q, out_size):
+            raise FastLayoutUnavailable(
+                f"EPS layer (K={kernel_size}, Q_in={q}, O={out_size}) exceeds "
+                "the Pallas VMEM plan — fast (cmt) params require the Pallas "
+                "pipeline to cover every layer"
+            )
         # nominal npix: bn is batch-dependent and resolved at call time; the
         # n1 / merge_pairs the conversion needs are not
         n1, _bn, merge_pairs, _mm = plan_pallas_call(
@@ -352,6 +365,30 @@ def reference_params_from_fast(fast, cfg: EPSesPlusLinearConfig, plans) -> Param
     return {"epses": tuple(cores), "linear": dict(fast["linear"])}
 
 
+def _dropout_cmts(cmts, plans, p: float, rng: jax.Array):
+    """LAYOUT-INVARIANT parameter dropout for the fast (cmt) layout: each
+    Bernoulli mask is drawn over the REFERENCE core shape with the exact key
+    chain of ``_dropout_epses`` (eps_plus_linear.py:139-143 semantics), then
+    permuted into the cmt layout — so the same random bit lands on the same
+    logical core component in either layout and fast-layout training with
+    p<1 is trajectory-identical to the reference-layout step (the mask
+    permutation is a fixed transposition; elementwise optimizers commute
+    with the layout permutation)."""
+    from ..pallas.eps_pallas import _core_to_cmt_k, _kernel_dims
+
+    keys = jax.random.split(rng, len(cmts))
+    out = []
+    for cmt, plan, k in zip(cmts, plans, keys):
+        mask = jax.random.bernoulli(k, p, plan["core_shape"])
+        _, q_k, n1_k = _kernel_dims(
+            plan["c"], plan["q"], plan["kernel_size"], plan["n1"],
+            plan["merge_pairs"],
+        )
+        mask_cmt = _core_to_cmt_k(mask, n1_k, q_k).astype(cmt.dtype)
+        out.append(cmt * mask_cmt / p)
+    return tuple(out)
+
+
 def eps_plus_linear_forward_fast(
     fast,
     x: jax.Array,
@@ -362,20 +399,15 @@ def eps_plus_linear_forward_fast(
     rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """The transposed Pallas pipeline over fast (cmt) params. Parameter
-    dropout masks cmt components elementwise -- the same iid-Bernoulli-per-
-    core-component semantics (eps_plus_linear.py:139-143), drawn in the cmt
-    order."""
+    dropout draws reference-order masks and permutes them to cmt
+    (``_dropout_cmts``) so p<1 trajectories match the reference layout
+    bit-for-bit."""
     from ..pallas.eps_pallas import eps_pallas_apply_t_cmt, plan_pallas_call
 
     cmts = fast["epses_cmt"]
     if cfg.dropout_p < 1.0 and training:
         assert rng is not None, "dropout needs an rng key in training mode"
-        # NOTE: masks are drawn over the cmt shapes — statistically identical
-        # to, but NOT bit-identical with, the reference layout's draw (the
-        # same flat random bits land on permuted components). Seeded
-        # trajectory exactness vs the regular step holds only at p=1; the
-        # runner gates the fast layout accordingly.
-        cmts = _dropout_epses(cmts, cfg.dropout_p, rng)
+        cmts = _dropout_cmts(cmts, plans, cfg.dropout_p, rng)
     backend = cfg.train_backend if training else cfg.eval_backend
     assert backend in ("pallas", "pallas_interpret"), (
         "fast params run only on the Pallas pipeline"
@@ -389,7 +421,8 @@ def eps_plus_linear_forward_fast(
         k_, out_size = p["kernel_size"], p["out_size"]
         hp, wp = hh - k_ + 1, ww - k_ + 1
         n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
-            ch, qq, k_, p["n1"], out_size, b * hp * wp, None, interpret
+            ch, qq, k_, p["n1"], out_size, b * hp * wp,
+            cfg.compute_dtype, interpret,
         )
         assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
 

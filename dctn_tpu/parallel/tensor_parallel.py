@@ -366,7 +366,9 @@ def make_tp_score_fn(
             ids, in_range = padded_batch_ids(n_local, batch_size)
             valid = in_range & (base + ids < n)
             ce_sum, correct = masked_ce_acc_scan(
-                lambda xb: _tp_forward_local(p3, xb, cfg, False, None, shard_all),
+                lambda xb: _tp_forward_local(
+                    p3, xb, cfg, False, None, shard_all, mesh.shape["model"]
+                ),
                 xx, yy, ids, valid,
             )
             return (
@@ -395,7 +397,9 @@ def make_tp_forward(
     @jax.jit
     def forward(params3, x):
         return jax.shard_map(
-            lambda p3, xb: _tp_forward_local(p3, xb, cfg, False, None, shard_all),
+            lambda p3, xb: _tp_forward_local(
+                p3, xb, cfg, False, None, shard_all, mesh.shape["model"]
+            ),
             mesh=mesh,
             in_specs=(p_specs, P(None, "data")),
             out_specs=P("data"),

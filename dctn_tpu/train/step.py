@@ -140,6 +140,9 @@ def make_fast_train_step(
     reg_type: str = "epswise",
     reg_coeff: float = 0.0,
     donate: bool = True,
+    frozen_eps_indices: Sequence[int] = (),
+    with_probs: bool = False,
+    grad_accum_steps: int = 1,
 ):
     """Training step over the FAST (cmt) parameter layout
     (models/eps_plus_linear.fast_params_from_reference): the Pallas pipeline
@@ -151,11 +154,19 @@ def make_fast_train_step(
     EXACT reference value on the cmt leaves. The composition regularizer
     needs the 10-D cores and unpermutes per step (re-adding transpose cost —
     prefer epswise with this step). Trajectories equal the regular Pallas
-    step's exactly (elementwise optimizers commute with the layout
-    permutation); see tests/test_fast_layout.py."""
+    step's exactly, INCLUDING dropout p<1 (masks are drawn reference-order
+    and permuted — _dropout_cmts) — elementwise optimizers commute with the
+    layout permutation; see tests/test_fast_layout.py. ``frozen_eps_indices``
+    / ``with_probs`` / ``grad_accum_steps`` mirror make_train_step so the
+    runner's full option surface stays on the fast path."""
     from ..models.eps_plus_linear import (
         eps_plus_linear_forward_fast,
         reference_params_from_fast,
+    )
+
+    frozen = frozenset(frozen_eps_indices)
+    assert not (with_probs and grad_accum_steps > 1), (
+        "tb-batches is incompatible with gradient accumulation"
     )
 
     def reg_fn(fast):
@@ -171,18 +182,41 @@ def make_fast_train_step(
             fast, xb, cfg, plans, training=True, rng=rng
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=1))
+        per_sample = jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+        ce = -jnp.mean(per_sample)
         reg = reg_fn(fast) if reg_coeff != 0.0 else jnp.zeros((), logits.dtype)
-        return ce + reg_coeff * reg, (ce, reg)
+        return ce + reg_coeff * reg, (ce, reg, jnp.exp(per_sample))
+
+    def mask_frozen(grads):
+        if not frozen:
+            return grads
+        cmts = tuple(
+            jnp.zeros_like(g) if i in frozen else g
+            for i, g in enumerate(grads["epses_cmt"])
+        )
+        return {**grads, "epses_cmt": cmts}
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(fast, opt_state, rng, xb, yb):
-        (loss, (ce, reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            fast, xb, yb, rng
-        )
+        if grad_accum_steps == 1:
+            (loss, (ce, reg, probs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(fast, xb, yb, rng)
+        else:
+            loss, ce, reg, grads = grad_accum_scan(
+                lambda p, xs, ys, r: (lambda v: (v[0], v[1][:2]))(
+                    loss_fn(p, xs, ys, r)
+                ),
+                fast, xb, yb, rng, grad_accum_steps,
+            )
+            probs = None
+        grads = mask_frozen(grads)
         updates, opt_state = optimizer.update(grads, opt_state, fast)
         fast = optax.apply_updates(fast, updates)
-        return fast, opt_state, {"loss": loss, "ce": ce, "reg_term": reg}
+        metrics = {"loss": loss, "ce": ce, "reg_term": reg}
+        if with_probs:
+            metrics["probs_of_true_class"] = probs
+        return fast, opt_state, metrics
 
     return step
 
