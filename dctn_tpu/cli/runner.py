@@ -362,7 +362,35 @@ def run(**kwargs) -> TrainLoopState:
     n_model = kwargs["model_devices"]
     params_view = None  # device→checkpoint layout transform (TP / fast layout)
     single_forward = None  # jitted (params, xb)→logits for the NaN dump
-    use_fast = False  # fast (cmt) parameter layout (single-chip Pallas only)
+    # fast (cmt) parameter layout: cores stored matricized — no per-step 10-D
+    # transposes (~3.2 ms on the flagship), trajectory-exact vs the reference
+    # layout INCLUDING dropout p<1 (reference-order masks permuted to cmt)
+    # and compute_dtype (mm_dtype plumbing); available on the single-chip,
+    # DP and TP(last-core) paths (tests/test_fast_layout.py,
+    # test_parallel.py, test_tensor_parallel.py). Checkpoints stay
+    # reference-layout via params_view.
+    from ..models.eps_plus_linear import (
+        FastLayoutUnavailable,
+        eps_plus_linear_forward_fast,
+        fast_params_from_reference,
+        reference_params_from_fast,
+    )
+
+    use_fast = (
+        cfg.train_backend in ("pallas", "pallas_interpret")
+        and cfg.eval_backend == cfg.train_backend
+        and not (n_model > 1 and kwargs["tp_shard_all"])  # no shard_all analog
+    )
+    fast_plans = None
+    if use_fast:
+        try:
+            params_fast, fast_plans = fast_params_from_reference(params, cfg)
+        except FastLayoutUnavailable as e:
+            use_fast = False  # a layer exceeds the Pallas VMEM plan
+            logger.warning(
+                "fast (cmt) parameter layout unavailable (%s); using the "
+                "reference layout", e,
+            )
     if n_model > 1:
         # tensor-parallel path (optionally × data-parallel): EPS output
         # dim(s) + classifier sharded over the model axis; checkpoints are
@@ -374,23 +402,49 @@ def run(**kwargs) -> TrainLoopState:
             merge_tp_params,
             make_tp_train_step,
             make_tp_score_fn,
+            make_tp_fast_params,
+            merge_tp_fast_params,
+            make_tp_fast_train_step,
+            make_tp_fast_score_fn,
         )
 
         assert kwargs["batch_size"] % n_mesh == 0, "batch size must divide data mesh"
         shard_all = kwargs["tp_shard_all"]
         mesh = make_tp_mesh(n_mesh, n_model)
-        params = make_tp_params(params, cfg, mesh, shard_all)
-        opt_state = jax.jit(optimizer.init)(params)
-        step = make_tp_train_step(
-            cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
-            donate=True,
-            shard_all=shard_all,
-            frozen_eps_indices=kwargs["freeze_eps"],
-            grad_accum_steps=kwargs["grad_accum_steps"],
-            with_probs=kwargs["tb_batches"],
-        )
-        score = make_tp_score_fn(cfg, mesh, kwargs["batch_size"], params, shard_all)
-        params_view = lambda p3: merge_tp_params(p3, cfg)  # noqa: E731
+        if use_fast:
+            # last-core TP over the fast layout: the cmt matricization makes
+            # the model-axis shard a contiguous row block of the last core
+            params = make_tp_fast_params(params_fast, cfg, mesh)
+            opt_state = jax.jit(optimizer.init)(params)
+            step = make_tp_fast_train_step(
+                cfg, optimizer, fast_plans, mesh,
+                kwargs["reg_type"], kwargs["reg_coeff"], donate=True,
+                frozen_eps_indices=kwargs["freeze_eps"],
+                grad_accum_steps=kwargs["grad_accum_steps"],
+                with_probs=kwargs["tb_batches"],
+            )
+            score = make_tp_fast_score_fn(
+                cfg, fast_plans, mesh, kwargs["batch_size"]
+            )
+            params_view = lambda f3: reference_params_from_fast(  # noqa: E731
+                merge_tp_fast_params(f3, cfg), cfg, fast_plans
+            )
+            logger.info("fast (cmt) parameter layout active")
+        else:
+            params = make_tp_params(params, cfg, mesh, shard_all)
+            opt_state = jax.jit(optimizer.init)(params)
+            step = make_tp_train_step(
+                cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
+                donate=True,
+                shard_all=shard_all,
+                frozen_eps_indices=kwargs["freeze_eps"],
+                grad_accum_steps=kwargs["grad_accum_steps"],
+                with_probs=kwargs["tb_batches"],
+            )
+            score = make_tp_score_fn(
+                cfg, mesh, kwargs["batch_size"], params, shard_all
+            )
+            params_view = lambda p3: merge_tp_params(p3, cfg)  # noqa: E731
         logger.info(
             "tensor parallelism: mesh (data=%d, model=%d), shard_all=%s",
             n_mesh, n_model, shard_all,
@@ -401,6 +455,7 @@ def run(**kwargs) -> TrainLoopState:
         from ..parallel import (
             make_mesh,
             make_parallel_train_step,
+            make_parallel_fast_train_step,
             make_parallel_score_fn,
             shard_split,
             replicate,
@@ -413,13 +468,32 @@ def run(**kwargs) -> TrainLoopState:
         mesh = make_mesh(n_mesh)
         tr_split = shard_split(mesh, splits.train.x, np.asarray(splits.train.y))
         val_split = shard_split(mesh, splits.val.x, np.asarray(splits.val.y))
+        dp_forward = None  # eval forward override (fast layout)
+        if use_fast:
+            # the flagship Pallas pipeline runs unchanged per shard inside
+            # the DP shard_map — replicated cmt params, one pmean all-reduce
+            params = params_fast
+            step_sharded = make_parallel_fast_train_step(
+                cfg, optimizer, fast_plans, mesh,
+                kwargs["reg_type"], kwargs["reg_coeff"],
+                frozen_eps_indices=kwargs["freeze_eps"],
+                with_probs=kwargs["tb_batches"],
+            )
+            dp_forward = lambda f, xb: eps_plus_linear_forward_fast(  # noqa: E731
+                f, xb, cfg, fast_plans, training=False
+            )
+            params_view = lambda f: reference_params_from_fast(  # noqa: E731
+                f, cfg, fast_plans
+            )
+            logger.info("fast (cmt) parameter layout active")
+        else:
+            step_sharded = make_parallel_train_step(
+                cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
+                frozen_eps_indices=kwargs["freeze_eps"],
+                with_probs=kwargs["tb_batches"],
+            )
         opt_state = replicate(mesh, optimizer.init(params))
         params = replicate(mesh, params)
-        step_sharded = make_parallel_train_step(
-            cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
-            frozen_eps_indices=kwargs["freeze_eps"],
-            with_probs=kwargs["tb_batches"],
-        )
         idx_sharding = NamedSharding(mesh, P("data"))
 
         def step(p, o, rng, xb, yb):  # xb is the (ndev, b) local index array
@@ -431,41 +505,18 @@ def run(**kwargs) -> TrainLoopState:
         def gather(idx):
             return idx, None
 
-        score_split = make_parallel_score_fn(cfg, mesh, per_dev)
+        score_split = make_parallel_score_fn(
+            cfg, mesh, per_dev, forward_fn=dp_forward
+        )
         index_stream = make_local_index_stream(tr_split, per_dev, kwargs["seed"])
 
         def do_score(p, which):
             return score_split(p, tr_split if which == "train" else val_split)
     else:
-        # fast (cmt) parameter layout on the full-Pallas single-chip path:
-        # cores stored matricized — no per-step 10-D transposes (~3.2 ms on
-        # the flagship), trajectory-exact vs the reference layout INCLUDING
-        # dropout p<1 (reference-order masks permuted to cmt) and
-        # compute_dtype (mm_dtype plumbing); freeze-eps / grad-accum /
-        # tb-batches run natively on the fast step (tests/test_fast_layout).
-        # Checkpoints stay reference-layout via params_view.
-        use_fast = (
-            cfg.train_backend in ("pallas", "pallas_interpret")
-            and cfg.eval_backend == cfg.train_backend
-        )
         if use_fast:
-            from ..models.eps_plus_linear import (
-                FastLayoutUnavailable,
-                eps_plus_linear_forward_fast,
-                fast_params_from_reference,
-                reference_params_from_fast,
-            )
             from ..train.step import make_fast_train_step
 
-            try:
-                params, fast_plans = fast_params_from_reference(params, cfg)
-            except FastLayoutUnavailable as e:
-                use_fast = False  # a layer exceeds the Pallas VMEM plan
-                logger.warning(
-                    "fast (cmt) parameter layout unavailable (%s); using the "
-                    "reference layout", e,
-                )
-        if use_fast:
+            params = params_fast
             step = make_fast_train_step(
                 cfg, optimizer, fast_plans,
                 kwargs["reg_type"], kwargs["reg_coeff"],

@@ -1,6 +1,7 @@
 from .mesh import make_mesh, data_axis_size, initialize_distributed
 from .data_parallel import (
     make_parallel_train_step,
+    make_parallel_fast_train_step,
     make_parallel_score_fn,
     shard_split,
     replicate,
@@ -12,4 +13,8 @@ from .tensor_parallel import (
     merge_tp_params,
     make_tp_train_step,
     make_tp_forward,
+    make_tp_fast_params,
+    merge_tp_fast_params,
+    make_tp_fast_train_step,
+    make_tp_fast_score_fn,
 )

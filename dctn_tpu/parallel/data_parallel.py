@@ -37,7 +37,7 @@ from ..models.eps_plus_linear import (
     EPSesPlusLinearConfig,
     eps_plus_linear_forward,
 )
-from ..train.step import REGULARIZERS
+from ..train.step import REGULARIZERS, make_fast_reg_fn
 
 
 # ---------------------------------------------------------------------------
@@ -80,32 +80,25 @@ def replicate(mesh: Mesh, tree):
 # training step
 
 
-def make_parallel_train_step(
-    cfg: EPSesPlusLinearConfig,
+def _make_parallel_step_from_fns(
+    forward_fn,  # (params, xb, rng) -> logits, training mode
+    reg_fn,  # params -> scalar
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
-    reg_type: str = "epses_composition",
     reg_coeff: float = 0.0,
     frozen_eps_indices: Sequence[int] = (),
+    eps_leaves_key: str = "epses",
     donate: bool = True,
     with_probs: bool = False,
 ):
-    """Returns step(params, opt_state, rng, sharded_x, sharded_y, local_idx)
-    → (params, opt_state, metrics).
-
-    ``local_idx``: (ndev, per_device_batch) int32, sharded over dim 0; row d
-    holds positions into device d's LOCAL shard of the split.
-
-    ``with_probs``: additionally return ``metrics["probs_of_true_class"]`` —
-    the per-example softmax probability of the true label, laid out
-    device-major (matching ``local_idx.reshape(-1)``) and sharded P("data"),
-    so the DP path can feed TB batch imagery like the single-device path.
-    """
-    reg_fn = REGULARIZERS[reg_type]
+    """Model-layout-agnostic DP step builder: the reference-layout, fast
+    (cmt) and ConvSBS steps all share this body — they differ only in the
+    forward, the regularizer, and which pytree key holds the freezable
+    cores."""
     frozen = frozenset(frozen_eps_indices)
 
     def local_loss(params, xb, yb, rng):
-        logits = eps_plus_linear_forward(params, xb, cfg, training=True, rng=rng)
+        logits = forward_fn(params, xb, rng)
         logp = jax.nn.log_softmax(logits, axis=-1)
         logp_true = jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
         ce = -jnp.mean(logp_true)
@@ -115,11 +108,11 @@ def make_parallel_train_step(
     def mask_frozen(grads):
         if not frozen:
             return grads
-        epses = tuple(
+        cores = tuple(
             jnp.zeros_like(g) if i in frozen else g
-            for i, g in enumerate(grads["epses"])
+            for i, g in enumerate(grads[eps_leaves_key])
         )
-        return {**grads, "epses": epses}
+        return {**grads, eps_leaves_key: cores}
 
     def per_device(params, opt_state, rng, x_shard, y_shard, idx_shard):
         # x_shard: (C, n_local, H, W, Q); idx_shard: (1, b) — this device's row
@@ -160,6 +153,67 @@ def make_parallel_train_step(
     return step
 
 
+def make_parallel_train_step(
+    cfg: EPSesPlusLinearConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    reg_type: str = "epses_composition",
+    reg_coeff: float = 0.0,
+    frozen_eps_indices: Sequence[int] = (),
+    donate: bool = True,
+    with_probs: bool = False,
+):
+    """Returns step(params, opt_state, rng, sharded_x, sharded_y, local_idx)
+    → (params, opt_state, metrics).
+
+    ``local_idx``: (ndev, per_device_batch) int32, sharded over dim 0; row d
+    holds positions into device d's LOCAL shard of the split.
+
+    ``with_probs``: additionally return ``metrics["probs_of_true_class"]`` —
+    the per-example softmax probability of the true label, laid out
+    device-major (matching ``local_idx.reshape(-1)``) and sharded P("data"),
+    so the DP path can feed TB batch imagery like the single-device path.
+    """
+    return _make_parallel_step_from_fns(
+        lambda p, xb, rng: eps_plus_linear_forward(
+            p, xb, cfg, training=True, rng=rng
+        ),
+        REGULARIZERS[reg_type],
+        optimizer, mesh, reg_coeff, frozen_eps_indices, "epses",
+        donate, with_probs,
+    )
+
+
+def make_parallel_fast_train_step(
+    cfg: EPSesPlusLinearConfig,
+    optimizer: optax.GradientTransformation,
+    plans,
+    mesh: Mesh,
+    reg_type: str = "epswise",
+    reg_coeff: float = 0.0,
+    frozen_eps_indices: Sequence[int] = (),
+    donate: bool = True,
+    with_probs: bool = False,
+):
+    """The DP step over the FAST (cmt) parameter layout — the flagship
+    single-chip path (19.75k img/s, cores stored matricized) running
+    unchanged inside shard_map: replicated cmt params, per-shard Pallas
+    pipeline, one pmean gradient all-reduce. The per-step plans are static,
+    the replicated dropout key draws the same reference-order mask
+    everywhere, and trajectories match the single-device fast step up to
+    the CE-mean summation order (tests/test_parallel.py)."""
+    from ..models.eps_plus_linear import eps_plus_linear_forward_fast
+
+    return _make_parallel_step_from_fns(
+        lambda f, xb, rng: eps_plus_linear_forward_fast(
+            f, xb, cfg, plans, training=True, rng=rng
+        ),
+        make_fast_reg_fn(cfg, plans, reg_type),
+        optimizer, mesh, reg_coeff, frozen_eps_indices, "epses_cmt",
+        donate, with_probs,
+    )
+
+
 def make_local_index_stream(
     split: ShardedSplit, per_device_batch: int, seed: int = 0
 ):
@@ -198,12 +252,19 @@ def make_local_index_stream(
 
 
 def make_parallel_score_fn(
-    cfg: EPSesPlusLinearConfig, mesh: Mesh, batch_size: int
+    cfg: EPSesPlusLinearConfig, mesh: Mesh, batch_size: int, forward_fn=None
 ):
     """score(params, sharded_split) → (mean_ce, acc) with per-device scans and
-    a final psum. Padding samples are masked out by global position."""
+    a final psum. Padding samples are masked out by global position.
+    ``forward_fn(params, xb) → logits`` overrides the default eval forward
+    (the fast-layout and ConvSBS DP paths pass theirs)."""
 
     from ..train.evaluation import masked_ce_acc_scan, padded_batch_ids
+
+    if forward_fn is None:
+        forward_fn = lambda p, xb: eps_plus_linear_forward(  # noqa: E731
+            p, xb, cfg, training=False
+        )
 
     def per_device(params, x_shard, y_shard, n_valid_arr):
         n_local = y_shard.shape[0]
@@ -212,7 +273,7 @@ def make_parallel_score_fn(
         ids, in_range = padded_batch_ids(n_local, batch_size)
         valid = in_range & (base + ids < n_valid_arr[0])
         ce_sum, correct = masked_ce_acc_scan(
-            lambda xb: eps_plus_linear_forward(params, xb, cfg, training=False),
+            lambda xb: forward_fn(params, xb),
             x_shard, y_shard, ids, valid,
         )
         return jax.lax.psum(ce_sum, "data"), jax.lax.psum(correct, "data")

@@ -334,6 +334,284 @@ def make_tp_train_step(
     return step
 
 
+# ---------------------------------------------------------------------------
+# FAST (cmt) parameter layout under tensor parallelism — last-core sharding.
+#
+# The cmt matricization stores the last core with OUTPUT-major rows
+# ((o, b_rest) row-major), so a model-axis shard of the output dim is a
+# CONTIGUOUS block of rows — the fast layout is natively TP-friendly. Early
+# cores are replicated cmts, the classifier weight is kept 3-D
+# (H'·W', O, classes) so its model shard is contiguous too (same reasoning
+# as the reference-layout TP above).
+
+
+def _tp_fast_specs(n_eps: int):
+    return {
+        "epses_cmt": tuple(
+            P("model", None) if i == n_eps - 1 else P() for i in range(n_eps)
+        ),
+        "linear": {"w3": P(None, "model", None), "b": P()},
+    }
+
+
+def make_tp_fast_params(fast, cfg: EPSesPlusLinearConfig, mesh: Mesh):
+    """Fast (cmt) pytree → TP-fast layout: last cmt row-sharded over
+    ``model``, w → w3 (H'·W', O, classes) sharded on O, rest replicated."""
+    n_model = mesh.shape["model"]
+    o = cfg.epses_specs[-1][1]
+    assert o % n_model == 0, (
+        f"output dim {o} not divisible by model axis {n_model}"
+    )
+    hw = cfg.pre_linear_image_size ** 2
+    w3 = jnp.asarray(fast["linear"]["w"]).reshape(hw, o, cfg.num_classes)
+    fast3 = {
+        "epses_cmt": tuple(fast["epses_cmt"]),
+        "linear": {"w3": w3, "b": fast["linear"]["b"]},
+    }
+    specs = _tp_fast_specs(len(fast3["epses_cmt"]))
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), fast3, specs,
+        is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+    )
+
+
+def merge_tp_fast_params(fast3, cfg: EPSesPlusLinearConfig):
+    """TP-fast layout → plain fast (cmt) pytree (gathers shards)."""
+    w3 = np.asarray(fast3["linear"]["w3"])
+    return {
+        "epses_cmt": tuple(np.asarray(c) for c in fast3["epses_cmt"]),
+        "linear": {
+            "w": w3.reshape(-1, cfg.num_classes),
+            "b": np.asarray(fast3["linear"]["b"]),
+        },
+    }
+
+
+def _tp_fast_forward_local(
+    fast3, xb, cfg: EPSesPlusLinearConfig, plans, training, rng, n_model
+):
+    """Per-shard fast-pipeline forward: replicated early cmts run full
+    layers; the last layer runs with out_size = O/n_model on its contiguous
+    cmt row block; partial logits from the local w3 slice are psum'd over
+    ``model``. Dropout draws the reference-order full-shape mask, permutes
+    it to cmt, and slices the local rows — one consistent realization, so
+    TP-fast training at p<1 stays bit-identical to single-device."""
+    from ..pallas.eps_pallas import (
+        _core_to_cmt_k,
+        _kernel_dims,
+        eps_pallas_apply_t_cmt,
+        plan_pallas_call,
+    )
+
+    cmts = fast3["epses_cmt"]
+    n_eps = len(cmts)
+    backend = cfg.train_backend if training else cfg.eval_backend
+    assert backend in ("pallas", "pallas_interpret")
+    interpret = backend == "pallas_interpret"
+    if cfg.dropout_p < 1.0 and training:
+        m = jax.lax.axis_index("model")
+        keys = jax.random.split(rng, n_eps)
+        masked = []
+        for i, (cmt, plan, k) in enumerate(zip(cmts, plans, keys)):
+            mask = jax.random.bernoulli(k, cfg.dropout_p, plan["core_shape"])
+            _, q_k, n1_k = _kernel_dims(
+                plan["c"], plan["q"], plan["kernel_size"], plan["n1"],
+                plan["merge_pairs"],
+            )
+            mask_cmt = _core_to_cmt_k(mask, n1_k, q_k).astype(cmt.dtype)
+            if i == n_eps - 1 and n_model > 1:
+                rows_loc = cmt.shape[0]
+                mask_cmt = jax.lax.dynamic_slice_in_dim(
+                    mask_cmt, m * rows_loc, rows_loc, axis=0
+                )
+            masked.append(cmt * mask_cmt / cfg.dropout_p)
+        cmts = tuple(masked)
+    c0, b, h, w, q0 = xb.shape
+    xT = jnp.transpose(xb, (0, 4, 1, 2, 3))
+    ch, qq, hh, ww = c0, q0, h, w
+    outT = None
+    for i, (cmt, p) in enumerate(zip(cmts, plans)):
+        k_, out_full = p["kernel_size"], p["out_size"]
+        o_i = out_full // n_model if i == n_eps - 1 else out_full
+        hp, wp = hh - k_ + 1, ww - k_ + 1
+        n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
+            ch, qq, k_, p["n1"], o_i, b * hp * wp, cfg.compute_dtype, interpret
+        )
+        assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
+        outT = eps_pallas_apply_t_cmt(
+            cmt, xT, o_i, k_, n1, bn, interpret, mm_dtype, merge_pairs, i == 0
+        )
+        xT = outT[None]
+        ch, qq, hh, ww = 1, out_full, hp, wp
+    o_loc, b2, hp2, wp2 = outT.shape
+    # same contraction as models._transposed_classifier, w3 already 3-D
+    partial_logits = jax.lax.dot_general(
+        outT.reshape(o_loc, b2, hp2 * wp2),
+        fast3["linear"]["w3"],
+        (((0, 2), (1, 0)), ((), ())),
+    )
+    return _psum_value_only(partial_logits, "model") + fast3["linear"]["b"]
+
+
+def _tp_fast_local_regularizer(fast3, cfg, plans, reg_type, n_model):
+    """Every term a per-shard partial (the step psums replicated-leaf grads
+    over ``model``): sharded leaves sum locally, replicated cmt norms are
+    divided by the axis size; the composition regularizer gathers the last
+    cmt (reduce_scatter transpose), unpermutes to reference cores and
+    divides the full inner product by the axis size."""
+    cmts = fast3["epses_cmt"]
+    w3 = fast3["linear"]["w3"]
+    if reg_type == "epswise":
+        partial = (
+            jnp.sum(w3**2)
+            + jnp.sum(cmts[-1] ** 2)
+            + sum(jnp.sum(c**2) for c in cmts[:-1]) / n_model
+        )
+    else:
+        from ..models.eps_plus_linear import reference_params_from_fast
+
+        full_last = _gather_model(cmts[-1], 0)
+        fast_full = {
+            "epses_cmt": tuple(cmts[:-1]) + (full_last,),
+            "linear": {"w": w3.reshape(-1, w3.shape[-1]), "b": fast3["linear"]["b"]},
+        }
+        ref = reference_params_from_fast(fast_full, cfg, plans)
+        partial = jnp.sum(w3**2) + composition.inner_product(
+            ref["epses"], ref["epses"]
+        ) / n_model
+    return _psum_value_only(partial, "model")
+
+
+def make_tp_fast_train_step(
+    cfg: EPSesPlusLinearConfig,
+    optimizer: optax.GradientTransformation,
+    plans,
+    mesh: Mesh,
+    reg_type: str = "epswise",
+    reg_coeff: float = 0.0,
+    donate: bool = False,
+    frozen_eps_indices=(),
+    grad_accum_steps: int = 1,
+    with_probs: bool = False,
+):
+    """The fast (cmt) layout's TP train step (last-core layout): the
+    flagship Pallas pipeline runs per shard with its contiguous cmt row
+    block; gradient reduction mirrors make_tp_train_step (replicated early
+    cmts psum over ``model``; sharded last cmt / w3 exact locally; bias
+    full after the logits psum), then pmean over ``data``; the optimizer
+    update runs outside shard_map under GSPMD."""
+    n_model = mesh.shape["model"]
+    n_eps = len(plans)
+    frozen = frozenset(frozen_eps_indices)
+    assert not (with_probs and grad_accum_steps > 1), (
+        "tb-batches is incompatible with gradient accumulation"
+    )
+
+    def per_shard(fast3, rng, xb, yb):
+        def local_loss(f3, xs, ys, r):
+            logits = _tp_fast_forward_local(f3, xs, cfg, plans, True, r, n_model)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            per_sample = jnp.take_along_axis(logp, ys[:, None], axis=1)[:, 0]
+            ce = -jnp.mean(per_sample)
+            reg = (
+                _tp_fast_local_regularizer(f3, cfg, plans, reg_type, n_model)
+                if reg_coeff != 0.0
+                else jnp.zeros((), logits.dtype)
+            )
+            return ce + reg_coeff * reg, (ce, reg, jnp.exp(per_sample))
+
+        if grad_accum_steps == 1:
+            (loss, (ce, reg, probs)), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(fast3, xb, yb, rng)
+        else:
+            from ..train.step import grad_accum_scan
+
+            loss, ce, reg, grads = grad_accum_scan(
+                local_loss, fast3, xb, yb, rng, grad_accum_steps
+            )
+            probs = jnp.zeros((0,), jnp.float32)
+        grads = {
+            "epses_cmt": tuple(
+                jnp.zeros_like(g)
+                if i in frozen
+                else (g if i == n_eps - 1 else jax.lax.psum(g, "model"))
+                for i, g in enumerate(grads["epses_cmt"])
+            ),
+            "linear": {"w3": grads["linear"]["w3"], "b": grads["linear"]["b"]},
+        }
+        grads = jax.lax.pmean(grads, "data")
+        metrics = {
+            "loss": jax.lax.pmean(loss, "data"),
+            "ce": jax.lax.pmean(ce, "data"),
+            "reg_term": reg,
+        }
+        return grads, metrics, probs
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step(fast3, opt_state, rng, xb, yb):
+        p_specs = _tp_fast_specs(n_eps)
+        grads, metrics, probs = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(p_specs, P(), P(None, "data"), P("data")),
+            out_specs=(p_specs, P(), P("data")),
+            check_vma=False,
+        )(fast3, rng, xb, yb)
+        updates, opt_state = optimizer.update(grads, opt_state, fast3)
+        fast3 = optax.apply_updates(fast3, updates)
+        if with_probs:
+            metrics["probs_of_true_class"] = probs
+        return fast3, opt_state, metrics
+
+    return step
+
+
+def make_tp_fast_score_fn(
+    cfg: EPSesPlusLinearConfig, plans, mesh: Mesh, batch_size: int
+):
+    """score(fast3, x, y) → (mean_ce, accuracy) over the TP-fast layout —
+    data-sharded scan with the per-batch logits psum over ``model`` as the
+    only inner collective (mirrors make_tp_score_fn)."""
+    n_model = mesh.shape["model"]
+    p_specs = _tp_fast_specs(len(plans))
+    ndata = mesh.shape["data"]
+
+    @jax.jit
+    def score(fast3, x, y):
+        n = y.shape[0]
+        n_local = -(-n // ndata)
+        n_pad = n_local * ndata
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n)) + ((0, 0),) * (x.ndim - 2))
+            y = jnp.pad(y, (0, n_pad - n))
+
+        def per_shard(f3, xx, yy):
+            from ..train.evaluation import masked_ce_acc_scan, padded_batch_ids
+
+            base = jax.lax.axis_index("data") * n_local
+            ids, in_range = padded_batch_ids(n_local, batch_size)
+            valid = in_range & (base + ids < n)
+            ce_sum, correct = masked_ce_acc_scan(
+                lambda xb: _tp_fast_forward_local(
+                    f3, xb, cfg, plans, False, None, n_model
+                ),
+                xx, yy, ids, valid,
+            )
+            return jax.lax.psum(ce_sum, "data"), jax.lax.psum(correct, "data")
+
+        ce_sum, correct = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(p_specs, P(None, "data"), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(fast3, x, y)
+        return ce_sum / n, correct.astype(jnp.float32) / n
+
+    return score
+
+
 def make_tp_score_fn(
     cfg: EPSesPlusLinearConfig,
     mesh: Mesh,

@@ -29,6 +29,24 @@ REGULARIZERS = {
 }
 
 
+def make_fast_reg_fn(cfg: EPSesPlusLinearConfig, plans, reg_type: str):
+    """Regularizer over the FAST (cmt) parameter layout. The epswise L2 is
+    permutation-invariant, so it computes the EXACT reference value directly
+    on the cmt leaves; the composition regularizer needs the 10-D cores and
+    unpermutes per step (re-adding transpose cost — prefer epswise here)."""
+    from ..models.eps_plus_linear import reference_params_from_fast
+
+    def reg_fn(fast):
+        if reg_type == "epswise":
+            return jnp.sum(fast["linear"]["w"] ** 2) + sum(
+                jnp.sum(c**2) for c in fast["epses_cmt"]
+            )
+        ref = reference_params_from_fast(fast, cfg, plans)
+        return REGULARIZERS[reg_type](ref)
+
+    return reg_fn
+
+
 def grad_accum_scan(loss_fn, params, xb, yb, rng, steps: int):
     """Microbatched value_and_grad: scan ``steps`` equal slices of the batch
     (x batch axis 1, y axis 0), averaging losses and gradients — bounds
@@ -159,23 +177,13 @@ def make_fast_train_step(
     layout permutation; see tests/test_fast_layout.py. ``frozen_eps_indices``
     / ``with_probs`` / ``grad_accum_steps`` mirror make_train_step so the
     runner's full option surface stays on the fast path."""
-    from ..models.eps_plus_linear import (
-        eps_plus_linear_forward_fast,
-        reference_params_from_fast,
-    )
+    from ..models.eps_plus_linear import eps_plus_linear_forward_fast
 
     frozen = frozenset(frozen_eps_indices)
     assert not (with_probs and grad_accum_steps > 1), (
         "tb-batches is incompatible with gradient accumulation"
     )
-
-    def reg_fn(fast):
-        if reg_type == "epswise":
-            return jnp.sum(fast["linear"]["w"] ** 2) + sum(
-                jnp.sum(c**2) for c in fast["epses_cmt"]
-            )
-        ref = reference_params_from_fast(fast, cfg, plans)
-        return REGULARIZERS[reg_type](ref)
+    reg_fn = make_fast_reg_fn(cfg, plans, reg_type)
 
     def loss_fn(fast, xb, yb, rng):
         logits = eps_plus_linear_forward_fast(

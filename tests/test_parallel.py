@@ -158,6 +158,79 @@ def test_parallel_training_learns(problem):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs the virtual mesh")
+def test_parallel_fast_layout_step_matches_single_device(problem):
+    """The fast (cmt) parameter layout inside the DP shard_map (VERDICT r2
+    next-round #1): replicated matricized cores, per-shard Pallas pipeline,
+    pmean grads. Trajectory must match the SINGLE-DEVICE fast step on the
+    same global batch (same kernels, only the CE-mean reduction order
+    differs) — including dropout p<1 via the replicated key."""
+    from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
+    from dctn_tpu.parallel import make_parallel_fast_train_step
+    from dctn_tpu.train.step import make_fast_train_step
+
+    splits, _, _ = problem
+    x = np.asarray(splits.train.x)[:, :16]
+    y = np.asarray(splits.train.y)[:16]
+    mesh = make_mesh(4)
+    split = shard_split(mesh, x, y)
+    idx = jax.device_put(
+        np.tile(np.arange(4, dtype=np.int32), (4, 1)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+    )
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=x.shape[2], q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+        dropout_p=0.8,
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    fast, plans = fast_params_from_reference(params, cfg)
+    opt = make_optimizer("adam", 1e-2)
+    rng = jax.random.PRNGKey(7)
+
+    # single device: the global batch in shard-major order (device d's
+    # sub-batch is local positions [0,4) of its contiguous shard)
+    sel = np.concatenate([np.arange(d * split.n_local, d * split.n_local + 4)
+                          for d in range(4)])
+    step1 = make_fast_train_step(cfg, opt, plans, "epswise", 1e-4, donate=False)
+    f1, o1 = fast, opt.init(fast)
+    for i in range(2):
+        f1, o1, m1 = step1(
+            f1, o1, jax.random.fold_in(rng, i),
+            jnp.asarray(x[:, sel]), jnp.asarray(y[sel]),
+        )
+
+    stepN = make_parallel_fast_train_step(
+        cfg, opt, plans, mesh, "epswise", 1e-4, donate=False
+    )
+    fN = replicate(mesh, fast)
+    oN = replicate(mesh, opt.init(fast))
+    for i in range(2):
+        fN, oN, mN = stepN(
+            fN, oN, jax.random.fold_in(rng, i), split.x, split.y, idx
+        )
+    np.testing.assert_allclose(float(m1["ce"]), float(mN["ce"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["reg_term"]), float(mN["reg_term"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(f1), jax.tree_util.tree_leaves(fN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
+
+    # sharded eval over the fast layout
+    from dctn_tpu.models.eps_plus_linear import eps_plus_linear_forward_fast
+    from dctn_tpu.train import make_score_fn
+
+    fwd = lambda f, xb: eps_plus_linear_forward_fast(  # noqa: E731
+        f, xb, cfg, plans, training=False
+    )
+    score1 = make_score_fn(cfg, batch_size=8, forward_fn=fwd)
+    mce1, acc1 = score1(f1, jnp.asarray(x), jnp.asarray(y))
+    scoreN = make_parallel_score_fn(cfg, mesh, batch_size=4, forward_fn=fwd)
+    mceN, accN = scoreN(fN, split)
+    np.testing.assert_allclose(float(mce1), float(mceN), rtol=2e-4)
+    np.testing.assert_allclose(float(acc1), float(accN), rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs the virtual mesh")
 def test_parallel_step_with_pallas_backend(problem):
     """The production pod configuration: the fused Pallas kernels INSIDE the
     shard_map DP step (the runner resolves train_backend=auto → pallas on

@@ -315,3 +315,121 @@ def test_tp_step_with_pallas_backend():
         jax.tree_util.tree_leaves(results["pallas"][1]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+def test_tp_fast_layout_step_matches_single_device_fast():
+    """The FAST (cmt) parameter layout under TP (last-core row sharding —
+    VERDICT r2 next-round #1): forward, 2-step Adam trajectory WITH dropout,
+    and the TP-fast score must match the single-device fast path (the cmt
+    matricization makes the model-axis shard a contiguous row block)."""
+    from dctn_tpu.models.eps_plus_linear import (
+        eps_plus_linear_forward_fast,
+        fast_params_from_reference,
+    )
+    from dctn_tpu.parallel import (
+        make_tp_mesh,
+        make_tp_fast_params,
+        merge_tp_fast_params,
+        make_tp_fast_train_step,
+        make_tp_fast_score_fn,
+    )
+    from dctn_tpu.train.step import make_fast_train_step
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=6, q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+        dropout_p=0.8, dtype=jnp.float32,
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 6, 6, 2), jnp.float32)
+    y = jnp.asarray(np.arange(8) % 10)
+    fast, plans = fast_params_from_reference(params, cfg)
+    mesh = make_tp_mesh(2, 2)
+    fast3 = make_tp_fast_params(fast, cfg, mesh)
+
+    # round trip
+    merged0 = merge_tp_fast_params(fast3, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(fast), jax.tree_util.tree_leaves(merged0)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    opt = make_optimizer("adam", 1e-2)
+    step1 = make_fast_train_step(cfg, opt, plans, "epswise", 1e-4, donate=False)
+    f1, o1 = fast, opt.init(fast)
+    for i in range(2):
+        f1, o1, m1 = step1(
+            f1, o1, jax.random.fold_in(jax.random.PRNGKey(7), i), x, y
+        )
+
+    opt3 = make_optimizer("adam", 1e-2)
+    step3 = make_tp_fast_train_step(cfg, opt3, plans, mesh, "epswise", 1e-4)
+    f3, o3 = fast3, jax.jit(opt3.init)(fast3)
+    for i in range(2):
+        f3, o3, m3 = step3(
+            f3, o3, jax.random.fold_in(jax.random.PRNGKey(7), i), x, y
+        )
+    np.testing.assert_allclose(float(m1["ce"]), float(m3["ce"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["reg_term"]), float(m3["reg_term"]), rtol=1e-5
+    )
+    merged = merge_tp_fast_params(f3, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(f1), jax.tree_util.tree_leaves(merged)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+    # TP-fast eval vs single-device fast eval
+    from dctn_tpu.train import make_score_fn
+
+    fwd = lambda f, xb: eps_plus_linear_forward_fast(  # noqa: E731
+        f, xb, cfg, plans, training=False
+    )
+    score1 = make_score_fn(cfg, batch_size=4, forward_fn=fwd)
+    mce1, acc1 = score1(f1, x, y)
+    score3 = make_tp_fast_score_fn(cfg, plans, mesh, batch_size=2)
+    mce3, acc3 = score3(f3, x, y)
+    np.testing.assert_allclose(float(mce1), float(mce3), rtol=2e-4)
+    np.testing.assert_allclose(float(acc1), float(acc3), rtol=1e-6)
+
+
+def test_tp_fast_composition_reg_matches():
+    """The composition regularizer under TP-fast (gather + unpermute +
+    /n_model): value AND gradients match the single-device fast step."""
+    from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
+    from dctn_tpu.parallel import (
+        make_tp_mesh,
+        make_tp_fast_params,
+        merge_tp_fast_params,
+        make_tp_fast_train_step,
+    )
+    from dctn_tpu.train.step import make_fast_train_step
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=6, q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+        dtype=jnp.float32,
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 6, 6, 2), jnp.float32)
+    y = jnp.asarray(np.arange(8) % 10)
+    fast, plans = fast_params_from_reference(params, cfg)
+    mesh = make_tp_mesh(2, 2)
+    opt = make_optimizer("sgd", 0.05)
+    step1 = make_fast_train_step(
+        cfg, opt, plans, "epses_composition", 1e-3, donate=False
+    )
+    f1, o1, m1 = step1(fast, opt.init(fast), jax.random.PRNGKey(2), x, y)
+    fast3 = make_tp_fast_params(fast, cfg, mesh)
+    step3 = make_tp_fast_train_step(
+        cfg, opt, plans, mesh, "epses_composition", 1e-3
+    )
+    f3, _, m3 = step3(fast3, jax.jit(opt.init)(fast3), jax.random.PRNGKey(2), x, y)
+    np.testing.assert_allclose(
+        float(m1["reg_term"]), float(m3["reg_term"]), rtol=1e-5
+    )
+    merged = merge_tp_fast_params(f3, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(f1), jax.tree_util.tree_leaves(merged)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
