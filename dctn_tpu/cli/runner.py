@@ -577,24 +577,80 @@ def run(**kwargs) -> TrainLoopState:
     if kwargs["resume_from"]:
         with np.load(kwargs["resume_from"]) as _d:
             saved_fast = bool(_d["param_layout"]) if "param_layout" in _d else False
-        if saved_fast != params_layout_fast:
+        if saved_fast != params_layout_fast and n_model == 1 and fast_plans is None:
+            # current run doesn't use the fast layout (e.g. XLA backend) but
+            # conversion only needs the static plans — compute them if they fit
+            try:
+                fast_plans = fast_params_from_reference(params, cfg)[1]
+            except FastLayoutUnavailable:
+                pass
+        if saved_fast != params_layout_fast and (n_model > 1 or fast_plans is None):
+            # TP trees differ structurally between the layouts (w vs w3), and
+            # without Pallas plans the permutation is undefined — only these
+            # cases still refuse.
             raise click.ClickException(
                 f"{kwargs['resume_from']} was saved with the "
                 f"{'fast (cmt)' if saved_fast else 'reference'} parameter "
                 "layout, but the current options resolve to the "
                 f"{'fast (cmt)' if params_layout_fast else 'reference'} "
-                "layout — resume with matching backend/dropout/freeze/"
-                "grad-accum/tb options, or start fresh from a model "
-                "checkpoint via --load-model-state"
+                "layout and auto-conversion is unavailable here "
+                "(tensor-parallel run, or the fast layout does not fit this "
+                "model) — resume with matching backend options, or start "
+                "fresh from a model checkpoint via --load-model-state"
             )
-        template = {"params": params, "opt_state": opt_state,
-                    "step": 0, "rng": jax.random.key_data(k_train)}
-        restored = load_pytree(template, kwargs["resume_from"])
-        params, opt_state = restored["params"], restored["opt_state"]
-        resume_step = int(restored["step"])
-        k_train = jax.random.wrap_key_data(jnp.asarray(restored["rng"]))
-        logger.info("resumed train state from %s at step %d",
-                    kwargs["resume_from"], resume_step)
+        if saved_fast != params_layout_fast:
+            # AUTO-CONVERT (VERDICT r2 next-round #7): the layout map is a
+            # fixed exact permutation, and Adam/SGD moments are elementwise,
+            # so the SAME permutation applies to every param-shaped subtree
+            # of the optimizer state. Load in the SAVED layout, then convert.
+            ref_template = params_view(params) if params_layout_fast else params
+            if saved_fast:
+                t_params = fast_params_from_reference(ref_template, cfg)[0]
+                convert = lambda t: reference_params_from_fast(  # noqa: E731
+                    t, cfg, fast_plans
+                )
+            else:
+                t_params = ref_template
+                convert = lambda t: fast_params_from_reference(t, cfg)[0]  # noqa: E731
+
+            def convert_tree(node):
+                if isinstance(node, dict) and "linear" in node:
+                    return convert(node)
+                if isinstance(node, tuple) and hasattr(node, "_fields"):
+                    return type(node)(*(convert_tree(c) for c in node))
+                if isinstance(node, (tuple, list)):
+                    return type(node)(convert_tree(c) for c in node)
+                return node
+
+            template = {
+                "params": t_params,
+                "opt_state": optimizer.init(
+                    jax.tree_util.tree_map(jnp.asarray, t_params)
+                ),
+                "step": 0,
+                "rng": jax.random.key_data(k_train),
+            }
+            restored = load_pytree(template, kwargs["resume_from"])
+            params = convert(restored["params"])
+            opt_state = convert_tree(restored["opt_state"])
+            resume_step = int(restored["step"])
+            k_train = jax.random.wrap_key_data(jnp.asarray(restored["rng"]))
+            logger.info(
+                "resumed train state from %s at step %d, converting the %s "
+                "parameter layout (and elementwise optimizer moments) to %s",
+                kwargs["resume_from"], resume_step,
+                "fast (cmt)" if saved_fast else "reference",
+                "fast (cmt)" if params_layout_fast else "reference",
+            )
+        else:
+            template = {"params": params, "opt_state": opt_state,
+                        "step": 0, "rng": jax.random.key_data(k_train)}
+            restored = load_pytree(template, kwargs["resume_from"])
+            params, opt_state = restored["params"], restored["opt_state"]
+            resume_step = int(restored["step"])
+            k_train = jax.random.wrap_key_data(jnp.asarray(restored["rng"]))
+            logger.info("resumed train state from %s at step %d",
+                        kwargs["resume_from"], resume_step)
     else:
         resume_step = 0
 
