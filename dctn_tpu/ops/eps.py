@@ -454,9 +454,13 @@ def make_eps_unit_empirical_output_std(
     for start in range(0, n_samples, batch_size):
         stop = min(start + batch_size, n_samples)
         out = eps(core, x[:, start:stop].astype(dtype))
+        # accumulate at the run's precision (f64 runs — e.g. the f64 parity
+        # suite — must not round the moments through f32), then in Python
+        # floats (f64) across slices
+        acc = jnp.float64 if out.dtype == jnp.float64 else jnp.float32
         s, ss, cnt = (
-            float(jnp.sum(out, dtype=jnp.float32)),
-            float(jnp.sum(out.astype(jnp.float32) ** 2)),
+            float(jnp.sum(out, dtype=acc)),
+            float(jnp.sum(out.astype(acc) ** 2)),
             out.size,
         )
         total_sum += s
