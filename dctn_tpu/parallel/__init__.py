@@ -3,7 +3,10 @@ from .data_parallel import (
     make_parallel_train_step,
     make_parallel_fast_train_step,
     make_parallel_score_fn,
+    make_parallel_pixel_train_step,
+    make_parallel_pixel_score_fn,
     shard_split,
+    shard_pixel_split,
     replicate,
     ShardedSplit,
 )

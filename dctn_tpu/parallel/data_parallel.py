@@ -248,6 +248,104 @@ def make_local_index_stream(
 
 
 # ---------------------------------------------------------------------------
+# pixel-batch models (the ConvSBS legacy family): x is (N, H, W) sharded on
+# dim 0 — DP for the model family the reference trained single-device
+# (mnist.py:169-284). The machinery is the same (replicated params, local
+# sub-batch gather, one pmean all-reduce); only the sample axis and the
+# absence of a dropout key differ.
+
+
+def shard_pixel_split(mesh: Mesh, x: np.ndarray, y: np.ndarray) -> ShardedSplit:
+    """Pad N to a multiple of the mesh size and place (N, H, W) pixel shards
+    on devices (sample axis 0)."""
+    ndev = mesh.devices.size
+    n = y.shape[0]
+    n_pad = (-n) % ndev
+    if n_pad:
+        x = np.concatenate([x, np.repeat(x[:1], n_pad, axis=0)], axis=0)
+        y = np.concatenate([y, np.repeat(y[:1], n_pad, axis=0)], axis=0)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+    return ShardedSplit(xs, ys, n_valid=n, n_local=y.shape[0] // ndev, mesh=mesh)
+
+
+def make_parallel_pixel_train_step(
+    forward_fn,  # (params, xb) -> logits; xb (b, H, W)
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    donate: bool = True,
+):
+    """DP step for pixel-batch models: step(params, opt_state, sharded_x,
+    sharded_y, local_idx) → (params, opt_state, mean_loss)."""
+
+    def per_device(params, opt_state, x_shard, y_shard, idx_shard):
+        xb = jnp.take(x_shard, idx_shard[0], axis=0)
+        yb = jnp.take(y_shard, idx_shard[0], axis=0)
+
+        def loss_fn(p):
+            logits = forward_fn(p, xb)
+            lp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(lp, yb[:, None], axis=1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.pmean(grads, "data")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, jax.lax.pmean(loss, "data")
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P("data")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step(params, opt_state, x, y, local_idx):
+        return sharded(params, opt_state, x, y, local_idx)
+
+    return step
+
+
+def make_parallel_pixel_score_fn(forward_fn, mesh: Mesh, batch_size: int):
+    """score(params, sharded_pixel_split) → (mean_ce, acc), the pixel-batch
+    analog of make_parallel_score_fn."""
+    from ..train.evaluation import masked_ce_acc_scan, padded_batch_ids
+
+    def per_device(params, x_shard, y_shard, n_valid_arr):
+        n_local = y_shard.shape[0]
+        base = jax.lax.axis_index("data") * n_local
+        ids, in_range = padded_batch_ids(n_local, batch_size)
+        valid = in_range & (base + ids < n_valid_arr[0])
+        ce_sum, correct = masked_ce_acc_scan(
+            lambda xb: forward_fn(params, xb),
+            x_shard, y_shard, ids, valid, sample_axis=0,
+        )
+        return jax.lax.psum(ce_sum, "data"), jax.lax.psum(correct, "data")
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def score(params, x, y, n_valid_arr):
+        ce_sum, correct = sharded(params, x, y, n_valid_arr)
+        n = n_valid_arr[0].astype(jnp.float32)
+        return ce_sum / n, correct.astype(jnp.float32) / n
+
+    def score_split(params, split: ShardedSplit):
+        n_valid_arr = jnp.asarray([split.n_valid], jnp.int32)
+        return score(params, split.x, split.y, n_valid_arr)
+
+    return score_split
+
+
+# ---------------------------------------------------------------------------
 # evaluation
 
 

@@ -30,16 +30,18 @@ def padded_batch_ids(n_local: int, batch_size: int):
     return clamped, in_range
 
 
-def masked_ce_acc_scan(forward_fn, x, y, ids, valid):
+def masked_ce_acc_scan(forward_fn, x, y, ids, valid, sample_axis: int = 1):
     """Σ masked CE (sum reduction) and correct count over padded fixed-size
     batches, as ONE lax.scan — the shared core of every score fn (single
     device, DP per-device shard, TP per-shard). ``forward_fn(xb) → logits``;
-    ``ids``/``valid``: (num_batches, batch_size)."""
+    ``ids``/``valid``: (num_batches, batch_size). ``sample_axis``: which dim
+    of ``x`` indexes samples (1 for (C, N, H, W, Q) quantum splits, 0 for
+    the legacy family's (N, H, W) pixel splits)."""
 
     def body(carry, inp):
         ce_sum, correct = carry
         idx, mask = inp
-        xb = jnp.take(x, idx, axis=1)
+        xb = jnp.take(x, idx, axis=sample_axis)
         yb = jnp.take(y, idx, axis=0)
         logits = forward_fn(xb)
         logp = jax.nn.log_softmax(logits, axis=-1)

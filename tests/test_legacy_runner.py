@@ -68,3 +68,123 @@ def test_legacy_runner_pixel_shuffle(tmp_path):
         seed=1,
     )
     assert 0.0 <= best_acc <= 1.0
+
+
+def test_legacy_runner_mesh_data_parallel(tmp_path):
+    """--mesh-devices: the legacy ConvSBS family trains data-parallel over
+    the virtual mesh (VERDICT r2 next-round #6) — both model families now
+    have DP."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    params, best_acc = run(
+        ds_path="synthetic",
+        models_dir=str(tmp_path),
+        num_sbs_layers=2,
+        bond_dim_size=2,
+        initialization="khrulkov-normal",
+        learning_rate=3e-3,
+        optimizer_type="rmsprop",
+        batch_size=32,
+        mesh_devices=4,
+        epochs=3,
+        warmup_num_epochs=1,
+        warmup_initial_multiplier=1e-2,
+        make_input_window_std_one=True,
+        scale_layers_using_batch=64,
+        synthetic_sizes=(128, 64),
+        seed=0,
+        tb_log_every_n_epochs=2,
+    )
+    files = os.listdir(str(tmp_path))
+    assert any(f.startswith("dctn_epoch=") and f.endswith(".npz") for f in files)
+    assert 0.0 <= best_acc <= 1.0
+    log = open(os.path.join(str(tmp_path), "log.log")).read()
+    assert "data parallelism: 4-device mesh" in log
+    # TB observability still works on the replicated params
+    import json
+
+    tags = {
+        json.loads(l)["tag"]
+        for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+    }
+    assert {"val/acc", "lr"} <= tags
+
+
+def test_conv_sbs_parallel_pixel_step_matches_single_device():
+    """One DP pixel-batch step over the virtual mesh == the single-device
+    step on the same global batch (ConvSBS forward, rmsprop), and the
+    sharded pixel score matches the single-device score."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dctn_tpu.models.conv_sbs_model import (
+        ConvSBSModelConfig,
+        conv_sbs_model_forward,
+        init_conv_sbs_model,
+    )
+    from dctn_tpu.parallel import (
+        make_mesh,
+        make_parallel_pixel_train_step,
+        make_parallel_pixel_score_fn,
+        shard_pixel_split,
+        replicate,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, (32, 14, 14)).astype(np.float32)
+    y = rng.integers(0, 10, 32).astype(np.int64)
+    cfg = ConvSBSModelConfig(num_sbs_layers=2, bond_dim_size=2)
+    params = init_conv_sbs_model(jax.random.PRNGKey(0), cfg)
+    opt = optax.rmsprop(1e-3)
+    fwd = lambda p, xb: conv_sbs_model_forward(p, cfg, xb)  # noqa: E731
+
+    # single device on the shard-major global batch
+    mesh = make_mesh(4)
+    split = shard_pixel_split(mesh, x, y)
+    sel = np.concatenate(
+        [np.arange(d * split.n_local, d * split.n_local + 4) for d in range(4)]
+    )
+
+    def loss_fn(p, xb, yb):
+        logits = fwd(p, xb)
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lp, yb[:, None], axis=1))
+
+    o1 = opt.init(params)
+    loss1, grads1 = jax.value_and_grad(loss_fn)(
+        params, jnp.asarray(x[sel]), jnp.asarray(y[sel])
+    )
+    up1, o1b = opt.update(grads1, o1, params)
+    p1 = optax.apply_updates(params, up1)
+
+    stepN = make_parallel_pixel_train_step(fwd, opt, mesh, donate=False)
+    idx = jax.device_put(
+        np.tile(np.arange(4, dtype=np.int32), (4, 1)),
+        NamedSharding(mesh, P("data")),
+    )
+    pN, oN, lossN = stepN(
+        replicate(mesh, params), replicate(mesh, opt.init(params)),
+        split.x, split.y, idx,
+    )
+    np.testing.assert_allclose(float(loss1), float(lossN), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(pN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
+
+    # sharded eval parity (ragged: 30 valid samples over 4 shards)
+    split30 = shard_pixel_split(mesh, x[:30], y[:30])
+    scoreN = make_parallel_pixel_score_fn(fwd, mesh, batch_size=4)
+    mceN, accN = scoreN(replicate(mesh, params), split30)
+    logits = fwd(params, jnp.asarray(x[:30]))
+    lp = jax.nn.log_softmax(logits)
+    mce1 = -float(jnp.mean(jnp.take_along_axis(lp, jnp.asarray(y[:30])[:, None], axis=1)))
+    acc1 = float(jnp.mean((jnp.argmax(logits, 1) == jnp.asarray(y[:30]))))
+    np.testing.assert_allclose(mce1, float(mceN), rtol=1e-5)
+    np.testing.assert_allclose(acc1, float(accN), rtol=1e-6)
