@@ -65,6 +65,13 @@ _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 # static plan
 
 
+# above this merged-factor size the qc sweeps run as MXU dot_generals
+# instead of trace-time qc× unrolled VPU multiply-adds (the unroll is the
+# measured winner at the tiny qc of every recorded config; the dot form
+# lifts the r2 qc ≤ 64 support cliff to the VMEM budget)
+_QC_UNROLL_MAX = 64
+
+
 def sbs_plan(spec):
     """Static kernel plan from an SBSSpecString: per-core (o, l, r), q^C,
     and whether the fused kernel supports the spec."""
@@ -74,13 +81,18 @@ def sbs_plan(spec):
         for s in shapes
     )
     qc = spec.in_quantum_dim_size**spec.in_num_channels
+    # VMEM feasibility at the smallest tile (bn=128): resident cores + the
+    # per-tile working set of views/m/fold-state/output
+    core_bytes = 4 * sum(l * r * o * qc for o, l, r in olr)
+    rows_m = sum(l * r * o for o, l, r in olr)
+    b0 = olr[0][1]
+    rows_state = sum(b0 * max(l, r) * 64 for _, l, r in olr)
+    o_total = int(np.prod([o for o, _, _ in olr]))
+    per_bn = 4 * (len(olr) * qc * 3 + 2 * rows_m + rows_state + 4 * o_total)
+    fits = core_bytes + 128 * per_bn < _VMEM_BUDGET_BYTES
     supported = (
         spec.in_num_channels <= 3  # CIFAR-colored strings are C=3
-        # merged-factor bound: the _build_m/d_core loops unroll qc× at trace
-        # time and views cost P·qc rows of VMEM per tile; 64 covers every
-        # spec the kernel handled before the C=3 extension (C=2 at q≤8) and
-        # guards the untested/VMEM-blowing tail beyond it
-        and qc <= 64
+        and fits
         and spec.bond_sizes[0] <= 4  # ring bond unrolls an extra b0 loop
         and all(l <= 8 and r <= 8 for _, l, r in olr)
     )
@@ -105,8 +117,15 @@ def _core_to_lro(core, o: int, l: int, r: int, qc: int):
 
 
 def _build_m(core_ref, v):
-    """m[(l, r, o)-rows, bn] = Σ_qc core[(row), qc] · v[qc, bn]."""
+    """m[(l, r, o)-rows, bn] = Σ_qc core[(row), qc] · v[qc, bn]. Unrolled
+    VPU multiply-adds at small qc (measured faster there — tiny rows); one
+    MXU dot above _QC_UNROLL_MAX."""
     qc = v.shape[0]
+    if qc > _QC_UNROLL_MAX:
+        return jax.lax.dot_general(
+            core_ref[:], v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     m = core_ref[:, 0:1] * v[0:1, :]
     for j in range(1, qc):
         m = m + core_ref[:, j : j + 1] * v[j : j + 1, :]
@@ -277,14 +296,32 @@ def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
 
             # d_core[(l·r·o), qc] += Σ_n d_m · v ; d_v[qc] = Σ_rows core·d_m
             v = views_ref[i]
-            cols = []
-            dv_rows = []
-            for j in range(qc):
-                cols.append(jnp.sum(d_m * v[j : j + 1, :], axis=1, keepdims=True))
-                dv_rows.append(
-                    jnp.sum(core_refs[i][:, j : j + 1] * d_m, axis=0, keepdims=True)
+            if qc > _QC_UNROLL_MAX:
+                # MXU dots above the unroll bound (same math, no qc× trace
+                # blowup): contract bn for d_core, rows for d_v
+                part = jax.lax.dot_general(
+                    d_m, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-            part = jnp.concatenate(cols, axis=1)  # (l·r·o, qc)
+                dv = jax.lax.dot_general(
+                    core_refs[i][:], d_m, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                cols = []
+                dv_rows = []
+                for j in range(qc):
+                    cols.append(
+                        jnp.sum(d_m * v[j : j + 1, :], axis=1, keepdims=True)
+                    )
+                    dv_rows.append(
+                        jnp.sum(
+                            core_refs[i][:, j : j + 1] * d_m,
+                            axis=0, keepdims=True,
+                        )
+                    )
+                part = jnp.concatenate(cols, axis=1)  # (l·r·o, qc)
+                dv = jnp.concatenate(dv_rows, axis=0)
 
             @pl.when(i_t == 0)
             def _(part=part, ref=dcore_refs[i]):
@@ -294,7 +331,7 @@ def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
             def _(part=part, ref=dcore_refs[i]):
                 ref[:] = ref[:] + part
 
-            dviews_ref[i] = jnp.concatenate(dv_rows, axis=0)
+            dviews_ref[i] = dv
 
     return kernel
 

@@ -156,3 +156,29 @@ def test_conv_sbs_model_pallas_pipeline(rng):
     gp = jax.grad(loss)(params, cfg_p)
     for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4, atol=3e-6)
+
+
+def test_sbs_pallas_large_qc_dot_path(rng):
+    """qc above the unroll bound (here q=16, C=2 → q^C = 256, vs the r2
+    support cliff at 64): the kernels switch the qc sweeps to MXU
+    dot_generals — forward AND gradients still match the XLA fold."""
+    spec = _string([(0, 0), (0, 1), (1, 1)], (1, 3, 1), (1, 2, 2), 2, q=16)
+    olr, qc, supported = sbs_plan(spec)
+    assert qc == 256 and supported  # the r2 plan rejected qc > 64
+    cores = _random_cores(rng, spec)
+    cores = [0.1 * c for c in cores]  # keep the 256-term sums well-scaled
+    x = jax.random.uniform(
+        jax.random.split(rng)[0], (2, 2, 4, 4, 16), jnp.float32
+    )
+    ref = sbs.conv_sbs(spec, cores, x)
+    got = sbs.conv_sbs(spec, cores, x, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-6)
+
+    def loss(cs, xx, backend):
+        return jnp.sum(jnp.tanh(sbs.conv_sbs(spec, cs, xx, backend)))
+
+    gc1, gx1 = jax.grad(loss, argnums=(0, 1))(cores, x, "xla")
+    gc2, gx2 = jax.grad(loss, argnums=(0, 1))(cores, x, "pallas_interpret")
+    for a, b in zip(gc1, gc2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), rtol=5e-4, atol=5e-6)
