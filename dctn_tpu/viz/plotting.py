@@ -93,12 +93,22 @@ def render_dashboard(
         f.write("".join(parts))
 
 
-def main() -> None:  # CLI: python -m dctn_tpu.viz.plotting CONFIG OUT
+def main() -> None:
+    """CLI: python -m dctn_tpu.viz.plotting CONFIG OUT [--static]
+
+    Default output is the INTERACTIVE dashboard (viz.interactive — linked
+    range sliders, hover values, legend toggling, config panes, matching the
+    reference's Bokeh dashboards); --static keeps the matplotlib renderer."""
     import sys
 
     with open(sys.argv[1]) as f:
         config = json.load(f)
-    render_dashboard(config, sys.argv[2])
+    if "--static" in sys.argv[3:]:
+        render_dashboard(config, sys.argv[2])
+    else:
+        from .interactive import render_interactive_dashboard
+
+        render_interactive_dashboard(config, sys.argv[2])
 
 
 if __name__ == "__main__":

@@ -121,3 +121,29 @@ def test_benchmark_harness():
     )
     assert res["forward_seconds_per_iteration"] > 0
     assert res["forward_backward_seconds_per_iteration"] > 0
+
+
+def test_interactive_dashboard(tmp_path):
+    """The zero-dependency interactive dashboard (viz.interactive): one
+    standalone HTML with embedded record data, three canvases, linked
+    iteration sliders, hover tooltips and config panes (the Bokeh-dashboard
+    analog, plot_training.py:25-239)."""
+    from dctn_tpu.viz.interactive import render_interactive_dashboard
+
+    root = str(tmp_path)
+    _make_fake_experiment(root, "exp_a", 1e-3)
+    _make_fake_experiment(root, "exp_b", 1e-4)
+    cfg = make_plot_config(root, title="demo")
+    out = os.path.join(root, "idash.html")
+    render_interactive_dashboard(cfg, out)
+    content = open(out).read()
+    data = json.loads(
+        content.split("const DATA = ", 1)[1].split(";\n", 1)[0]
+    )
+    assert set(data["experiments"]) == {"lr=0.001", "lr=0.0001"}
+    recs = data["experiments"]["lr=0.001"]["records"]
+    assert len(recs) == 3 and recs[1]["nitd"] == 100
+    assert recs[1]["vacc"] == 0.55 and recs[1]["trmce"] == 0.5
+    for piece in ('id="c0"', 'id="c1"', 'id="c2"', 'id="lo"', 'id="hi"',
+                  "tooltip", "run_info"):
+        assert piece in content
