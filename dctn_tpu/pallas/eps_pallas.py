@@ -64,6 +64,29 @@ def _fused_bytes(n, n1, q, o, bn, mm_bytes):
     return (mm_bytes + 4) * a * z + 4 * bn * (2 * a + 3 * z + 2 * n * q + o)
 
 
+def _fused_t_bytes(n, n1, q, o, bn, mm_bytes):
+    """Fused backward consuming the forward-saved t: the in-kernel t
+    recompute (a matmul + its f32 tile) is replaced by a double-buffered
+    (z, bn) input block in the storage dtype."""
+    a, z = _ab(n, n1, q, o)
+    return (
+        (mm_bytes + 4) * a * z
+        + 4 * bn * (2 * a + 2 * z + 2 * n * q + o)
+        + 2 * mm_bytes * z * bn
+    )
+
+
+def _dviews_t_bytes(n, n1, q, o, bn, mm_bytes):
+    """d_views pass consuming the forward-saved t: the f32 t tile of the
+    recompute is replaced by a double-buffered storage-dtype input block."""
+    a, z = _ab(n, n1, q, o)
+    return (
+        mm_bytes * a * z
+        + 4 * bn * (2 * a + 2 * z + 2 * n * q + o)
+        + 2 * mm_bytes * z * bn
+    )
+
+
 def _dcore_bytes(n, n1, q, o, bn, mm_bytes):
     a, z = _ab(n, n1, q, o)
     return 4 * a * z + 4 * bn * (2 * a + z + n * q + o)
@@ -125,15 +148,19 @@ def _chain_bwd(views_ref, sufs, d_prod, start: int, stop: int, dviews_ref):
     dviews_ref[stop - 1] = d
 
 
-def _fwd_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
+def _fwd_kernel_factory(n: int, n1: int, q: int, o: int, bn: int, save_t=False):
     n2 = n - n1
 
-    def kernel(views_ref, cmt_ref, out_ref):
+    def kernel(views_ref, cmt_ref, out_ref, *t_refs):
         # views_ref: (n, q, bn); cmt_ref: (Z=(o·q^n2), A) o-major rows,
-        # mm_dtype; out_ref: (o, bn)
+        # mm_dtype; out_ref: (o, bn); t_refs: ((Z, bn) storage-dtype,) when
+        # save_t — the t intermediate persisted for the backward, which then
+        # skips its t-recompute matmul (1 of its 3 MXU passes).
         md = cmt_ref.dtype
         u = _suffix_chain(views_ref, 0, n1)[0]
         t = jnp.dot(cmt_ref[:], u.astype(md), preferred_element_type=jnp.float32)
+        if save_t:
+            t_refs[0][:] = t.astype(t_refs[0].dtype)
         if n2 > 0:
             v = _suffix_chain(views_ref, n1, n)[0]
             t3 = t.reshape(o, q**n2, bn)
@@ -197,6 +224,51 @@ def _bwd_fused_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
     return kernel
 
 
+def _bwd_fused_t_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
+    """Fused backward consuming the forward-saved t instead of recomputing
+    it: 2 MXU passes per tile (d_cmt, d_u) rather than 3. Profitable when
+    a = q^n1 is large — the removed matmul costs 2·a·z flops/column while the
+    saved t streams z storage-dtype bytes/column through HBM, fully pipelined
+    behind the remaining compute."""
+    n2 = n - n1
+    assert n2 > 0  # t == out when n2 == 0; nothing to save
+
+    def kernel(views_ref, cmt_ref, g_ref, t_ref, dviews_ref, dcmt_ref):
+        i = pl.program_id(0)
+        md = cmt_ref.dtype
+        u_sufs = _suffix_chain(views_ref, 0, n1)
+        um = u_sufs[0].astype(md)
+        g = g_ref[:]
+        v_sufs = _suffix_chain(views_ref, n1, n)
+        v = v_sufs[0]
+        kr2 = (g[:, None, :] * v[None, :, :]).reshape(-1, g.shape[-1])
+        kr2m = kr2.astype(md)
+        part = jax.lax.dot_general(
+            kr2m, um, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        @pl.when(i == 0)
+        def _():
+            dcmt_ref[:] = part
+
+        @pl.when(i > 0)
+        def _():
+            dcmt_ref[:] = dcmt_ref[:] + part
+
+        d_u = jax.lax.dot_general(
+            cmt_ref[:], kr2m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        _chain_bwd(views_ref, u_sufs, d_u, 0, n1, dviews_ref)
+        t3 = t_ref[:].astype(jnp.float32).reshape(o, q**n2, g.shape[-1])
+        d_v = t3[0] * g[0:1, :]
+        for oi in range(1, o):
+            d_v = d_v + t3[oi] * g[oi : oi + 1, :]
+        _chain_bwd(views_ref, v_sufs, d_v, n1, n, dviews_ref)
+
+    return kernel
+
+
 def _dcore_kernel_factory(n: int, n1: int, q: int, o: int, bn: int, mm_dtype):
     """d_core accumulation pass — needs NO copy of the core in VMEM: just the
     views and g; d_cmt's output block is constant-indexed so it lives in VMEM
@@ -230,12 +302,16 @@ def _dcore_kernel_factory(n: int, n1: int, q: int, o: int, bn: int, mm_dtype):
     return kernel
 
 
-def _dviews_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
-    """d_views pass — the core (but not its gradient) resident in VMEM."""
+def _dviews_kernel_factory(n: int, n1: int, q: int, o: int, bn: int, use_t=False):
+    """d_views pass — the core (but not its gradient) resident in VMEM.
+    With ``use_t`` the forward-saved t arrives as an input and the pass runs
+    a single MXU matmul (d_u) instead of two (d_u + t-recompute)."""
     n2 = n - n1
+    assert not (use_t and n2 == 0)
 
-    def kernel(views_ref, cmt_ref, g_ref, dviews_ref):
+    def kernel(views_ref, cmt_ref, g_ref, *rest):
         # views_ref: (n, q, bn); cmt_ref: (Z, A) o-major rows; g_ref: (o, bn)
+        t_ref, dviews_ref = (rest[0], rest[1]) if use_t else (None, rest[0])
         md = cmt_ref.dtype
         u_sufs = _suffix_chain(views_ref, 0, n1)
         u = u_sufs[0]
@@ -254,8 +330,13 @@ def _dviews_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
         )
         _chain_bwd(views_ref, u_sufs, d_u, 0, n1, dviews_ref)
         if n2 > 0:
-            # t recomputed; rows (o, b) so per-o slabs are contiguous
-            t = jnp.dot(cmt_ref[:], u.astype(md), preferred_element_type=jnp.float32)
+            if use_t:
+                t = t_ref[:].astype(jnp.float32)
+            else:
+                # t recomputed; rows (o, b) so per-o slabs are contiguous
+                t = jnp.dot(
+                    cmt_ref[:], u.astype(md), preferred_element_type=jnp.float32
+                )
             t3 = t.reshape(o, q**n2, g.shape[-1])
             d_v = t3[0] * g[0:1, :]
             for oi in range(1, o):
@@ -279,20 +360,27 @@ def _core_to_cmt(core, n1):
     return core.reshape(a, b, o).transpose(2, 1, 0).reshape(o * b, a)
 
 
-@partial(jax.jit, static_argnames=("n1", "out_size", "bn", "interpret"))
-def _run_fwd(views_t, cmt, n1, out_size, bn, interpret):
+@partial(jax.jit, static_argnames=("n1", "out_size", "bn", "interpret", "save_t"))
+def _run_fwd(views_t, cmt, n1, out_size, bn, interpret, save_t=False):
     n, q, npad = views_t.shape
+    z = cmt.shape[0]
+    out_shape = jax.ShapeDtypeStruct((out_size, npad), jnp.float32)
+    out_spec = pl.BlockSpec((out_size, bn), lambda i: (0, i), memory_space=pltpu.VMEM)
+    if save_t:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((z, npad), cmt.dtype))
+        out_spec = (
+            out_spec,
+            pl.BlockSpec((z, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )
     out = pl.pallas_call(
-        _fwd_kernel_factory(n, n1, q, out_size, bn),
-        out_shape=jax.ShapeDtypeStruct((out_size, npad), jnp.float32),
+        _fwd_kernel_factory(n, n1, q, out_size, bn, save_t),
+        out_shape=out_shape,
         grid=(npad // bn,),
         in_specs=[
             pl.BlockSpec((n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(cmt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (out_size, bn), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
         interpret=interpret,
     )(views_t, cmt)
     return out
@@ -323,15 +411,44 @@ def _run_bwd_fused(views_t, cmt, g_t, n1, out_size, bn, interpret):
     return dviews, d_cmt  # (Z, A) — cmt's own layout
 
 
+@partial(jax.jit, static_argnames=("n1", "out_size", "bn", "interpret"))
+def _run_bwd_fused_t(views_t, cmt, g_t, t, n1, out_size, bn, interpret):
+    n, q, npad = views_t.shape
+    z, a = cmt.shape
+    dviews, d_cmt = pl.pallas_call(
+        _bwd_fused_t_kernel_factory(n, n1, q, out_size, bn),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, q, npad), jnp.float32),
+            jax.ShapeDtypeStruct((z, a), jnp.float32),
+        ),
+        grid=(npad // bn,),
+        in_specs=[
+            pl.BlockSpec((n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cmt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_size, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((z, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, q, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((z, a), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(views_t, cmt, g_t, t)
+    return dviews, d_cmt  # (Z, A) — cmt's own layout
+
+
 @partial(
     jax.jit,
     static_argnames=("n1", "out_size", "bn_a", "bn_b", "interpret", "mm_dtype"),
 )
-def _run_bwd(views_t, cmt, g_t, n1, out_size, bn_a, bn_b, interpret, mm_dtype):
+def _run_bwd(
+    views_t, cmt, g_t, n1, out_size, bn_a, bn_b, interpret, mm_dtype, t=None
+):
     """Two-pass backward with NOTHING large materialized in HBM: pass A
     accumulates d_core (no core copy resident), pass B computes d_views (core
     resident, no gradient accumulator). Both recompute the cheap VPU chains;
-    each pass runs the largest tile its VMEM footprint allows."""
+    each pass runs the largest tile its VMEM footprint allows. With the
+    forward-saved ``t``, pass B streams it instead of recomputing its matmul."""
     n, q, npad = views_t.shape
     z, a = cmt.shape
     views_spec = lambda bn: pl.BlockSpec(
@@ -348,20 +465,27 @@ def _run_bwd(views_t, cmt, g_t, n1, out_size, bn_a, bn_b, interpret, mm_dtype):
         out_specs=pl.BlockSpec((z, a), lambda i: (0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(views_t, g_t)
+    use_t = t is not None
+    b_inputs = [views_t, cmt, g_t] + ([t] if use_t else [])
+    b_specs = [
+        views_spec(bn_b),
+        pl.BlockSpec(cmt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        g_spec(bn_b),
+    ] + (
+        [pl.BlockSpec((z, bn_b), lambda i: (0, i), memory_space=pltpu.VMEM)]
+        if use_t
+        else []
+    )
     dviews = pl.pallas_call(
-        _dviews_kernel_factory(n, n1, q, out_size, bn_b),
+        _dviews_kernel_factory(n, n1, q, out_size, bn_b, use_t),
         out_shape=jax.ShapeDtypeStruct((n, q, npad), jnp.float32),
         grid=(npad // bn_b,),
-        in_specs=[
-            views_spec(bn_b),
-            pl.BlockSpec(cmt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            g_spec(bn_b),
-        ],
+        in_specs=b_specs,
         out_specs=pl.BlockSpec(
             (n, q, bn_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(views_t, cmt, g_t)
+    )(*b_inputs)
     return dviews, d_cmt  # (Z, A) — cmt's own layout
 
 
@@ -515,23 +639,84 @@ def _eps_pallas_t_fwd(
     n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
     views_t, npix = _stack_views_from_xT(xT, kernel_size, bn, merge_pairs)
     cmt = _core_to_cmt_k(core, n1_k, q_k).astype(mm_dtype)
-    out_t = _run_fwd(views_t, cmt, n1_k, out_size, bn, interpret)
+    save = _save_t_plan(
+        n_k, n1_k, q_k, out_size, bn, mm_dtype, views_t.shape[-1],
+        force_two_pass,
+    )
+    if save is not None:
+        out_t, t = _run_fwd(
+            views_t, cmt, n1_k, out_size, bn, interpret, save_t=True
+        )
+    else:
+        out_t, t = _run_fwd(views_t, cmt, n1_k, out_size, bn, interpret), None
     outT = out_t[:, :npix].reshape(out_size, b, hp, wp)
-    return outT, (core, xT, views_t, npix)
+    return outT, (core, xT, views_t, npix, t)
+
+
+def _save_t_plan(
+    n_k, n1_k, q_k, out_size, bn, mm_dtype, npad, force_two_pass
+):
+    """Decide (identically at forward-residual-save and backward-dispatch
+    time) whether the backward should consume a forward-saved t: returns the
+    backward tile size, or None. Profitable when a = q_k^n1_k is large —
+    the removed t-recompute matmul costs 2·a·z flops per pixel column while
+    the saved t moves 2·z storage bytes through HBM (break-even near
+    a ≈ peak_flops·bytes/bw ≈ 415 for bf16 on v5e; the margin also covers
+    the forward's extra write). Capped by the t buffer's HBM footprint."""
+    import os
+
+    n2 = n_k - n1_k
+    if force_two_pass or n2 <= 0:
+        return None
+    a = q_k**n1_k
+    if a < int(os.environ.get("DCTN_TPU_SAVE_T_MIN_A", "512")):
+        return None
+    mm_bytes = jnp.dtype(mm_dtype).itemsize
+    z = q_k**n2 * out_size
+    cap_bytes = int(os.environ.get("DCTN_TPU_SAVE_T_MAX_BYTES", str(4 << 30)))
+    if z * npad * mm_bytes > cap_bytes:
+        return None
+    bn_t = _largest_bn(
+        lambda v: _fused_t_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+    )
+    if bn_t is not None and bn_t >= _FUSED_MIN_BN:
+        return ("fused_t", bn_t)
+    bn_a = _largest_bn(
+        lambda v: _dcore_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+    )
+    bn_b = _largest_bn(
+        lambda v: _dviews_t_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
+    )
+    if bn_a is not None and bn_b is not None:
+        return ("two_t", bn_a, bn_b)
+    return None
 
 
 def _bwd_dispatch(
     views_t, cmt, g, npix, n1_k, out_size, bn, interpret, mm_dtype,
-    force_two_pass,
+    force_two_pass, t=None,
 ):
     """Shared backward tile planning + kernel dispatch for BOTH parameter
-    layouts: pads the cotangent, picks fused vs two-pass by VMEM fit, and
+    layouts: pads the cotangent, picks saved-t vs fused vs two-pass, and
     returns (dviews_t, d_cmt) with d_cmt in the (Z, A) cmt layout."""
     n_k, q_k, npad = views_t.shape
     mm_bytes = jnp.dtype(mm_dtype).itemsize
     g_t = g.reshape(out_size, npix)
     if npad != npix:
         g_t = jnp.pad(g_t, ((0, 0), (0, npad - npix)))
+    if t is not None:
+        plan = _save_t_plan(
+            n_k, n1_k, q_k, out_size, bn, mm_dtype, npad, force_two_pass
+        )
+        assert plan is not None  # fwd saved t under the same static plan
+        if plan[0] == "fused_t":
+            return _run_bwd_fused_t(
+                views_t, cmt, g_t, t, n1_k, out_size, plan[1], interpret
+            )
+        return _run_bwd(
+            views_t, cmt, g_t, n1_k, out_size, plan[1], plan[2], interpret,
+            mm_dtype, t=t,
+        )
     bn_f = _largest_bn(
         lambda v: _fused_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
     )
@@ -553,7 +738,7 @@ def _eps_pallas_t_bwd(
     kernel_size, n1, bn, interpret, mm_dtype, merge_pairs, force_two_pass,
     res, g,
 ):
-    core, xT, views_t, npix = res
+    core, xT, views_t, npix, t = res
     _, q_k, _ = views_t.shape
     out_size = core.shape[-1]
     n1_k = n1 // 2 if merge_pairs else n1  # _kernel_dims' n1 rule (c, q are
@@ -561,7 +746,7 @@ def _eps_pallas_t_bwd(
     cmt = _core_to_cmt_k(core, n1_k, q_k).astype(mm_dtype)
     dviews_t, d_cmt = _bwd_dispatch(
         views_t, cmt, g, npix, n1_k, out_size, bn, interpret, mm_dtype,
-        force_two_pass,
+        force_two_pass, t=t,
     )
     d_core = _cmt_grad_to_core_k(d_cmt.T, core.shape, n1_k, q_k)
     d_xT = _dxT_from_dviews_t(dviews_t, xT, kernel_size, npix, merge_pairs)
@@ -603,22 +788,30 @@ def _eps_pallas_t_cmt_fwd(
     hp, wp = h - kernel_size + 1, w - kernel_size + 1
     n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
     views_t, npix = _stack_views_from_xT(xT, kernel_size, bn, merge_pairs)
-    out_t = _run_fwd(
-        views_t, cmt32.astype(mm_dtype), n1_k, out_size, bn, interpret
+    save = _save_t_plan(
+        n_k, n1_k, q_k, out_size, bn, mm_dtype, views_t.shape[-1],
+        force_two_pass,
     )
+    cmtm = cmt32.astype(mm_dtype)
+    if save is not None:
+        out_t, t = _run_fwd(
+            views_t, cmtm, n1_k, out_size, bn, interpret, save_t=True
+        )
+    else:
+        out_t, t = _run_fwd(views_t, cmtm, n1_k, out_size, bn, interpret), None
     outT = out_t[:, :npix].reshape(out_size, b, hp, wp)
-    return outT, (cmt32, xT, views_t, npix)
+    return outT, (cmt32, xT, views_t, npix, t)
 
 
 def _eps_pallas_t_cmt_bwd(
     out_size, kernel_size, n1, bn, interpret, mm_dtype, merge_pairs,
     force_two_pass, res, g,
 ):
-    cmt32, xT, views_t, npix = res
+    cmt32, xT, views_t, npix, t = res
     n1_k = n1 // 2 if merge_pairs else n1  # _kernel_dims' n1 rule
     dviews_t, d_cmt = _bwd_dispatch(
         views_t, cmt32.astype(mm_dtype), g, npix, n1_k, out_size, bn,
-        interpret, mm_dtype, force_two_pass,
+        interpret, mm_dtype, force_two_pass, t=t,
     )
     d_xT = _dxT_from_dviews_t(dviews_t, xT, kernel_size, npix, merge_pairs)
     return d_cmt, d_xT

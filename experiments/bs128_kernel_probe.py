@@ -21,10 +21,13 @@ from dctn_tpu.pallas.eps_pallas import (
     _run_fwd,
     _run_bwd,
     _run_bwd_fused,
+    _run_bwd_fused_t,
     _largest_bn,
     _fused_bytes,
+    _fused_t_bytes,
     _dcore_bytes,
     _dviews_bytes,
+    _dviews_t_bytes,
     plan_pallas_call,
 )
 
@@ -112,6 +115,32 @@ def probe_layer(name, c, q, k, o, b, hw, mm_dtype=jnp.bfloat16):
                 views, cmt, g,
             )
             row.append(f"bwd_2pass(bn_b={bn_b}) {t:7.3f}ms")
+        # forward-saved-t backward variants (r3): the t-recompute matmul is
+        # replaced by streaming the (z, npad) storage-dtype t from HBM
+        if n_k - n1_k > 0:
+            tsaved = jax.random.normal(key, (z, npad), jnp.float32).astype(mm)
+            bn_ft = _largest_bn(
+                lambda v: _fused_t_bytes(n_k, n1_k, q_k, o, v, mb), cap=bn
+            )
+            if bn_ft == bn:
+                t = timed_loop(
+                    lambda v, c_, g_, t_: _run_bwd_fused_t(
+                        v, c_, g_, t_, n1_k, o, bn, False
+                    ),
+                    views, cmt, g, tsaved,
+                )
+                row.append(f"bwd_fused_t {t:7.3f}ms")
+            bn_bt = _largest_bn(
+                lambda v: _dviews_t_bytes(n_k, n1_k, q_k, o, v, mb), cap=bn
+            )
+            if bn_a == bn and bn_bt is not None:
+                t = timed_loop(
+                    lambda v, c_, g_, t_: _run_bwd(
+                        v, c_, g_, n1_k, o, bn_a, bn_bt, False, mm, t=t_
+                    ),
+                    views, cmt, g, tsaved,
+                )
+                row.append(f"bwd_2pass_t(bn_b={bn_bt}) {t:7.3f}ms")
         if len(row) > 1:
             print(" ".join(row))
 

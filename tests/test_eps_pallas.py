@@ -86,6 +86,62 @@ def test_two_pass_backward_matches_xla(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.parametrize(
+    "C,Q,K,n1,O,H,W,B,want_mode",
+    [
+        (1, 4, 3, 5, 6, 10, 10, 3, "two_t"),  # flagship eps2 shape (f32 VMEM)
+        (1, 2, 4, 8, 4, 12, 12, 2, "fused_t"),  # merged-pair eps1 shape
+    ],
+)
+def test_save_t_backward_matches_recompute(
+    rng, monkeypatch, C, Q, K, n1, O, H, W, B, want_mode
+):
+    """The forward-saved-t backward (which drops the t-recompute matmul — 1
+    of the backward's MXU passes) must match the recompute backward. Both the
+    fused_t and the two-pass-with-t dispatch arms are pinned."""
+    import dctn_tpu.pallas.eps_pallas as ep
+
+    k1, k2 = jax.random.split(rng)
+    core = jax.random.normal(k1, (Q,) * (K * K * C) + (O,), jnp.float32) * 0.1
+    xT = jax.random.uniform(k2, (C, Q, B, H, W), jnp.float32)
+    npix = B * (H - K + 1) * (W - K + 1)
+    n1r, bn, merge, mm = ep.plan_pallas_call(C, Q, K, n1, O, npix, None, True)
+
+    def loss(c, xx):
+        out = ep.eps_pallas_apply_t(c, xx, K, n1r, bn, True, mm, merge, False)
+        return jnp.sum(out * jnp.cos(out))
+
+    monkeypatch.setenv("DCTN_TPU_SAVE_T_MIN_A", "999999")  # recompute path
+    l0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(core, xT)
+    monkeypatch.setenv("DCTN_TPU_SAVE_T_MIN_A", "0")  # force save-t
+    n_k, q_k, n1_k = ep._kernel_dims(C, Q, K, n1r, merge)
+    plan = ep._save_t_plan(
+        n_k, n1_k, q_k, O, bn, mm, -(-npix // bn) * bn, False
+    )
+    assert plan is not None and plan[0] == want_mode
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(core, xT)
+    assert l0 == l1  # forward identical (t write does not change out)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_save_t_plan_gates():
+    """force_two_pass, n2 == 0, small a, and the HBM cap all disable save-t."""
+    import dctn_tpu.pallas.eps_pallas as ep
+
+    f32 = jnp.float32
+    assert ep._save_t_plan(9, 5, 4, 6, 512, f32, 1024, True) is None  # 2-pass
+    assert ep._save_t_plan(4, 4, 4, 6, 512, f32, 1024, False) is None  # n2==0
+    assert ep._save_t_plan(9, 2, 4, 6, 512, f32, 1024, False) is None  # a=16
+    import os
+
+    os.environ["DCTN_TPU_SAVE_T_MAX_BYTES"] = "1000"
+    try:
+        assert ep._save_t_plan(9, 5, 4, 6, 512, f32, 1 << 20, False) is None
+    finally:
+        del os.environ["DCTN_TPU_SAVE_T_MAX_BYTES"]
+
+
 def test_vmem_predicate():
     assert pallas_forward_fits(16, 8, 2, 4)  # layer 1: cm 1 MB
     assert pallas_forward_fits(9, 5, 4, 6)  # layer 2: cm 6 MB
