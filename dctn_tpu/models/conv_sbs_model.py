@@ -142,11 +142,11 @@ def _forward_layers(
 def _pallas_model_forward(
     params: ConvSBSModelParams, cfg: ConvSBSModelConfig, x: jax.Array
 ):
-    """Fully-transposed fused pipeline: quantum map straight into
-    (C, Q, B, H, W), every string through the fused TT-fold kernel, string
-    outputs stacked as the next layer's channels with zero relayouts, final
-    spatial mean on the (10, B, H', W') logits map. Returns None when any
-    layer's spec isn't kernel-supported (ring strings etc.)."""
+    """Fully-transposed fused pipeline: quantum map straight into the
+    batch-minor (C, Q, H, W, B), every string through the fused TT-fold
+    kernel, string outputs stacked as the next layer's channels with zero
+    relayouts, final spatial mean on the (10, H', W', B) logits map. Returns
+    None when any layer's spec isn't kernel-supported (ring strings etc.)."""
     from ..pallas.sbs_pallas import conv_sbs_pallas_t, sbs_pallas_profitable
 
     if x.dtype != jnp.float32 or any(
@@ -158,11 +158,12 @@ def _pallas_model_forward(
     for layer_spec in specs:
         if not all(sbs_pallas_profitable(s) for s in layer_spec):
             return None
+    xb = jnp.transpose(x, (1, 2, 0))  # (H, W, B): batch onto lanes
     if cfg.cos_sin_squared:
-        q = jnp.stack((jnp.sin(x) ** 2, jnp.cos(x) ** 2), axis=0)
+        q = jnp.stack((jnp.sin(xb) ** 2, jnp.cos(xb) ** 2), axis=0)
     else:
-        q = jnp.stack((jnp.sin(x), jnp.cos(x)), axis=0)
-    xT = (q * cfg.input_multiplier)[None]  # (1, 2, B, H, W)
+        q = jnp.stack((jnp.sin(xb), jnp.cos(xb)), axis=0)
+    xT = (q * cfg.input_multiplier)[None]  # (1, 2, H, W, B)
     outT = None
     for layer_spec, layer_params in zip(specs, params):
         outsT = [
@@ -171,7 +172,7 @@ def _pallas_model_forward(
         ]
         outT = outsT[0]
         xT = jnp.stack(outsT, axis=0)  # strings → channels, out_q → quantum
-    return jnp.mean(outT, axis=(2, 3)).T  # (10, B) → (B, 10)
+    return jnp.mean(outT, axis=(1, 2)).T  # (10, B) → (B, 10)
 
 
 def conv_sbs_model_forward(

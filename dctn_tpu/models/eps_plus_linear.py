@@ -169,9 +169,10 @@ def _pallas_pipeline_forward(
     epses, params, x, cfg, backend, training
 ) -> Optional[jax.Array]:
     """All-layers-transposed Pallas pipeline: ONE input relayout, then every
-    EPS runs in the (C, Q, B, H, W) / (O, B, H', W') layout (outT[None] IS
-    the next layer's xT — zero relayouts between layers), and the linear
-    layer consumes the transposed features via a 2-contracting-dim
+    EPS runs in the batch-minor (C, Q, H, W, B) / (O, H', W', B) layout
+    (outT[None] IS the next layer's xT — zero relayouts between layers, and
+    the batch stays on TPU lanes through every boundary reshape), and the
+    linear layer consumes the transposed features via a 2-contracting-dim
     dot_general against the row-reshaped weight. Layer 0 takes the two-pass
     backward so XLA DCEs its (discarded) input-cotangent kernel.
 
@@ -208,7 +209,7 @@ def _pallas_pipeline_forward(
         plans.append((kernel_size, n1, bn, merge_pairs, mm_dtype))
         c, q, h, w = 1, out_size, hp, wp
 
-    xT = jnp.transpose(x, (0, 4, 1, 2, 3))  # the ONLY input relayout
+    xT = jnp.transpose(x, (0, 4, 2, 3, 1))  # the ONLY input relayout
     outT = None
     for i, (core, (kernel_size, n1, bn, merge_pairs, mm_dtype)) in enumerate(
         zip(epses, plans)
@@ -227,14 +228,16 @@ def _pallas_pipeline_forward(
 
 
 def _transposed_classifier(outT, linear):
-    """logits[b, cls] = Σ_{p,o} outT[o,b,p]·W[(p,o),cls] — W rows are ordered
-    (h, w, q) row-major (reference layout), no transpose of outT needed."""
-    o, b2, hp2, wp2 = outT.shape
+    """logits[b, cls] = Σ_{p,o} outT[o,p,b]·W[(p,o),cls] — W rows are ordered
+    (h, w, q) row-major (reference layout), no transpose of outT needed: the
+    batch-minor (O, H', W', B) features merge their LEADING spatial dims and
+    contract batch-free."""
+    o, hp2, wp2, b2 = outT.shape
     w_lin = linear["w"].reshape(hp2 * wp2, o, -1)
     logits = jax.lax.dot_general(
-        outT.reshape(o, b2, hp2 * wp2),
+        outT.reshape(o, hp2 * wp2, b2),
         w_lin,
-        (((0, 2), (1, 0)), ((), ())),
+        (((0, 1), (1, 0)), ((), ())),
     )
     return logits + linear["b"]
 
@@ -414,7 +417,7 @@ def eps_plus_linear_forward_fast(
     )
     interpret = backend == "pallas_interpret"
     c0, b, h, w, q0 = x.shape
-    xT = jnp.transpose(x, (0, 4, 1, 2, 3))
+    xT = jnp.transpose(x, (0, 4, 2, 3, 1))
     ch, qq, hh, ww = c0, q0, h, w
     outT = None
     for i, (cmt, p) in enumerate(zip(cmts, plans)):

@@ -283,11 +283,11 @@ def conv_sbs(
             and x.dtype == jnp.float32
             and all(c.dtype == jnp.float32 for c in cores)
         ):
-            xT = jnp.transpose(x, (0, 4, 1, 2, 3))
+            xT = jnp.transpose(x, (0, 4, 2, 3, 1))
             outT = conv_sbs_pallas_t(
                 spec, cores, xT, interpret=(backend == "pallas_interpret")
             )
-            return jnp.transpose(outT, (1, 2, 3, 0))
+            return jnp.transpose(outT, (3, 1, 2, 0))
     num_channels = spec.in_num_channels
     views = window_views_at_positions(x, spec.positions)
     acc_dtype = jnp.promote_types(cores[0].dtype, x.dtype)

@@ -502,18 +502,24 @@ def _slice_specs(kernel_size: int, num_channels: int):
 
 def _stack_views_from_xT(xT, kernel_size: int, bn: int, merge_pairs: bool):
     """Build the (n, q, npad) factor stack from the TRANSPOSED input
-    ``xT``: (C, Q, B, H, W). Every view is a static (q, npix) slice — the
-    stack is a copy, never a tiny-trailing-dim transpose (XLA lowers those as
-    slow relayouts, ~5 ms per layer at bs=2048).
+    ``xT``: (C, Q, H, W, B) — BATCH-MINOR, so the batch (usually a multiple
+    of 128) sits on the TPU lane dimension and every host-side merge/split
+    between the 5-D spatial form and the kernels' flat pixel axis
+    (n = (h·W' + w)·B + b) touches only leading/sublane dims. The
+    batch-MAJOR convention made the backward's cotangent flatten a
+    lane-granularity relayout (~0.5 ms/step measured at bs=128). Every view
+    is a static (q, npix) slice; the stack is a copy, never a
+    tiny-trailing-dim transpose (XLA lowers those as slow relayouts,
+    ~5 ms per layer at bs=2048).
 
     ``merge_pairs``: Khatri-Rao adjacent view pairs host-side so q=2 chains
     run as q²=4 kernels — halves the in-kernel chain depth and doubles
     sublane utilization of the (q, bn) rows."""
-    c, q, b, h, w = xT.shape
+    c, q, h, w, b = xT.shape
     hp, wp = h - kernel_size + 1, w - kernel_size + 1
     npix = b * hp * wp
     views = [
-        xT[ch, :, :, dh : dh + hp, dw : dw + wp].reshape(q, npix)
+        xT[ch, :, dh : dh + hp, dw : dw + wp, :].reshape(q, npix)
         for dh, dw, ch in _slice_specs(kernel_size, c)
     ]
     if merge_pairs:
@@ -531,15 +537,16 @@ def _stack_views_from_xT(xT, kernel_size: int, bn: int, merge_pairs: bool):
 
 
 def _dxT_from_dviews_t(dviews_t, xT, kernel_size: int, npix: int, merge_pairs: bool):
-    """Per-factor cotangents → d(xT), all in the transposed layout. For the
-    merged-pair path, unmerge first: d_f0 = Σ_b d_m[(a,b)]·f1[b] and
-    d_f1 = Σ_a d_m[(a,b)]·f0[a] (f values re-sliced from xT, free)."""
-    c, q, b, h, w = xT.shape
+    """Per-factor cotangents → d(xT), all in the transposed batch-minor
+    layout. For the merged-pair path, unmerge first: d_f0 = Σ_b
+    d_m[(a,b)]·f1[b] and d_f1 = Σ_a d_m[(a,b)]·f0[a] (f values re-sliced
+    from xT, free)."""
+    c, q, h, w, b = xT.shape
     hp, wp = h - kernel_size + 1, w - kernel_size + 1
     specs = _slice_specs(kernel_size, c)
     if merge_pairs:
         fs = [
-            xT[ch, :, :, dh : dh + hp, dw : dw + wp].reshape(q, npix)
+            xT[ch, :, dh : dh + hp, dw : dw + wp, :].reshape(q, npix)
             for dh, dw, ch in specs
         ]
         dvs = []
@@ -557,11 +564,11 @@ def _dxT_from_dviews_t(dviews_t, xT, kernel_size: int, npix: int, merge_pairs: b
     per_channel = [None] * c
     for (dh, dw, ch), dv in zip(specs, dvs):
         padded = jnp.pad(
-            dv.reshape(q, b, hp, wp),
-            ((0, 0), (0, 0), (dh, h - hp - dh), (dw, w - wp - dw)),
+            dv.reshape(q, hp, wp, b),
+            ((0, 0), (dh, h - hp - dh), (dw, w - wp - dw), (0, 0)),
         )
         per_channel[ch] = padded if per_channel[ch] is None else per_channel[ch] + padded
-    return jnp.stack(per_channel, axis=0).astype(xT.dtype)  # (C, Q, B, H, W)
+    return jnp.stack(per_channel, axis=0).astype(xT.dtype)  # (C, Q, H, W, B)
 
 
 def _resolve_mm_dtype(mm_dtype, interpret):
@@ -603,11 +610,12 @@ def _cmt_grad_to_core_k(d_cmt_t, core_shape, n1_k, q_k):
     return d_cmt_t.reshape(a, o, b).transpose(0, 2, 1).reshape(core_shape)
 
 
-# The primary op works ENTIRELY in the transposed layout —
-# xT: (C, Q, B, H, W) → outT: (O, B, H', W') — so a multi-layer model chains
-# without a single relayout (outT[None] IS the next layer's xT). The
-# reference-layout wrapper below adds the two boundary transposes for the
-# public eps() surface.
+# The primary op works ENTIRELY in the transposed BATCH-MINOR layout —
+# xT: (C, Q, H, W, B) → outT: (O, H', W', B) — so a multi-layer model chains
+# without a single relayout (outT[None] IS the next layer's xT), and the
+# batch axis (a lane-width multiple in training) stays on TPU lanes through
+# every host-side reshape. The reference-layout wrapper below adds the two
+# boundary transposes for the public eps() surface.
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
@@ -634,7 +642,7 @@ def _eps_pallas_t_fwd(
     force_two_pass,
 ):
     out_size = core.shape[-1]
-    c, q, b, h, w = xT.shape
+    c, q, h, w, b = xT.shape
     hp, wp = h - kernel_size + 1, w - kernel_size + 1
     n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
     views_t, npix = _stack_views_from_xT(xT, kernel_size, bn, merge_pairs)
@@ -649,7 +657,7 @@ def _eps_pallas_t_fwd(
         )
     else:
         out_t, t = _run_fwd(views_t, cmt, n1_k, out_size, bn, interpret), None
-    outT = out_t[:, :npix].reshape(out_size, b, hp, wp)
+    outT = out_t[:, :npix].reshape(out_size, hp, wp, b)
     return outT, (core, xT, views_t, npix, t)
 
 
@@ -784,7 +792,7 @@ def _eps_pallas_t_cmt_fwd(
     cmt32, xT, out_size, kernel_size, n1, bn, interpret, mm_dtype,
     merge_pairs, force_two_pass,
 ):
-    c, q, b, h, w = xT.shape
+    c, q, h, w, b = xT.shape
     hp, wp = h - kernel_size + 1, w - kernel_size + 1
     n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
     views_t, npix = _stack_views_from_xT(xT, kernel_size, bn, merge_pairs)
@@ -799,7 +807,7 @@ def _eps_pallas_t_cmt_fwd(
         )
     else:
         out_t, t = _run_fwd(views_t, cmtm, n1_k, out_size, bn, interpret), None
-    outT = out_t[:, :npix].reshape(out_size, b, hp, wp)
+    outT = out_t[:, :npix].reshape(out_size, hp, wp, b)
     return outT, (cmt32, xT, views_t, npix, t)
 
 
@@ -857,11 +865,11 @@ def eps_pallas_apply(
     n1, bn_r, merge_pairs, mm_dtype = plan_pallas_call(
         c, q, kernel_size, n1, core.shape[-1], b * hp * wp, mm_dtype, interpret
     )
-    xT = jnp.transpose(x, (0, 4, 1, 2, 3))
+    xT = jnp.transpose(x, (0, 4, 2, 3, 1))
     outT = eps_pallas_apply_t(
         core, xT, kernel_size, n1, bn if bn is not None else bn_r,
         interpret, mm_dtype, merge_pairs, False,
     )
-    return jnp.transpose(outT, (1, 2, 3, 0))
+    return jnp.transpose(outT, (3, 1, 2, 0))
 
 

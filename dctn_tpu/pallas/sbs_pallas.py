@@ -341,10 +341,14 @@ def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
 
 
 def _merge_channel_views(xT, positions, qc: int):
-    """xT: (C, Q, B, H, W) → per-position merged factors (P, qc, npix).
-    Channel 0 is the slowest factor, matching the core's quantum-dim order
-    (SBSCoreShape.as_tuple trailing (q,)*C, channel 0 first)."""
-    c, q, b, h, w = xT.shape
+    """xT: (C, Q, H, W, B) BATCH-MINOR → per-position merged factors
+    (P, qc, npix) with flat pixel index ((h·W' + w)·B + b): the batch rides
+    the TPU lane dimension, so the 5-D↔flat boundary reshapes (here and in
+    the autodiffed output reshape's transpose) never need lane-granularity
+    relayouts. Channel 0 is the slowest factor, matching the core's
+    quantum-dim order (SBSCoreShape.as_tuple trailing (q,)*C, channel 0
+    first)."""
+    c, q, h, w, b = xT.shape
     max_h = max(p.h for p in positions)
     max_w = max(p.w for p in positions)
     hp, wp = h - max_h, w - max_w
@@ -352,7 +356,7 @@ def _merge_channel_views(xT, positions, qc: int):
     merged = []
     for pos in positions:
         fs = [
-            xT[ch, :, :, pos.h : pos.h + hp, pos.w : pos.w + wp].reshape(q, npix)
+            xT[ch, :, pos.h : pos.h + hp, pos.w : pos.w + wp, :].reshape(q, npix)
             for ch in range(c)
         ]
         m = fs[0]
@@ -449,8 +453,9 @@ _conv_sbs_pallas.defvjp(_conv_sbs_pallas_fwd, _conv_sbs_pallas_bwd)
 def conv_sbs_pallas_t(
     spec, cores: Sequence[jax.Array], xT: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """Fused ConvSBS over the transposed input xT (C, Q, B, H, W) →
-    outT (∏out_q, B, H', W'). Requires sbs_plan(spec) to report support."""
+    """Fused ConvSBS over the transposed batch-minor input xT
+    (C, Q, H, W, B) → outT (∏out_q, H', W', B). Requires sbs_plan(spec) to
+    report support."""
     olr, qc, supported = sbs_plan(spec)
     assert supported, "unsupported spec for the fused SBS kernel"
     views_t, npix, hp, wp = _merge_channel_views(xT, spec.positions, qc)
@@ -462,6 +467,6 @@ def conv_sbs_pallas_t(
         _core_to_lro(c, o, l, r, qc) for c, (o, l, r) in zip(cores, olr)
     )
     out = _conv_sbs_pallas((olr, qc, bn), cores_lro, views_t, interpret)
-    b = xT.shape[2]
+    b = xT.shape[4]
     o_total = int(np.prod([o for o, _, _ in olr]))
-    return out[:, :npix].reshape(o_total, b, hp, wp)
+    return out[:, :npix].reshape(o_total, hp, wp, b)

@@ -427,7 +427,7 @@ def _tp_fast_forward_local(
             masked.append(cmt * mask_cmt / cfg.dropout_p)
         cmts = tuple(masked)
     c0, b, h, w, q0 = xb.shape
-    xT = jnp.transpose(xb, (0, 4, 1, 2, 3))
+    xT = jnp.transpose(xb, (0, 4, 2, 3, 1))
     ch, qq, hh, ww = c0, q0, h, w
     outT = None
     for i, (cmt, p) in enumerate(zip(cmts, plans)):
@@ -443,12 +443,12 @@ def _tp_fast_forward_local(
         )
         xT = outT[None]
         ch, qq, hh, ww = 1, out_full, hp, wp
-    o_loc, b2, hp2, wp2 = outT.shape
+    o_loc, hp2, wp2, b2 = outT.shape
     # same contraction as models._transposed_classifier, w3 already 3-D
     partial_logits = jax.lax.dot_general(
-        outT.reshape(o_loc, b2, hp2 * wp2),
+        outT.reshape(o_loc, hp2 * wp2, b2),
         fast3["linear"]["w3"],
-        (((0, 2), (1, 0)), ((), ())),
+        (((0, 1), (1, 0)), ((), ())),
     )
     return _psum_value_only(partial_logits, "model") + fast3["linear"]["b"]
 

@@ -103,7 +103,7 @@ def test_save_t_backward_matches_recompute(
 
     k1, k2 = jax.random.split(rng)
     core = jax.random.normal(k1, (Q,) * (K * K * C) + (O,), jnp.float32) * 0.1
-    xT = jax.random.uniform(k2, (C, Q, B, H, W), jnp.float32)
+    xT = jax.random.uniform(k2, (C, Q, H, W, B), jnp.float32)
     npix = B * (H - K + 1) * (W - K + 1)
     n1r, bn, merge, mm = ep.plan_pallas_call(C, Q, K, n1, O, npix, None, True)
 
