@@ -142,6 +142,21 @@ def test_save_t_plan_gates():
         del os.environ["DCTN_TPU_SAVE_T_MAX_BYTES"]
 
 
+def test_save_t_plan_flagship_chip_mode():
+    """Pin the static plans the REAL CHIP uses (mm_dtype=bf16) for the
+    flagship two-EPS config: L1 (9,4,6) saves t and takes the
+    two-pass-with-t backward (fused_t doesn't fit VMEM at bn ≥ 256);
+    L0 (merged (16,2,4) → (8,4,4)) is force_two_pass (its d_views pass is
+    DCEd) so it never saves t."""
+    import dctn_tpu.pallas.eps_pallas as ep
+
+    bf16 = jnp.bfloat16
+    npad_l1 = 128 * 23 * 23  # bs 128, exact bn multiple not required here
+    plan_l1 = ep._save_t_plan(9, 5, 4, 6, 512, bf16, npad_l1, False)
+    assert plan_l1 is not None and plan_l1[0] == "two_t"
+    assert ep._save_t_plan(8, 4, 4, 4, 512, bf16, 128 * 25 * 25, True) is None
+
+
 def test_vmem_predicate():
     assert pallas_forward_fits(16, 8, 2, 4)  # layer 1: cm 1 MB
     assert pallas_forward_fits(9, 5, 4, 6)  # layer 2: cm 6 MB
