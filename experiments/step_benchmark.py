@@ -18,7 +18,10 @@ import os
 import sys
 import time
 
-RESULTS = os.path.join(os.path.dirname(__file__), "step_benchmark_results.json")
+RESULTS = os.environ.get(
+    "SWEEP_RESULTS",
+    os.path.join(os.path.dirname(__file__), "step_benchmark_results.json"),
+)
 
 
 def measure(batch_size: int, compute_dtype: str, steps: int) -> dict:
