@@ -24,7 +24,9 @@ RESULTS = os.environ.get(
 )
 
 
-def measure(batch_size: int, compute_dtype: str, steps: int) -> dict:
+def measure(
+    batch_size: int, compute_dtype: str, steps: int, grad_accum: int = 1
+) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +47,9 @@ def measure(batch_size: int, compute_dtype: str, steps: int) -> dict:
     params = init_eps_plus_linear(key, cfg)
     params, plans = fast_params_from_reference(params, cfg)
     opt = make_optimizer("adam", 3e-3)
-    step = make_fast_train_step(cfg, opt, plans, "epswise", 1e-6, donate=True)
+    step = make_fast_train_step(
+        cfg, opt, plans, "epswise", 1e-6, donate=True, grad_accum_steps=grad_accum
+    )
     opt_state = opt.init(params)
     x = jax.random.uniform(key, (1, batch_size, 28, 28, 2), jnp.float32) * 1.4
     y = jax.random.randint(key, (batch_size,), 0, 10)
@@ -60,13 +64,16 @@ def measure(batch_size: int, compute_dtype: str, steps: int) -> dict:
             params, opt_state, m = step(params, opt_state, rng, x, y)
         float(m["loss"])
         best = min(best, time.perf_counter() - t0)
-    return {
+    row = {
         "batch_size": batch_size,
         "compute_dtype": compute_dtype,
         "images_per_sec": round(batch_size * steps / best, 1),
         "step_ms": round(best / steps * 1e3, 3),
         "path": "pallas_fast_cmt",
     }
+    if grad_accum != 1:
+        row["grad_accum"] = grad_accum
+    return row
 
 
 def main() -> None:
@@ -74,16 +81,19 @@ def main() -> None:
 
     batches = [int(a) for a in sys.argv[1:]] or [128, 2048]
     dtypes = os.environ.get("SWEEP_DTYPES", "float32,bfloat16").split(",")
+    accum = int(os.environ.get("SWEEP_ACCUM", "1"))
     rows = []
     if os.path.exists(RESULTS):
         rows = json.load(open(RESULTS))["rows"]
-    done = {(r["batch_size"], r["compute_dtype"]) for r in rows}
+    done = {
+        (r["batch_size"], r["compute_dtype"], r.get("grad_accum", 1)) for r in rows
+    }
     for bs in batches:
         for dt in dtypes:
-            if (bs, dt) in done:
+            if (bs, dt, accum) in done:
                 continue
             steps = max(4, min(30, 4096 // bs * 4))
-            row = measure(bs, dt, steps)
+            row = measure(bs, dt, steps, accum)
             rows.append(row)
             print(json.dumps(row), flush=True)
             with open(RESULTS, "w") as f:
