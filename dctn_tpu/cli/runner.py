@@ -72,6 +72,41 @@ LOG_FNAME = "log.log"
 logger = logging.getLogger(__name__)
 
 
+def _hint_saved_t_recipe(cfg, plans, per_device_batch: int, accum: int) -> None:
+    """Log the large-batch recipe (docs/performance.md) when any EPS layer's
+    saved-t backward is disabled ONLY by the t-buffer HBM cap at this
+    per-device microbatch: a higher ``--grad-accum-steps`` re-enables the
+    2-matmul backward (+22% measured at bs 8192 single-chip)."""
+    from ..models.eps_plus_linear import saved_t_capped_layers
+
+    if per_device_batch % accum:
+        return
+    capped = saved_t_capped_layers(cfg, plans, per_device_batch // accum)
+    if not capped:
+        return
+    suggest = None
+    s = accum * 2
+    while s <= per_device_batch:
+        if per_device_batch % s == 0 and not saved_t_capped_layers(
+            cfg, plans, per_device_batch // s
+        ):
+            suggest = s
+            break
+        s *= 2
+    msg = (
+        "saved-t backward HBM-capped for EPS layer(s) %s at per-device "
+        "microbatch %d — the backward runs the 3-matmul recompute there."
+        % (capped, per_device_batch // accum)
+    )
+    if suggest:
+        msg += (
+            " Consider --grad-accum-steps %d: microbatch t buffers stay "
+            "under the cap (large-batch recipe, docs/performance.md)."
+            % suggest
+        )
+    logger.warning(msg)
+
+
 def parse_epses_specs(s: str) -> Tuple[Tuple[int, int], ...]:
     """'(4,4),(3,6)' → ((4, 4), (3, 6)) (new_runner.py:81-84 format)."""
     if re.match(r"^\((\d+),(\d+)\)(,\((\d+),(\d+)\))*$", s) is None:
@@ -271,6 +306,17 @@ def run(**kwargs) -> TrainLoopState:
     assert implies(bool(kwargs["nu_per_channel"]), colored)
     assert implies(kwargs["phi_multiplier"] is not None, not colored)
     assert implies(kwargs["add_constant_channel"] is not None, colored)
+    if kwargs["tb_batches"] and kwargs["grad_accum_steps"] > 1:
+        raise click.BadParameter(
+            "--tb-batches is incompatible with --grad-accum-steps > 1: "
+            "per-sample probabilities are not accumulated across microbatches"
+        )
+    if kwargs["batch_size"] % (kwargs["mesh_devices"] * kwargs["grad_accum_steps"]):
+        raise click.BadParameter(
+            "--batch-size must be divisible by --mesh-devices * "
+            "--grad-accum-steps (each device's sub-batch is microbatched "
+            "into equal accumulation slices)"
+        )
 
     # --- provenance + logging (new_runner.py:326-341) ---
     setup_run_provenance(output_dir, kwargs, kwargs["verbosity"])
@@ -478,6 +524,10 @@ def run(**kwargs) -> TrainLoopState:
                 kwargs["reg_type"], kwargs["reg_coeff"],
                 frozen_eps_indices=kwargs["freeze_eps"],
                 with_probs=kwargs["tb_batches"],
+                grad_accum_steps=kwargs["grad_accum_steps"],
+            )
+            _hint_saved_t_recipe(
+                cfg, fast_plans, per_dev, kwargs["grad_accum_steps"]
             )
             dp_forward = lambda f, xb: eps_plus_linear_forward_fast(  # noqa: E731
                 f, xb, cfg, fast_plans, training=False
@@ -491,6 +541,7 @@ def run(**kwargs) -> TrainLoopState:
                 cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
                 frozen_eps_indices=kwargs["freeze_eps"],
                 with_probs=kwargs["tb_batches"],
+                grad_accum_steps=kwargs["grad_accum_steps"],
             )
         opt_state = replicate(mesh, optimizer.init(params))
         params = replicate(mesh, params)
@@ -523,6 +574,10 @@ def run(**kwargs) -> TrainLoopState:
                 frozen_eps_indices=kwargs["freeze_eps"],
                 with_probs=kwargs["tb_batches"],
                 grad_accum_steps=kwargs["grad_accum_steps"],
+            )
+            _hint_saved_t_recipe(
+                cfg, fast_plans, kwargs["batch_size"],
+                kwargs["grad_accum_steps"],
             )
             params_view = lambda f: reference_params_from_fast(  # noqa: E731
                 f, cfg, fast_plans

@@ -328,6 +328,28 @@ def fast_layer_plans(cfg: EPSesPlusLinearConfig, in_channels: int = 1):
     return tuple(plans)
 
 
+def saved_t_capped_layers(cfg: EPSesPlusLinearConfig, plans, microbatch: int):
+    """Indices of EPS layers whose saved-t backward is disabled only by the
+    t-buffer HBM cap at this per-device microbatch size (layer 0 is skipped:
+    its backward is always two-pass so its input cotangent DCEs). Non-empty
+    ⇒ a smaller microbatch (``--grad-accum-steps``) would re-enable the
+    2-matmul backward — the large-batch recipe in docs/performance.md."""
+    from ..pallas.eps_pallas import save_t_capped
+
+    h = w = cfg.image_size
+    capped = []
+    for i, p in enumerate(plans):
+        k = p["kernel_size"]
+        hp, wp = h - k + 1, w - k + 1
+        if i > 0 and save_t_capped(
+            p["c"], p["q"], k, p["n1"], p["out_size"],
+            microbatch * hp * wp, cfg.compute_dtype,
+        ):
+            capped.append(i)
+        h, w = hp, wp
+    return capped
+
+
 def fast_params_from_reference(params: Params, cfg: EPSesPlusLinearConfig):
     """Reference pytree -> (fast_params, plans): each EPS core matricized to
     the kernel's (Z, A) float32 layout."""

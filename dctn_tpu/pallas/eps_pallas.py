@@ -700,6 +700,29 @@ def _save_t_plan(
     return None
 
 
+def save_t_capped(c, q, kernel_size, n1, out_size, npix, compute_dtype):
+    """True iff the saved-t backward is disabled ONLY by the t buffer's HBM
+    footprint cap at this pixel count — i.e. the same layer WOULD save t at
+    a smaller microbatch. Static/cheap; the runner uses it to suggest
+    ``--grad-accum-steps`` at large batch (docs/performance.md,
+    "large-batch recipe": measured +22% at bs 8192)."""
+    n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
+        c, q, kernel_size, n1, out_size, npix, compute_dtype, False
+    )
+    n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
+    npad = -(-npix // bn) * bn
+    if _save_t_plan(n_k, n1_k, q_k, out_size, bn, mm_dtype, npad, False):
+        return False
+    # Capped ⇔ the same plan WOULD fire with the t buffer shrunk to one
+    # tile (npad=bn) — re-asking _save_t_plan keeps the two decisions
+    # identical (MIN_A threshold, VMEM tile search) with no duplicated
+    # constants.
+    return (
+        _save_t_plan(n_k, n1_k, q_k, out_size, bn, mm_dtype, bn, False)
+        is not None
+    )
+
+
 def _bwd_dispatch(
     views_t, cmt, g, npix, n1_k, out_size, bn, interpret, mm_dtype,
     force_two_pass, t=None,

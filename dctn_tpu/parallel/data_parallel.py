@@ -37,7 +37,7 @@ from ..models.eps_plus_linear import (
     EPSesPlusLinearConfig,
     eps_plus_linear_forward,
 )
-from ..train.step import REGULARIZERS, make_fast_reg_fn
+from ..train.step import REGULARIZERS, grad_accum_scan, make_fast_reg_fn
 
 
 # ---------------------------------------------------------------------------
@@ -90,12 +90,24 @@ def _make_parallel_step_from_fns(
     eps_leaves_key: str = "epses",
     donate: bool = True,
     with_probs: bool = False,
+    grad_accum_steps: int = 1,
 ):
     """Model-layout-agnostic DP step builder: the reference-layout, fast
     (cmt) and ConvSBS steps all share this body — they differ only in the
     forward, the regularizer, and which pytree key holds the freezable
-    cores."""
+    cores.
+
+    ``grad_accum_steps`` microbatches each device's sub-batch through
+    ``train.step.grad_accum_scan`` BEFORE the pmean all-reduce (still one
+    collective per step). Besides bounding activation memory, this is the
+    DP form of the large-batch recipe (docs/performance.md): microbatch
+    saved-t buffers stay transient and under the HBM cap, keeping the
+    2-matmul backward at huge per-device batches (+22% measured at bs 8192
+    single-chip)."""
     frozen = frozenset(frozen_eps_indices)
+    assert not (with_probs and grad_accum_steps > 1), (
+        "tb-batches is incompatible with gradient accumulation"
+    )
 
     def local_loss(params, xb, yb, rng):
         logits = forward_fn(params, xb, rng)
@@ -118,9 +130,15 @@ def _make_parallel_step_from_fns(
         # x_shard: (C, n_local, H, W, Q); idx_shard: (1, b) — this device's row
         xb = jnp.take(x_shard, idx_shard[0], axis=1)
         yb = jnp.take(y_shard, idx_shard[0], axis=0)
-        (loss, (ce, reg, probs)), grads = jax.value_and_grad(
-            local_loss, has_aux=True
-        )(params, xb, yb, rng)
+        if grad_accum_steps == 1:
+            (loss, (ce, reg, probs)), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(params, xb, yb, rng)
+        else:
+            loss, ce, reg, grads = grad_accum_scan(
+                local_loss, params, xb, yb, rng, grad_accum_steps
+            )
+            probs = jnp.zeros((yb.shape[0],), loss.dtype)  # DCE'd (gated off)
         # ONE collective: average gradients over the data axis (ICI all-reduce)
         grads = jax.lax.pmean(grads, "data")
         grads = mask_frozen(grads)
@@ -162,6 +180,7 @@ def make_parallel_train_step(
     frozen_eps_indices: Sequence[int] = (),
     donate: bool = True,
     with_probs: bool = False,
+    grad_accum_steps: int = 1,
 ):
     """Returns step(params, opt_state, rng, sharded_x, sharded_y, local_idx)
     → (params, opt_state, metrics).
@@ -180,7 +199,7 @@ def make_parallel_train_step(
         ),
         REGULARIZERS[reg_type],
         optimizer, mesh, reg_coeff, frozen_eps_indices, "epses",
-        donate, with_probs,
+        donate, with_probs, grad_accum_steps,
     )
 
 
@@ -194,6 +213,7 @@ def make_parallel_fast_train_step(
     frozen_eps_indices: Sequence[int] = (),
     donate: bool = True,
     with_probs: bool = False,
+    grad_accum_steps: int = 1,
 ):
     """The DP step over the FAST (cmt) parameter layout — the flagship
     single-chip path (19.75k img/s, cores stored matricized) running
@@ -210,7 +230,7 @@ def make_parallel_fast_train_step(
         ),
         make_fast_reg_fn(cfg, plans, reg_type),
         optimizer, mesh, reg_coeff, frozen_eps_indices, "epses_cmt",
-        donate, with_probs,
+        donate, with_probs, grad_accum_steps,
     )
 
 

@@ -157,6 +157,19 @@ def test_save_t_plan_flagship_chip_mode():
     assert ep._save_t_plan(8, 4, 4, 4, 512, bf16, 128 * 25 * 25, True) is None
 
 
+def test_save_t_capped():
+    """save_t_capped is True exactly when the HBM cap is the ONLY reason the
+    saved-t backward is off (flagship L1 at bs 8192), False when the plan
+    fires (bs 2048) or the layer is never profitable (L0's a=256 < MIN_A)."""
+    import dctn_tpu.pallas.eps_pallas as ep
+
+    # flagship L1 (c=1, q=4, k=3, o=6) on a 25×25 input → 23×23 output
+    assert ep.save_t_capped(1, 4, 3, 5, 6, 8192 * 23 * 23, None)  # 13 GB > cap
+    assert not ep.save_t_capped(1, 4, 3, 5, 6, 2048 * 23 * 23, None)  # plan on
+    # flagship L0 (merged (16,2,4)→(8,4,4)): a=256 < MIN_A — cap irrelevant
+    assert not ep.save_t_capped(1, 2, 4, 8, 4, 8192 * 25 * 25, None)
+
+
 def test_vmem_predicate():
     assert pallas_forward_fits(16, 8, 2, 4)  # layer 1: cm 1 MB
     assert pallas_forward_fits(9, 5, 4, 6)  # layer 2: cm 6 MB

@@ -231,3 +231,43 @@ def test_fast_step_learns():
         f, o, m = fstep(f, o, jax.random.PRNGKey(i), x, y)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_saved_t_capped_layers_flagship():
+    """saved_t_capped_layers pins the measured bs-8192 falloff: the flagship
+    L1 t buffer tops the 4 GB HBM cap at microbatch 8192 (so the backward ran
+    the 3-matmul recompute, 22.6k img/s) but fits at 2048 (the grad-accum-4
+    large-batch recipe, 27.5k — docs/performance.md). L0 is never listed: it
+    is force_two_pass (d_views DCEd) and its merged a=256 < MIN_A anyway."""
+    from dctn_tpu.models.eps_plus_linear import (
+        fast_layer_plans,
+        saved_t_capped_layers,
+    )
+
+    cfg = EPSesPlusLinearConfig(epses_specs=((4, 4), (3, 6)), image_size=28)
+    plans = fast_layer_plans(cfg)
+    assert saved_t_capped_layers(cfg, plans, 8192) == [1]
+    assert saved_t_capped_layers(cfg, plans, 4096) == [1]
+    assert saved_t_capped_layers(cfg, plans, 2048) == []
+    assert saved_t_capped_layers(cfg, plans, 128) == []
+
+
+def test_runner_hints_grad_accum_for_capped_saved_t(caplog):
+    """The runner's saved-t hint reproduces the documented recipe: at batch
+    8192 / accum 1 it suggests exactly --grad-accum-steps 4 (the measured
+    +22% configuration); at 2048, or once accum 4 is set, it stays silent."""
+    import logging
+
+    from dctn_tpu.cli.runner import _hint_saved_t_recipe
+    from dctn_tpu.models.eps_plus_linear import fast_layer_plans
+
+    cfg = EPSesPlusLinearConfig(epses_specs=((4, 4), (3, 6)), image_size=28)
+    plans = fast_layer_plans(cfg)
+    with caplog.at_level(logging.WARNING, logger="dctn_tpu.cli.runner"):
+        _hint_saved_t_recipe(cfg, plans, 8192, 1)
+    assert "--grad-accum-steps 4" in caplog.text
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="dctn_tpu.cli.runner"):
+        _hint_saved_t_recipe(cfg, plans, 2048, 1)
+        _hint_saved_t_recipe(cfg, plans, 8192, 4)
+    assert caplog.text == ""

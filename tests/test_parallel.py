@@ -264,3 +264,67 @@ def test_parallel_step_with_pallas_backend(problem):
         jax.tree_util.tree_leaves(results["pallas_interpret"][1]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs the virtual mesh")
+def test_parallel_grad_accum_matches_full_batch(problem):
+    """DP gradient accumulation (the large-batch recipe on a mesh): each
+    device microbatches its sub-batch before the single pmean all-reduce, so
+    accum=2 must give the same update as the plain DP step (up to reduction
+    order) — for BOTH the fast (cmt) and reference-layout steps."""
+    from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
+    from dctn_tpu.parallel import make_parallel_fast_train_step
+
+    splits, _, _ = problem
+    x = np.asarray(splits.train.x)[:, :16]
+    y = np.asarray(splits.train.y)[:16]
+    mesh = make_mesh(4)
+    split = shard_split(mesh, x, y)
+    idx = jax.device_put(
+        np.tile(np.arange(4, dtype=np.int32), (4, 1)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+    )
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=x.shape[2], q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    fast, plans = fast_params_from_reference(params, cfg)
+    opt = make_optimizer("sgd", 0.05)  # sgd: update = -lr·grad exactly
+    rng = jax.random.PRNGKey(9)
+
+    outs = {}
+    for accum in (1, 2):
+        stepN = make_parallel_fast_train_step(
+            cfg, opt, plans, mesh, "epswise", 1e-4, donate=False,
+            grad_accum_steps=accum,
+        )
+        fN, oN = replicate(mesh, fast), replicate(mesh, opt.init(fast))
+        fN, oN, mN = stepN(fN, oN, rng, split.x, split.y, idx)
+        outs[accum] = (float(mN["ce"]), fN)
+    np.testing.assert_allclose(outs[1][0], outs[2][0], rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[1][1]),
+        jax.tree_util.tree_leaves(outs[2][1]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
+
+    # reference-layout DP step under accumulation
+    cfg_ref = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=x.shape[2], q0=2
+    )
+    outs = {}
+    for accum in (1, 2):
+        stepN = make_parallel_train_step(
+            cfg_ref, opt, mesh, "epswise", 1e-4, donate=False,
+            grad_accum_steps=accum,
+        )
+        pN, oN = replicate(mesh, params), replicate(mesh, opt.init(params))
+        pN, oN, mN = stepN(pN, oN, rng, split.x, split.y, idx)
+        outs[accum] = (float(mN["ce"]), pN)
+    np.testing.assert_allclose(outs[1][0], outs[2][0], rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[1][1]),
+        jax.tree_util.tree_leaves(outs[2][1]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
