@@ -213,7 +213,14 @@ def main() -> None:
     import jax
 
     batch_size = int(os.environ.get("BENCH_BATCH", "128"))
-    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    # Timed-window length scales to a fixed image budget: the relay's fence
+    # round-trip is a fixed ~28 ms per window, which at 30 steps of the
+    # 4.4 ms bs-128 step inflated the reading by ~0.9 ms/step (the phantom
+    # "bs-128 gap" — docs/performance.md measurement rules). ~49k images
+    # ≈ 1.7 s windows keep that under 2% at every batch size.
+    steps = int(os.environ.get("BENCH_STEPS", "0")) or max(
+        30, 49152 // batch_size
+    )
     compute_dtype = os.environ.get("BENCH_COMPUTE_DTYPE", "float32")
 
     on_tpu = jax.default_backend() == "tpu"

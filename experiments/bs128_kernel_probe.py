@@ -33,11 +33,39 @@ from dctn_tpu.pallas.eps_pallas import (
 
 REPEATS = 30
 
+# Every fenced window through the axon relay costs a fixed ~26-28 ms
+# (program dispatch + final scalar fetch) REGARDLESS of window length; at
+# REPEATS=30 that silently adds ~0.9 ms to every per-call figure (this is
+# what minted the phantom "bs-128 in-kernel small-grid inefficiency" —
+# docs/performance.md measurement rules). Calibrate it once with an empty
+# window and subtract.
+_WINDOW_MS = None
+
+
+def _window_constant_ms():
+    global _WINDOW_MS
+    if _WINDOW_MS is None:
+
+        @jax.jit
+        def empty(s0):
+            return jax.lax.fori_loop(0, REPEATS, lambda i, s: s + 1e-30, s0)
+
+        float(empty(jnp.float32(0.0)))  # compile + warm
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(empty(jnp.float32(0.0)))
+            best = min(best, time.perf_counter() - t0)
+        _WINDOW_MS = best * 1e3
+        print(f"(window constant: {_WINDOW_MS:.1f} ms per fenced window)")
+    return _WINDOW_MS
+
 
 def timed_loop(fn, *arrays):
     """Median-of-3 of an in-program ``REPEATS``-iteration data-dependent
     chain: iteration i's first operand is nudged by iteration i-1's output
-    scalar so XLA cannot hoist or overlap the calls."""
+    scalar so XLA cannot hoist or overlap the calls. The fixed per-window
+    relay cost is calibrated and subtracted."""
 
     @jax.jit
     def many(*args):
@@ -50,6 +78,7 @@ def timed_loop(fn, *arrays):
 
         return jax.lax.fori_loop(0, REPEATS, body, jnp.float32(0.0))
 
+    const = _window_constant_ms()
     r = many(*arrays)
     float(r)  # compile + warm
     best = float("inf")
@@ -57,7 +86,7 @@ def timed_loop(fn, *arrays):
         t0 = time.perf_counter()
         float(many(*arrays))
         best = min(best, time.perf_counter() - t0)
-    return best / REPEATS * 1e3  # ms per call
+    return max(0.0, best * 1e3 - const) / REPEATS  # ms per call
 
 
 def probe_layer(name, c, q, k, o, b, hw, mm_dtype=jnp.bfloat16):

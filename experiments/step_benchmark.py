@@ -92,7 +92,11 @@ def main() -> None:
         for dt in dtypes:
             if (bs, dt, accum) in done:
                 continue
-            steps = max(4, min(30, 4096 // bs * 4))
+            # ~49k-image windows (~1.7 s): the relay fence costs a fixed
+            # ~28 ms per window, which at short windows inflates per-step
+            # time (at bs 128 × 30 steps it read +0.9 ms/step — the phantom
+            # "bs-128 gap", see docs/performance.md measurement rules)
+            steps = max(4, min(512, 49152 // bs))
             row = measure(bs, dt, steps, accum)
             rows.append(row)
             print(json.dumps(row), flush=True)
