@@ -20,6 +20,33 @@ def _fence(value) -> float:
     return float(jnp.sum(leaf))
 
 
+_MIN_WINDOW_S = 1.0  # every fenced window costs a fixed ~28 ms through the
+# axon relay (docs/performance.md measurement rules): windows shorter than
+# ~1 s of device time inflate per-iteration readings materially, so the
+# harness auto-extends the window until it is long enough.
+
+
+def _timed_window(call: Callable[[], Any], num_iterations: int):
+    """(seconds/iteration, iterations used): time a fenced window of
+    ``num_iterations`` calls, auto-extending the window to ≥ _MIN_WINDOW_S
+    so the fixed per-window dispatch+fence cost stays under ~3%."""
+    t0 = time.perf_counter()
+    for _ in range(num_iterations):
+        out = call()
+    _fence(out)
+    dt = time.perf_counter() - t0
+    if dt < _MIN_WINDOW_S:
+        num_iterations = max(
+            num_iterations, int(num_iterations * 1.2 * _MIN_WINDOW_S / max(dt, 1e-9))
+        )
+        t0 = time.perf_counter()
+        for _ in range(num_iterations):
+            out = call()
+        _fence(out)
+        dt = time.perf_counter() - t0
+    return dt / num_iterations, num_iterations
+
+
 def benchmark_jax(
     fn: Callable,
     args: Sequence[Any],
@@ -30,20 +57,18 @@ def benchmark_jax(
     grad_argnums=0,
 ) -> Dict[str, Any]:
     """Returns the reference's result-dict shape: forward s/iter and (if
-    requested) forward+backward s/iter for ``fn(*args)``."""
+    requested) forward+backward s/iter for ``fn(*args)``.
+    ``num_iterations`` is a floor — the timed window auto-extends to
+    ≥ ~1 s of device time (see ``_timed_window``)."""
     fwd = jax.jit(fn)
-    result: Dict[str, Any] = {"num_iterations": num_iterations}
+    result: Dict[str, Any] = {}
 
     for _ in range(warmup):
         out = fwd(*args)
     _fence(out)
-    t0 = time.perf_counter()
-    for _ in range(num_iterations):
-        out = fwd(*args)
-    _fence(out)
-    result["forward_seconds_per_iteration"] = (
-        time.perf_counter() - t0
-    ) / num_iterations
+    s_per_iter, iters = _timed_window(lambda: fwd(*args), num_iterations)
+    result["num_iterations"] = iters
+    result["forward_seconds_per_iteration"] = s_per_iter
 
     if with_backward:
         def scalar_loss(*a):
@@ -53,11 +78,7 @@ def benchmark_jax(
         for _ in range(warmup):
             g = fwd_bwd(*args)
         _fence(g)
-        t0 = time.perf_counter()
-        for _ in range(num_iterations):
-            g = fwd_bwd(*args)
-        _fence(g)
-        result["forward_backward_seconds_per_iteration"] = (
-            time.perf_counter() - t0
-        ) / num_iterations
+        s_per_iter, iters = _timed_window(lambda: fwd_bwd(*args), num_iterations)
+        result["num_iterations_backward"] = iters
+        result["forward_backward_seconds_per_iteration"] = s_per_iter
     return result

@@ -55,12 +55,16 @@ def main() -> None:
             for _ in range(3):
                 p, o, m = step(p, o, key, x, y)
             float(m["loss"])  # value fetch = the reliable fence on axon
-            iters = 40
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                p, o, m = step(p, o, key, x, y)
-            float(m["loss"])
-            dt = (time.perf_counter() - t0) / iters
+            # ~49k-image windows, best of 3 (fixed ~28 ms per fenced
+            # window through the relay — docs/performance.md)
+            iters = max(40, 49152 // bs)
+            dt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    p, o, m = step(p, o, key, x, y)
+                float(m["loss"])
+                dt = min(dt, (time.perf_counter() - t0) / iters)
             r = {
                 "kind": f"CIFAR-colored EPS(2,{q_out})+linear train step (C=3, 32x32)",
                 "backend": backend,

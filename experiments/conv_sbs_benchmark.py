@@ -59,12 +59,18 @@ def main() -> None:
             for _ in range(3):
                 p, o, l = step(p, o)
             float(l)  # value fetch = the reliable sync on the axon backend
-            iters = 10
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                p, o, l = step(p, o)
-            float(l)
-            dt = (time.perf_counter() - t0) / iters
+            # ~49k-image windows, best of 3: every fenced window costs a
+            # fixed ~28 ms through the relay (docs/performance.md
+            # measurement rules) — the old single 10-step window inflated
+            # per-step readings by ~2.8 ms
+            iters = max(10, 49152 // bs)
+            dt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    p, o, l = step(p, o)
+                float(l)
+                dt = min(dt, (time.perf_counter() - t0) / iters)
             r = {
                 "kind": "legacy ConvSBS 2 layers bond 4 train step",
                 "backend": backend,
