@@ -70,12 +70,25 @@ def latency_stats(params, cfg, x, batch_size: int, iters: int = 30) -> dict:
         float(jnp.sum(out))  # per-call fence: this IS the serving latency
         times.append(time.perf_counter() - t0)
     times.sort()
+    # pipelined throughput: async dispatches, ONE fence — the steady-state
+    # serving rate under a full request queue. A long window amortizes the
+    # fixed per-window dispatch+fence cost (docs/performance.md measurement
+    # rules); the per-call numbers above are the true request LATENCY.
+    window = min(2048, max(iters, 49152 // batch_size))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(window):
+            out = forward(params, xb)
+        float(jnp.sum(out))
+        best = min(best, time.perf_counter() - t0)
     return {
         "batch_size": batch_size,
         "p50_ms": round(1e3 * times[len(times) // 2], 3),
         "p90_ms": round(1e3 * times[int(len(times) * 0.9)], 3),
         "min_ms": round(1e3 * times[0], 3),
         "throughput_img_per_s": round(batch_size / times[len(times) // 2], 1),
+        "pipelined_throughput_img_per_s": round(batch_size * window / best, 1),
     }
 
 

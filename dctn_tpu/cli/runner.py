@@ -72,6 +72,28 @@ LOG_FNAME = "log.log"
 logger = logging.getLogger(__name__)
 
 
+def _resolve_auto_grad_accum(cfg, plans, per_device_batch: int) -> int:
+    """``--grad-accum-steps auto``: the smallest power-of-2 accumulation at
+    which NO EPS layer's saved-t backward is HBM-capped (the large-batch
+    recipe, docs/performance.md — measured +22% at bs 8192 with accum 4).
+    1 when nothing is capped or the run is not on the fast Pallas plans.
+    Under tensor parallelism the check uses the UNsharded last-core output
+    dim, so the choice is conservative (may accumulate although the sharded
+    t buffer would fit) — still exact semantics, just smaller microbatches."""
+    from ..models.eps_plus_linear import saved_t_capped_layers
+
+    if plans is None:
+        return 1
+    s = 1
+    while s <= per_device_batch:
+        if per_device_batch % s == 0 and not saved_t_capped_layers(
+            cfg, plans, per_device_batch // s
+        ):
+            return s
+        s *= 2
+    return 1
+
+
 def _hint_saved_t_recipe(cfg, plans, per_device_batch: int, accum: int) -> None:
     """Log the large-batch recipe (docs/performance.md) when any EPS layer's
     saved-t backward is disabled ONLY by the t-buffer HBM cap at this
@@ -234,9 +256,12 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
               help="enable jax_debug_nans: fail at the first NaN-producing op "
                    "with a traceback (the detect_anomaly analog; slows "
                    "execution — debugging only)")
-@click.option("--grad-accum-steps", type=int, default=1,
+@click.option("--grad-accum-steps", type=str, default="1",
               help="microbatch the step into this many gradient-accumulation "
-                   "slices (bounds activation memory at very large batches)")
+                   "slices (bounds activation memory at very large batches), "
+                   "or 'auto': the smallest accumulation that keeps every "
+                   "EPS layer's saved-t backward under its HBM cap (the "
+                   "large-batch recipe, docs/performance.md)")
 @click.option("--mesh-devices", type=int, default=1,
               help="data-parallel over this many devices (1 = single-chip path)")
 @click.option("--model-devices", type=int, default=1,
@@ -306,12 +331,24 @@ def run(**kwargs) -> TrainLoopState:
     assert implies(bool(kwargs["nu_per_channel"]), colored)
     assert implies(kwargs["phi_multiplier"] is not None, not colored)
     assert implies(kwargs["add_constant_channel"] is not None, colored)
-    if kwargs["tb_batches"] and kwargs["grad_accum_steps"] > 1:
+    # normalize --grad-accum-steps: an int, or the string 'auto' (kept as-is
+    # through provenance; resolved once the fast-layout plans are known, in
+    # the training assembly below)
+    ga = kwargs["grad_accum_steps"]
+    if isinstance(ga, str) and ga.strip().lower() != "auto":
+        ga = kwargs["grad_accum_steps"] = int(ga)
+    auto_accum = isinstance(ga, str)
+    if not auto_accum and ga < 1:
+        raise click.BadParameter("--grad-accum-steps must be >= 1 or 'auto'")
+    if kwargs["tb_batches"] and (auto_accum or ga > 1):
+        # 'auto' would pick 1 anyway only when nothing is capped — refuse
+        # both so the user never gets zeroed per-sample probabilities
         raise click.BadParameter(
-            "--tb-batches is incompatible with --grad-accum-steps > 1: "
-            "per-sample probabilities are not accumulated across microbatches"
+            "--tb-batches is incompatible with --grad-accum-steps > 1 (or "
+            "'auto'): per-sample probabilities are not accumulated across "
+            "microbatches"
         )
-    if kwargs["batch_size"] % (kwargs["mesh_devices"] * kwargs["grad_accum_steps"]):
+    if not auto_accum and kwargs["batch_size"] % (kwargs["mesh_devices"] * ga):
         raise click.BadParameter(
             "--batch-size must be divisible by --mesh-devices * "
             "--grad-accum-steps (each device's sub-batch is microbatched "
@@ -437,6 +474,14 @@ def run(**kwargs) -> TrainLoopState:
                 "fast (cmt) parameter layout unavailable (%s); using the "
                 "reference layout", e,
             )
+    if isinstance(kwargs["grad_accum_steps"], str):  # 'auto'
+        kwargs["grad_accum_steps"] = _resolve_auto_grad_accum(
+            cfg, fast_plans if use_fast else None,
+            kwargs["batch_size"] // max(1, n_mesh),
+        )
+        logger.info(
+            "grad-accum-steps auto -> %d", kwargs["grad_accum_steps"]
+        )
     if n_model > 1:
         # tensor-parallel path (optionally × data-parallel): EPS output
         # dim(s) + classifier sharded over the model axis; checkpoints are

@@ -271,3 +271,20 @@ def test_runner_hints_grad_accum_for_capped_saved_t(caplog):
         _hint_saved_t_recipe(cfg, plans, 2048, 1)
         _hint_saved_t_recipe(cfg, plans, 8192, 4)
     assert caplog.text == ""
+
+
+def test_auto_grad_accum_resolution():
+    """--grad-accum-steps auto resolves to the smallest power-of-2
+    accumulation that un-caps saved-t: 4 at per-device batch 8192 on the
+    flagship config (the documented +22% recipe), 1 at 2048, and always 1
+    off the fast plans (XLA path)."""
+    from dctn_tpu.cli.runner import _resolve_auto_grad_accum
+    from dctn_tpu.models.eps_plus_linear import fast_layer_plans
+
+    cfg = EPSesPlusLinearConfig(epses_specs=((4, 4), (3, 6)), image_size=28)
+    plans = fast_layer_plans(cfg)
+    assert _resolve_auto_grad_accum(cfg, plans, 8192) == 4
+    assert _resolve_auto_grad_accum(cfg, plans, 4096) == 2
+    assert _resolve_auto_grad_accum(cfg, plans, 2048) == 1
+    assert _resolve_auto_grad_accum(cfg, plans, 128) == 1
+    assert _resolve_auto_grad_accum(cfg, None, 8192) == 1

@@ -508,3 +508,30 @@ def test_runner_resume_converts_parameter_layout(tmp_path):
                         os.listdir(str(tmp_path / "fast2"))[0])
     log3 = open(os.path.join(out3, "log.log")).read()
     assert "converting the reference parameter layout" in log3
+
+
+def test_runner_grad_accum_auto(tmp_path):
+    """--grad-accum-steps 'auto' resolves (to 1 on an uncapped tiny config)
+    and trains; an explicit string number also parses."""
+    state = run(
+        experiments_dir=str(tmp_path),
+        ds_type="fashionmnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=16,
+        optimizer_name="adam",
+        lr=3e-3,
+        init_epses_composition_unit_empirical_output_std=True,
+        init_epses_composition_unit_empirical_output_std_subset_size=64,
+        eval_schedule=((None, 5),),
+        max_num_iters=5,
+        keep_last_models=1,
+        synthetic_sizes=(64, 32, 32),
+        patience=50,
+        reg_coeff=1e-6,
+        grad_accum_steps="auto",
+    )
+    assert state.stop_reason == "max_iters"
+    out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    log = open(os.path.join(out, "log.log")).read()
+    assert "grad-accum-steps auto -> 1" in log
