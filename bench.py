@@ -209,7 +209,47 @@ def measure_torch_reference(batch_size: int, steps: int = 3) -> float:
     return result
 
 
+def _wait_for_backend() -> None:
+    """The tunneled axon relay goes down for stretches (observed: most of an
+    hour, during which even ``jax.devices()`` hangs forever — it cannot be
+    timed out in-process). Probe the backend in a SUBPROCESS with a hard
+    timeout and retry within a budget, so a transient outage delays the
+    benchmark instead of hanging/killing it. Proceeds after the budget
+    regardless (the in-process attempt is then the status quo)."""
+    import subprocess
+    import sys
+
+    budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "2400"))
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=120,
+            )
+            if proc.returncode == 0 and proc.stdout.strip():
+                return  # backend (tpu OR cpu fallback) is responsive
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print(
+                f"bench: backend probe failed {attempt}x within "
+                f"{budget:.0f}s budget; proceeding anyway",
+                file=sys.stderr,
+            )
+            return
+        print(
+            f"bench: backend unresponsive (attempt {attempt}); retrying",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+
+
 def main() -> None:
+    _wait_for_backend()
     import jax
 
     batch_size = int(os.environ.get("BENCH_BATCH", "128"))
