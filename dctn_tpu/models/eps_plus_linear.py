@@ -190,6 +190,9 @@ def _pallas_pipeline_forward(
     # cast, f32 accumulate) — the same semantics the XLA path gives it.
     if x.dtype != jnp.float32:
         return None
+    from ..pallas.eps_pallas import _resolve_mm_dtype
+
+    mm_bytes = _resolve_mm_dtype(cfg.compute_dtype, interpret).itemsize
     plans = []
     c, b, h, w, q = x.shape
     for core in epses:
@@ -199,7 +202,7 @@ def _pallas_pipeline_forward(
         n = kernel_size**2 * c
         out_size = core.shape[-1]
         n1 = eps_mod._balanced_split(n, q, out_size)
-        if not pallas_forward_fits(n, n1, q, out_size):
+        if not pallas_forward_fits(n, n1, q, out_size, mm_bytes=mm_bytes):
             return None
         hp, wp = h - kernel_size + 1, w - kernel_size + 1
         n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
@@ -294,15 +297,26 @@ def fast_layer_plans(cfg: EPSesPlusLinearConfig, in_channels: int = 1):
     """Static per-layer plan for the fast layout (batch-size independent):
     (kernel_size, n1, merge_pairs, out_size, core_shape, c, q) per layer.
     Raises FastLayoutUnavailable if any layer can't run on the Pallas
-    pipeline (the fast layout exists only there)."""
-    from ..pallas.eps_pallas import pallas_forward_fits, plan_pallas_call
+    pipeline (the fast layout exists only there). The fit gate uses the
+    RESOLVED mm_dtype's itemsize (bf16-resident cores on the real backend,
+    or an explicit ``compute_dtype``), so large-core configs like the
+    recorded three-EPS family — whose (K=3, Q_in=4, O=12) layer holds a
+    6.3 MB bf16 / 12.6 MB f32 core — are eligible exactly where the kernels
+    can actually run them."""
+    from ..pallas.eps_pallas import (
+        _resolve_mm_dtype,
+        pallas_forward_fits,
+        plan_pallas_call,
+    )
 
+    interpret = cfg.train_backend == "pallas_interpret"
+    mm_bytes = _resolve_mm_dtype(cfg.compute_dtype, interpret).itemsize
     c, q = in_channels, cfg.q0
     plans = []
     for kernel_size, out_size in cfg.epses_specs:
         n = kernel_size**2 * c
         n1 = eps_mod._balanced_split(n, q, out_size)
-        if not pallas_forward_fits(n, n1, q, out_size):
+        if not pallas_forward_fits(n, n1, q, out_size, mm_bytes=mm_bytes):
             raise FastLayoutUnavailable(
                 f"EPS layer (K={kernel_size}, Q_in={q}, O={out_size}) exceeds "
                 "the Pallas VMEM plan — fast (cmt) params require the Pallas "

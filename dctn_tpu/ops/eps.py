@@ -269,16 +269,24 @@ def eps(
     n1 = split if split is not None else _balanced_split(n, in_size, out_size)
     n1 = max(1, min(n, n1))
     if backend in ("pallas", "pallas_interpret"):
-        from ..pallas.eps_pallas import eps_pallas_apply, pallas_forward_fits
+        from ..pallas.eps_pallas import (
+            _resolve_mm_dtype,
+            eps_pallas_apply,
+            pallas_forward_fits,
+        )
 
+        mm_bytes = _resolve_mm_dtype(
+            compute_dtype, backend == "pallas_interpret"
+        ).itemsize
         if (
-            pallas_forward_fits(n, n1, in_size, out_size)
+            pallas_forward_fits(n, n1, in_size, out_size, mm_bytes=mm_bytes)
             and core.dtype == jnp.float32
             and x.dtype == jnp.float32
         ):
             return eps_pallas_apply(
                 core, x, kernel_size, n1,
                 interpret=(backend == "pallas_interpret"),
+                mm_dtype=compute_dtype,
             )
         # fall through to the XLA path when VMEM would overflow
     views = window_views(x, kernel_size)  # n arrays (B, H', W', Q)

@@ -87,9 +87,30 @@ def _dviews_t_bytes(n, n1, q, o, bn, mm_bytes):
     )
 
 
-def _dcore_bytes(n, n1, q, o, bn, mm_bytes):
+def _dcore_bytes(n, n1, q, o, bn, mm_bytes, ot=None):
+    """``ot``: number of output channels whose d_cmt rows are resident per
+    grid step (o-tiled accumulator for cores whose full f32 d_cmt exceeds
+    VMEM — e.g. the recorded three-EPS family's (K=3, Q=4, O=12) layer,
+    12.6 MB); None = all of o (the single-block fast path)."""
     a, z = _ab(n, n1, q, o)
-    return 4 * a * z + 4 * bn * (2 * a + z + n * q + o)
+    if ot is None or ot == o:
+        return 4 * a * z + 4 * bn * (2 * a + z + n * q + o)
+    a2 = z // o  # q^(n-n1)
+    z_t = ot * a2
+    return 4 * a * z_t + 4 * bn * (2 * a + 2 * a2 + z_t + n * q + ot)
+
+
+def _dcore_plan(n, n1, q, o, bn_cap, mm_bytes):
+    """(bn_a, ot) for the d_core pass: prefer the whole accumulator resident
+    (ot=o, today's fast path), else the largest o-divisor tile that fits;
+    None when even (ot=1, bn=128) overflows."""
+    for ot in sorted((d for d in range(1, o + 1) if o % d == 0), reverse=True):
+        bn_a = _largest_bn(
+            lambda v: _dcore_bytes(n, n1, q, o, v, mm_bytes, ot), cap=bn_cap
+        )
+        if bn_a is not None:
+            return bn_a, ot
+    return None
 
 
 def _dviews_bytes(n, n1, q, o, bn, mm_bytes):
@@ -104,10 +125,23 @@ def _largest_bn(bytes_fn, cap: int):
     return None
 
 
-def pallas_forward_fits(n: int, n1: int, q: int, o: int, bn: int = 128) -> bool:
-    """Go/no-go: can the matricized core + the smallest tile working set fit
-    the VMEM budget (conservatively assuming f32-resident core)."""
-    return _fwd_bytes(n, n1, q, o, bn, 4) < _VMEM_BUDGET_BYTES
+def pallas_forward_fits(
+    n: int, n1: int, q: int, o: int, bn: int = 128, mm_bytes: int = 4
+) -> bool:
+    """Go/no-go for the whole fused fwd+bwd pipeline: the forward, the
+    d_views pass, and the d_core pass (at its smallest o-tile) must each fit
+    the VMEM budget at the minimum tile. ``mm_bytes`` is the RESIDENT core's
+    itemsize — pass the resolved mm_dtype's (2 on the real backend, where
+    the MXU runs one bf16 pass at default precision anyway); the f32
+    default is the conservative legacy gate. With mm_bytes=2 the recorded
+    three-EPS family's (K=3, Q_in=4, O=12) layer (12.6 MB core) clears the
+    gate: fwd/d_views hold a 6.3 MB bf16 core, and d_core tiles its f32
+    accumulator over o."""
+    return (
+        _fwd_bytes(n, n1, q, o, bn, mm_bytes) < _VMEM_BUDGET_BYTES
+        and _dviews_bytes(n, n1, q, o, bn, mm_bytes) < _VMEM_BUDGET_BYTES
+        and _dcore_bytes(n, n1, q, o, bn, mm_bytes, ot=1) < _VMEM_BUDGET_BYTES
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -269,14 +303,21 @@ def _bwd_fused_t_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
     return kernel
 
 
-def _dcore_kernel_factory(n: int, n1: int, q: int, o: int, bn: int, mm_dtype):
+def _dcore_kernel_factory(
+    n: int, n1: int, q: int, o: int, bn: int, mm_dtype, pix_axis: int = 0
+):
     """d_core accumulation pass — needs NO copy of the core in VMEM: just the
-    views and g; d_cmt's output block is constant-indexed so it lives in VMEM
-    across the whole (sequential) grid."""
+    views and g; d_cmt's output block is constant-indexed along the pixel
+    grid axis so it lives in VMEM across that whole (sequential) sweep.
+    ``pix_axis=1`` is the o-TILED variant: grid (o//ot, npix//bn), g arrives
+    as this tile's (ot, bn) rows and the accumulator holds only the tile's
+    (ot·q^n2, A) rows — how cores whose full f32 d_cmt exceeds VMEM (the
+    three-EPS family's 12.6 MB layer) still get a fused backward. The body
+    is identical: kr2's row count simply follows g's block."""
     n2 = n - n1
 
     def kernel(views_ref, g_ref, dcmt_ref):
-        i = pl.program_id(0)
+        i = pl.program_id(pix_axis)
         u = _suffix_chain(views_ref, 0, n1)[0]
         g = g_ref[:]
         if n2 > 0:
@@ -439,16 +480,22 @@ def _run_bwd_fused_t(views_t, cmt, g_t, t, n1, out_size, bn, interpret):
 
 @partial(
     jax.jit,
-    static_argnames=("n1", "out_size", "bn_a", "bn_b", "interpret", "mm_dtype"),
+    static_argnames=(
+        "n1", "out_size", "bn_a", "bn_b", "interpret", "mm_dtype", "ot"
+    ),
 )
 def _run_bwd(
-    views_t, cmt, g_t, n1, out_size, bn_a, bn_b, interpret, mm_dtype, t=None
+    views_t, cmt, g_t, n1, out_size, bn_a, bn_b, interpret, mm_dtype, t=None,
+    ot=None,
 ):
     """Two-pass backward with NOTHING large materialized in HBM: pass A
     accumulates d_core (no core copy resident), pass B computes d_views (core
     resident, no gradient accumulator). Both recompute the cheap VPU chains;
     each pass runs the largest tile its VMEM footprint allows. With the
-    forward-saved ``t``, pass B streams it instead of recomputing its matmul."""
+    forward-saved ``t``, pass B streams it instead of recomputing its matmul.
+    ``ot < out_size`` runs pass A o-TILED (grid (o//ot, pix), the accumulator
+    block revisited across the inner pixel sweep) for cores whose full f32
+    d_cmt exceeds VMEM."""
     n, q, npad = views_t.shape
     z, a = cmt.shape
     views_spec = lambda bn: pl.BlockSpec(
@@ -457,14 +504,39 @@ def _run_bwd(
     g_spec = lambda bn: pl.BlockSpec(
         (out_size, bn), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    d_cmt = pl.pallas_call(
-        _dcore_kernel_factory(n, n1, q, out_size, bn_a, mm_dtype),
-        out_shape=jax.ShapeDtypeStruct((z, a), jnp.float32),
-        grid=(npad // bn_a,),
-        in_specs=[views_spec(bn_a), g_spec(bn_a)],
-        out_specs=pl.BlockSpec((z, a), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(views_t, g_t)
+    if ot is None or ot == out_size:
+        d_cmt = pl.pallas_call(
+            _dcore_kernel_factory(n, n1, q, out_size, bn_a, mm_dtype),
+            out_shape=jax.ShapeDtypeStruct((z, a), jnp.float32),
+            grid=(npad // bn_a,),
+            in_specs=[views_spec(bn_a), g_spec(bn_a)],
+            out_specs=pl.BlockSpec(
+                (z, a), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(views_t, g_t)
+    else:
+        z_t = ot * (z // out_size)
+        d_cmt = pl.pallas_call(
+            _dcore_kernel_factory(
+                n, n1, q, out_size, bn_a, mm_dtype, pix_axis=1
+            ),
+            out_shape=jax.ShapeDtypeStruct((z, a), jnp.float32),
+            grid=(out_size // ot, npad // bn_a),
+            in_specs=[
+                pl.BlockSpec(
+                    (n, q, bn_a), lambda zt, i: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (ot, bn_a), lambda zt, i: (zt, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (z_t, a), lambda zt, i: (zt, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(views_t, g_t)
     use_t = t is not None
     b_inputs = [views_t, cmt, g_t] + ([t] if use_t else [])
     b_specs = [
@@ -689,14 +761,12 @@ def _save_t_plan(
     )
     if bn_t is not None and bn_t >= _FUSED_MIN_BN:
         return ("fused_t", bn_t)
-    bn_a = _largest_bn(
-        lambda v: _dcore_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
-    )
+    plan_a = _dcore_plan(n_k, n1_k, q_k, out_size, bn, mm_bytes)
     bn_b = _largest_bn(
         lambda v: _dviews_t_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
     )
-    if bn_a is not None and bn_b is not None:
-        return ("two_t", bn_a, bn_b)
+    if plan_a is not None and bn_b is not None:
+        return ("two_t", plan_a, bn_b)
     return None
 
 
@@ -744,24 +814,25 @@ def _bwd_dispatch(
             return _run_bwd_fused_t(
                 views_t, cmt, g_t, t, n1_k, out_size, plan[1], interpret
             )
+        bn_a, ot = plan[1]
         return _run_bwd(
-            views_t, cmt, g_t, n1_k, out_size, plan[1], plan[2], interpret,
-            mm_dtype, t=t,
+            views_t, cmt, g_t, n1_k, out_size, bn_a, plan[2], interpret,
+            mm_dtype, t=t, ot=ot,
         )
     bn_f = _largest_bn(
         lambda v: _fused_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
     )
     if not force_two_pass and bn_f is not None and bn_f >= _FUSED_MIN_BN:
         return _run_bwd_fused(views_t, cmt, g_t, n1_k, out_size, bn_f, interpret)
-    bn_a = _largest_bn(
-        lambda v: _dcore_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
-    )
+    plan_a = _dcore_plan(n_k, n1_k, q_k, out_size, bn, mm_bytes)
     bn_b = _largest_bn(
         lambda v: _dviews_bytes(n_k, n1_k, q_k, out_size, v, mm_bytes), cap=bn
     )
-    assert bn_a is not None and bn_b is not None, (n_k, n1_k, q_k, out_size, bn)
+    assert plan_a is not None and bn_b is not None, (n_k, n1_k, q_k, out_size, bn)
+    bn_a, ot = plan_a
     return _run_bwd(
-        views_t, cmt, g_t, n1_k, out_size, bn_a, bn_b, interpret, mm_dtype
+        views_t, cmt, g_t, n1_k, out_size, bn_a, bn_b, interpret, mm_dtype,
+        ot=ot,
     )
 
 

@@ -17,6 +17,7 @@ from dctn_tpu.pallas.eps_pallas import pallas_forward_fits
         (1, 3, 2, 4, 6, 5, 3),
         (2, 2, 2, 3, 4, 4, 2),
         (1, 2, 3, 5, 5, 5, 2),
+        (3, 2, 2, 3, 4, 4, 2),  # C=3: the CIFAR colored family's shape
     ],
 )
 def test_pallas_forward_matches_xla(rng, C, K, Q, O, H, W, B):
@@ -30,7 +31,12 @@ def test_pallas_forward_matches_xla(rng, C, K, Q, O, H, W, B):
 
 @pytest.mark.parametrize(
     "C,K,Q,O,H,W,B",
-    [(1, 2, 2, 3, 4, 4, 2), (1, 3, 2, 4, 6, 5, 3), (2, 2, 2, 3, 4, 4, 2)],
+    [
+        (1, 2, 2, 3, 4, 4, 2),
+        (1, 3, 2, 4, 6, 5, 3),
+        (2, 2, 2, 3, 4, 4, 2),
+        (3, 2, 2, 3, 4, 4, 2),
+    ],
 )
 def test_pallas_gradients_match_xla(rng, C, K, Q, O, H, W, B):
     k1, k2 = jax.random.split(rng)
@@ -42,8 +48,11 @@ def test_pallas_gradients_match_xla(rng, C, K, Q, O, H, W, B):
 
     g1c, g1x = jax.grad(loss, argnums=(0, 1))(core, x, "xla")
     g2c, g2x = jax.grad(loss, argnums=(0, 1))(core, x, "pallas_interpret")
-    np.testing.assert_allclose(np.asarray(g1c), np.asarray(g2c), rtol=2e-4, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(g1x), np.asarray(g2x), rtol=2e-4, atol=2e-6)
+    # atol 5e-5: at C=3 the window holds n=12 factors (2^12-term
+    # contractions), so f32 summation-order noise between the two backends
+    # reaches ~2e-5 abs (both verified within f32 rounding of the f64 oracle)
+    np.testing.assert_allclose(np.asarray(g1c), np.asarray(g2c), rtol=2e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(g1x), np.asarray(g2x), rtol=2e-4, atol=5e-5)
 
 
 def test_model_eval_backend(rng):
@@ -282,3 +291,101 @@ def test_remat_composes_with_pallas_pipeline(rng):
     g2 = jax.grad(loss)(params, cfg_r)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
+
+
+def test_tiled_dcore_matches_full(rng):
+    """The o-TILED d_core accumulator (2-D grid, accumulator block revisited
+    across the pixel sweep — how cores whose full f32 d_cmt exceeds VMEM get
+    a backward) must produce the same (d_views, d_cmt) as the single-block
+    pass: per-tile summation order over pixels is identical, so the match is
+    exact in f32."""
+    import dctn_tpu.pallas.eps_pallas as ep
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    K, C, Q, O = 3, 1, 3, 8
+    n = K * K * C
+    n1 = 5
+    core = jax.random.normal(k1, E.eps_shape(K, C, Q, O), jnp.float32)
+    x = jax.random.normal(k2, (C, 2, 6, 6, Q), jnp.float32)
+    xT = jnp.transpose(x, (0, 4, 2, 3, 1))
+    views_t, npix = ep._stack_views_from_xT(xT, K, 128, merge_pairs=False)
+    cmt = ep._core_to_cmt_k(core, n1, Q)
+    g = jax.random.normal(k3, (O, views_t.shape[-1]), jnp.float32)
+
+    outs = {}
+    for ot in (O, 4, 2, 1):
+        dviews, d_cmt = ep._run_bwd(
+            views_t, cmt, g, n1, O, 128, 128, True, jnp.float32, ot=ot
+        )
+        outs[ot] = (np.asarray(dviews), np.asarray(d_cmt))
+    for ot in (4, 2, 1):
+        np.testing.assert_allclose(outs[ot][0], outs[O][0], rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(outs[ot][1], outs[O][1], rtol=1e-6, atol=1e-7)
+
+
+def test_large_core_bf16_gradients(rng):
+    """End-to-end gradients through a core whose full f32 d_cmt exceeds the
+    VMEM budget — the recorded three-EPS family's (K=3, Q_in=4, O=12) middle
+    layer — on the bf16-resident plan the real backend uses (fit-gated by
+    mm_bytes=2, d_core o-tiled). bf16 tolerances vs the XLA f32 oracle."""
+    from dctn_tpu.pallas.eps_pallas import _dcore_plan, pallas_forward_fits
+
+    # the real plan decisions for this layer
+    assert not pallas_forward_fits(9, 5, 4, 12, mm_bytes=4)
+    assert pallas_forward_fits(9, 5, 4, 12, mm_bytes=2)
+    bn_a, ot = _dcore_plan(9, 5, 4, 12, 1024, 2)
+    assert ot < 12  # the accumulator really is o-tiled
+
+    k1, k2 = jax.random.split(rng)
+    core = jax.random.normal(k1, E.eps_shape(3, 1, 4, 12), jnp.float32)
+    core = core * (4.0 ** -4.5)
+    x = jax.random.normal(k2, (1, 2, 5, 5, 4), jnp.float32)
+
+    def loss(c, xx, backend, mm):
+        return jnp.sum(
+            jnp.tanh(E.eps(c, xx, backend=backend, compute_dtype=mm))
+        )
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(core, x, "xla", None)
+    g_pal = jax.grad(loss, argnums=(0, 1))(
+        core, x, "pallas_interpret", jnp.bfloat16
+    )
+    # vs the f32 oracle the check is norm-based only: bf16-resident operands
+    # leave an elementwise tail at cancellation points (measured 99.99%-q
+    # relative error ~0.2 among the 3.1M d_core entries) that is inherent to
+    # the dtype, not the tiling — the bf16 trajectory tests in
+    # test_fast_layout.py cover the end-to-end training effect.
+    for a, b in zip(g_pal, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        rel_l2 = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel_l2 < 0.02, rel_l2
+
+
+def test_tiled_dcore_bitexact_in_bf16(rng):
+    """What the o-tiling actually adds must be numerically FREE: with
+    bf16-resident operands, each d_cmt row accumulates the same per-pixel-
+    block contributions in the same order regardless of ot, so the tiled
+    backward is bit-exact vs the untiled one (kernel-level analog of
+    test_tiled_dcore_matches_full, at the dtype the chip really runs)."""
+    import dctn_tpu.pallas.eps_pallas as ep
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    K, C, Q, O = 3, 1, 4, 12
+    n1 = 5
+    core = jax.random.normal(k1, E.eps_shape(K, C, Q, O), jnp.float32)
+    core = core * (4.0 ** -4.5)
+    x = jax.random.normal(k2, (C, 2, 5, 5, Q), jnp.float32)
+    xT = jnp.transpose(x, (0, 4, 2, 3, 1))
+    views_t, _ = ep._stack_views_from_xT(xT, K, 128, merge_pairs=False)
+    cmt = ep._core_to_cmt_k(core, n1, Q).astype(jnp.bfloat16)
+    g = jax.random.normal(k3, (O, views_t.shape[-1]), jnp.float32)
+
+    outs = {}
+    for ot in (O, 6, 1):
+        dv, dc = ep._run_bwd(
+            views_t, cmt, g, n1, O, 128, 128, True, jnp.bfloat16, ot=ot
+        )
+        outs[ot] = (np.asarray(dv), np.asarray(dc))
+    for ot in (6, 1):
+        np.testing.assert_array_equal(outs[ot][0], outs[O][0])
+        np.testing.assert_array_equal(outs[ot][1], outs[O][1])

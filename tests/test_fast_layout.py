@@ -288,3 +288,54 @@ def test_auto_grad_accum_resolution():
     assert _resolve_auto_grad_accum(cfg, plans, 2048) == 1
     assert _resolve_auto_grad_accum(cfg, plans, 128) == 1
     assert _resolve_auto_grad_accum(cfg, None, 8192) == 1
+
+
+def test_fast_layout_multichannel_cifar_shape():
+    """C=3 inputs (the CIFAR colored family, K=2, q=2/channel → layer-0
+    n=12): fast (cmt) conversion, forward parity, and a 2-step trajectory vs
+    the reference-layout Pallas step. Channels enter only through layer 0's
+    core rank; empirical init infers C from the input exactly like the
+    reference (epses_composition.py:91-105)."""
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4), (2, 5)), image_size=6, q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+    )
+    init_x = jax.random.uniform(
+        jax.random.PRNGKey(0), (3, 16, 6, 6, 2), jnp.float32
+    )
+    params = init_eps_plus_linear(
+        jax.random.PRNGKey(1), cfg, "unit_empirical_output_std",
+        init_input=init_x, init_batch_size=8,
+    )
+    assert params["epses"][0].ndim == 2 * 2 * 3 + 1  # K²·C input dims + out
+
+    fast, plans = fast_params_from_reference(params, cfg)
+    assert plans[0]["c"] == 3
+    back = reference_params_from_fast(fast, cfg, plans)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (3, 8, 6, 6, 2), jnp.float32)
+    ref = eps_plus_linear_forward(params, x, cfg, training=False)
+    got = eps_plus_linear_forward_fast(fast, x, cfg, plans, training=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-6
+    )
+
+    y = jnp.asarray(np.arange(8) % 10)
+    opt = make_optimizer("adam", 0.01)
+    step = make_train_step(cfg, opt, "epswise", 1e-3, donate=False)
+    p_ref, o_ref = params, opt.init(params)
+    fstep = make_fast_train_step(cfg, opt, plans, "epswise", 1e-3, donate=False)
+    f, o_f = fast, opt.init(fast)
+    for i in range(2):
+        p_ref, o_ref, m_ref = step(p_ref, o_ref, jax.random.PRNGKey(7 + i), x, y)
+        f, o_f, m_f = fstep(f, o_f, jax.random.PRNGKey(7 + i), x, y)
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_ref["loss"]), rtol=1e-6)
+    merged = reference_params_from_fast(f, cfg, plans)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(merged), jax.tree_util.tree_leaves(p_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
