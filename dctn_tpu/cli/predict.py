@@ -34,13 +34,37 @@ from ..train import load_pytree
 from .runner import parse_epses_specs
 
 
-def predict_split(params, cfg, x, batch_size: int) -> np.ndarray:
+def _resolve_forward(params, cfg):
+    """(forward_params, forward_fn): the fast (cmt) Pallas pipeline when
+    every layer fits its plans (the serving-optimal path — no boundary
+    relayouts), else the reference-layout forward."""
+    if cfg.eval_backend in ("pallas", "pallas_interpret"):
+        from ..models.eps_plus_linear import (
+            FastLayoutUnavailable,
+            eps_plus_linear_forward_fast,
+            fast_params_from_reference,
+        )
+
+        try:
+            fast, plans = fast_params_from_reference(params, cfg)
+        except FastLayoutUnavailable:
+            pass
+        else:
+            return fast, (
+                lambda f, xb: eps_plus_linear_forward_fast(
+                    f, xb, cfg, plans, training=False
+                )
+            )
+    return params, lambda p, xb: eps_plus_linear_forward(p, xb, cfg, training=False)
+
+
+def predict_split(params, cfg, x, batch_size: int, forward_fn=None) -> np.ndarray:
     """Argmax predictions over a (C, N, H, W, Q) split, batched; the last
     ragged batch is padded and trimmed (static shapes → one compile)."""
+    if forward_fn is None:
+        params, forward_fn = _resolve_forward(params, cfg)
     forward = jax.jit(
-        lambda p, xb: jnp.argmax(
-            eps_plus_linear_forward(p, xb, cfg, training=False), axis=1
-        )
+        lambda p, xb: jnp.argmax(forward_fn(p, xb), axis=1)
     )
     n = x.shape[1]
     preds = []
@@ -54,12 +78,13 @@ def predict_split(params, cfg, x, batch_size: int) -> np.ndarray:
     return np.concatenate(preds)
 
 
-def latency_stats(params, cfg, x, batch_size: int, iters: int = 30) -> dict:
+def latency_stats(params, cfg, x, batch_size: int, iters: int = 30,
+                  forward_fn=None) -> dict:
     """Fenced per-call latency of the jitted forward (value-fetch sync — the
     reliable fence on the tunneled backend)."""
-    forward = jax.jit(
-        lambda p, xb: eps_plus_linear_forward(p, xb, cfg, training=False)
-    )
+    if forward_fn is None:
+        params, forward_fn = _resolve_forward(params, cfg)
+    forward = jax.jit(forward_fn)
     xb = jnp.asarray(x[:, :batch_size])
     out = forward(params, xb)
     float(jnp.sum(out))  # compile + warm
@@ -104,16 +129,21 @@ def latency_stats(params, cfg, x, batch_size: int, iters: int = 30) -> dict:
               help="write predictions (int64 npy) here")
 @click.option("--latency-bench", is_flag=True,
               help="print a JSON latency line for batch sizes 1 and --batch-size")
+@click.option("--mesh-devices", type=int, default=1,
+              help="shard batch prediction over a data-parallel mesh of this "
+                   "many devices (replicated params, one device-scan per "
+                   "shard); latency figures stay single-device")
 def main(checkpoint, ds_type, ds_path, epses_specs, phi_multiplier, split,
-         batch_size, out, latency_bench):
+         batch_size, out, latency_bench, mesh_devices):
     run(checkpoint=checkpoint, ds_type=ds_type, ds_path=ds_path,
         epses_specs=epses_specs, phi_multiplier=phi_multiplier, split=split,
-        batch_size=batch_size, out=out, latency_bench=latency_bench)
+        batch_size=batch_size, out=out, latency_bench=latency_bench,
+        mesh_devices=mesh_devices)
 
 
 def run(*, checkpoint, ds_type, ds_path, epses_specs, phi_multiplier=None,
         split="test", batch_size=128, out=None, latency_bench=False,
-        synthetic_sizes=(8192, 2048, 2048)):
+        mesh_devices=1, synthetic_sizes=(8192, 2048, 2048)):
     splits = load_dataset(
         ds_type, ds_path, phi_multiplier=phi_multiplier,
         autoscale_kernel_size=None if phi_multiplier else epses_specs[0][0],
@@ -129,8 +159,19 @@ def run(*, checkpoint, ds_type, ds_path, epses_specs, phi_multiplier=None,
     )
     template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
     params = load_pytree(template, checkpoint)
+    params, forward_fn = _resolve_forward(params, cfg)
     x = jnp.asarray(sp.x)
-    preds = predict_split(params, cfg, x, batch_size)
+    if mesh_devices > 1:
+        from ..parallel import make_mesh, make_parallel_predict_fn, shard_split
+
+        mesh = make_mesh(mesh_devices)
+        sharded = shard_split(mesh, np.asarray(sp.x), np.asarray(sp.y))
+        predict_fn = make_parallel_predict_fn(
+            cfg, mesh, batch_size, forward_fn=forward_fn
+        )
+        preds = predict_fn(params, sharded)
+    else:
+        preds = predict_split(params, cfg, x, batch_size, forward_fn)
     acc = float(np.mean(preds == np.asarray(sp.y)))
     print(f"{split}: n={len(preds)} accuracy={acc:.2%}")
     if out:
@@ -138,7 +179,7 @@ def run(*, checkpoint, ds_type, ds_path, epses_specs, phi_multiplier=None,
         print(f"predictions written to {out}")
     if latency_bench:
         for bs in sorted({1, batch_size}):
-            stats = latency_stats(params, cfg, x, bs)
+            stats = latency_stats(params, cfg, x, bs, forward_fn=forward_fn)
             print(json.dumps({"metric": "forward_latency", **stats}))
     return preds
 

@@ -3,6 +3,7 @@ from .data_parallel import (
     make_parallel_train_step,
     make_parallel_fast_train_step,
     make_parallel_score_fn,
+    make_parallel_predict_fn,
     make_parallel_pixel_train_step,
     make_parallel_pixel_score_fn,
     shard_split,

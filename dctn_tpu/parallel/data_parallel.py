@@ -365,6 +365,54 @@ def make_parallel_pixel_score_fn(forward_fn, mesh: Mesh, batch_size: int):
     return score_split
 
 
+def make_parallel_predict_fn(
+    cfg: EPSesPlusLinearConfig, mesh: Mesh, batch_size: int, forward_fn=None
+):
+    """predict(params, sharded_split) → int32 np.ndarray of argmax class ids
+    (n_valid,) — the serving analog of ``make_parallel_score_fn``. Each
+    device scans its local shard in padded fixed-size batches inside ONE
+    shard_map (no per-batch host round trips); only the class ids leave the
+    device (tiny ints — critical through the ~450 KB/s relay). The reference
+    has no serving surface at all (SURVEY §2.2); its nearest analog is the
+    single-device batch evaluation in
+    ``small_experiments/pre_publishing_test_evaluation/*.py``."""
+    from ..train.evaluation import padded_batch_ids
+
+    if forward_fn is None:
+        forward_fn = lambda p, xb: eps_plus_linear_forward(  # noqa: E731
+            p, xb, cfg, training=False
+        )
+
+    def per_device(params, x_shard):
+        n_local = x_shard.shape[1]
+        ids, _ = padded_batch_ids(n_local, batch_size)
+
+        def body(carry, batch_ids):
+            xb = jnp.take(x_shard, batch_ids, axis=1)
+            preds = jnp.argmax(forward_fn(params, xb), axis=1)
+            return carry, preds.astype(jnp.int32)
+
+        _, preds = jax.lax.scan(body, jnp.zeros((), jnp.int32), ids)
+        # un-pad back to local order: clamped ids can repeat, but every
+        # write for a given id carries the same prediction
+        out = jnp.zeros((n_local,), jnp.int32)
+        return out.at[ids.reshape(-1)].set(preds.reshape(-1))
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(None, "data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    predict = jax.jit(sharded)
+
+    def predict_split(params, split: ShardedSplit) -> np.ndarray:
+        return np.asarray(predict(params, split.x))[: split.n_valid]
+
+    return predict_split
+
+
 # ---------------------------------------------------------------------------
 # evaluation
 

@@ -328,3 +328,40 @@ def test_parallel_grad_accum_matches_full_batch(problem):
         jax.tree_util.tree_leaves(outs[2][1]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
+
+
+def test_parallel_predict_matches_single(problem):
+    """Sharded serving: make_parallel_predict_fn over the 8-device mesh must
+    reproduce the single-device argmax predictions exactly, including mesh
+    padding (ragged n) and batch padding, on both the reference-layout and
+    the fast (cmt) Pallas forward."""
+    from dctn_tpu.cli.predict import _resolve_forward, predict_split
+    from dctn_tpu.parallel import make_parallel_predict_fn
+
+    splits, cfg, params = problem
+    mesh = make_mesh(8)
+    # 61 samples: pads to 64 on the mesh (3 ghost samples) and the local
+    # shards of 8 scan in ragged batches of 3
+    x = np.asarray(splits.val.x)[:, :61]
+    y = np.asarray(splits.val.y)[:61]
+
+    expected = predict_split(params, cfg, jnp.asarray(x), batch_size=16)
+
+    sharded = shard_split(mesh, x, y)
+    predict_fn = make_parallel_predict_fn(cfg, mesh, batch_size=3)
+    got = predict_fn(replicate(mesh, params), sharded)
+    assert got.shape == (61,)
+    np.testing.assert_array_equal(got, expected)
+
+    # fast (cmt) layout forward — the path the predict CLI composes with
+    # --mesh-devices when every layer fits the Pallas plans
+    cfg_fast = EPSesPlusLinearConfig(
+        epses_specs=cfg.epses_specs, image_size=cfg.image_size, q0=cfg.q0,
+        eval_backend="pallas_interpret", train_backend="pallas_interpret",
+    )
+    fast, fwd = _resolve_forward(params, cfg_fast)
+    predict_fast = make_parallel_predict_fn(
+        cfg_fast, mesh, batch_size=3, forward_fn=fwd
+    )
+    got_fast = predict_fast(replicate(mesh, fast), sharded)
+    np.testing.assert_array_equal(got_fast, expected)

@@ -535,3 +535,31 @@ def test_runner_grad_accum_auto(tmp_path):
     out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
     log = open(os.path.join(out, "log.log")).read()
     assert "grad-accum-steps auto -> 1" in log
+
+
+def test_predict_fast_forward_resolution():
+    """The serving path auto-converts a reference-layout checkpoint to the
+    fast (cmt) pipeline when the Pallas plans cover every layer; predictions
+    must equal the reference-layout forward's."""
+    from dctn_tpu.cli.predict import _resolve_forward, predict_split
+    from dctn_tpu.models import (
+        EPSesPlusLinearConfig,
+        eps_plus_linear_forward,
+        init_eps_plus_linear,
+    )
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4),), image_size=8, q0=2,
+        eval_backend="pallas_interpret", train_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    f, fwd = _resolve_forward(params, cfg)
+    assert "epses_cmt" in f  # the fast layout was chosen
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 12, 8, 8, 2))
+    preds = predict_split(f, cfg, x, batch_size=5, forward_fn=fwd)
+    ref = np.asarray(jnp.argmax(
+        eps_plus_linear_forward(params, x, cfg, training=False), axis=1))
+    np.testing.assert_array_equal(preds, ref)
