@@ -57,18 +57,48 @@ def test_bench_json_contract():
     import json
     import subprocess
 
+    # On the axon host, sitecustomize's register() dials the relay at EVERY
+    # interpreter start — when the relay is down, any fresh ``import jax``
+    # hangs regardless of JAX_PLATFORMS, so bench.py cannot initialize at
+    # all. Probe once and skip on outage (environmental, not a bench bug).
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax"],
+            capture_output=True, timeout=120, env=dict(os.environ),
+        )
+        if probe.returncode != 0:
+            pytest.skip("jax backend unavailable in subprocesses")
+    except subprocess.TimeoutExpired:
+        pytest.skip("axon relay down — fresh interpreters hang in import jax")
+
     env = dict(os.environ)
     env.update(
         BENCH_BATCH="16",
         BENCH_STEPS="2",
         BENCH_SKIP_TORCH_BASELINE="1",
+        BENCH_PROBE_BUDGET_S="120",
         JAX_PLATFORMS="cpu",
     )
-    proc = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "bench.py")],
-        capture_output=True, text=True, env=env, timeout=900,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "bench.py")],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        # The relay can flap BETWEEN the probe above and the bench run (it
+        # has gone down for hours mid-session): re-probe, and if the outage
+        # is confirmed treat the hang as environmental, not a bench bug.
+        try:
+            reprobe = subprocess.run(
+                [sys.executable, "-c", "import jax"],
+                capture_output=True, timeout=120, env=dict(os.environ),
+            )
+            if reprobe.returncode != 0:
+                pytest.skip("axon relay flapped mid-test (re-probe failed)")
+        except subprocess.TimeoutExpired:
+            pytest.skip("axon relay flapped mid-test (re-probe hangs)")
+        raise
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     assert lines, proc.stderr[-2000:]
     result = json.loads(lines[-1])
@@ -80,3 +110,38 @@ def test_bench_json_contract():
         "flops_per_step_xla", "bytes_per_step_xla", "xla_mfu_vs_bf16_peak",
         "xla_achieved_hbm_gbps", "device_kind",
     } <= set(result)
+
+
+def test_bench_backend_probe(monkeypatch):
+    """_wait_for_backend returns immediately on a responsive backend, retries
+    through timeouts, and gives up after the budget (never hangs the driver's
+    benchmark run on a relay outage)."""
+    import subprocess
+    import types
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    calls = []
+
+    def fake_run(*args, **kwargs):
+        calls.append(1)
+        if len(calls) < 2:
+            raise subprocess.TimeoutExpired(cmd="probe", timeout=120)
+        return types.SimpleNamespace(returncode=0, stdout="tpu\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("BENCH_PROBE_BUDGET_S", "3600")
+    bench._wait_for_backend()
+    assert len(calls) == 2  # one timeout, then success
+
+    # budget exhausted: proceeds instead of spinning forever
+    calls.clear()
+    monkeypatch.setenv("BENCH_PROBE_BUDGET_S", "0")
+    monkeypatch.setattr(
+        subprocess, "run",
+        lambda *a, **k: (_ for _ in ()).throw(
+            subprocess.TimeoutExpired(cmd="probe", timeout=120)),
+    )
+    bench._wait_for_backend()  # returns despite persistent failure
