@@ -57,19 +57,21 @@ def test_bench_json_contract():
     import json
     import subprocess
 
-    # On the axon host, sitecustomize's register() dials the relay at EVERY
-    # interpreter start — when the relay is down, any fresh ``import jax``
-    # hangs regardless of JAX_PLATFORMS, so bench.py cannot initialize at
-    # all. Probe once and skip on outage (environmental, not a bench bug).
+    # On the axon host, any fresh interpreter's first BACKEND INIT dials the
+    # relay — when the relay is down, ``jax.default_backend()`` hangs forever
+    # regardless of JAX_PLATFORMS (``import jax`` alone still succeeds, so
+    # probing the import is NOT enough), and bench.py cannot initialize.
+    # Probe the backend and skip on outage (environmental, not a bench bug).
+    probe_src = "import jax; print(jax.default_backend())"
     try:
         probe = subprocess.run(
-            [sys.executable, "-c", "import jax"],
+            [sys.executable, "-c", probe_src],
             capture_output=True, timeout=120, env=dict(os.environ),
         )
         if probe.returncode != 0:
             pytest.skip("jax backend unavailable in subprocesses")
     except subprocess.TimeoutExpired:
-        pytest.skip("axon relay down — fresh interpreters hang in import jax")
+        pytest.skip("axon relay down — fresh interpreters hang at backend init")
 
     env = dict(os.environ)
     env.update(
@@ -91,7 +93,7 @@ def test_bench_json_contract():
         # is confirmed treat the hang as environmental, not a bench bug.
         try:
             reprobe = subprocess.run(
-                [sys.executable, "-c", "import jax"],
+                [sys.executable, "-c", probe_src],
                 capture_output=True, timeout=120, env=dict(os.environ),
             )
             if reprobe.returncode != 0:
