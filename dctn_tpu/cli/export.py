@@ -1,0 +1,168 @@
+"""Model export for deployment: serialize the jitted serving forward into a
+portable StableHLO artifact and reload it anywhere.
+
+The reference has no deployment surface at all — its entry points end at
+training scripts and ad-hoc evaluation
+(``small_experiments/pre_publishing_test_evaluation/*.py``); this module is
+the TPU-native production complement to ``cli/predict.py``: one
+self-contained file that embeds the trained weights as constants plus the
+lowered forward (the fused Mosaic kernels when exported for TPU, the XLA
+forward elsewhere), loadable in any jax-capable server process **without the
+dctn_tpu package installed**.
+
+Artifact layout (a zip):
+  meta.json          — model config echo, batch sizes, platforms, dtype
+  forward_bs{N}.jaxexp — ``jax.export`` serialization, one per batch size
+                          (static shapes keep the TPU kernels eligible)
+
+Usage:
+  python -m dctn_tpu.cli.export CKPT.npz --epses-specs "(4,4),(3,6)" \
+      --image-size 28 --q0 2 --batch-sizes 1,128 --out model.dctnx
+  # serving side (no dctn_tpu needed):
+  #   from dctn_tpu.cli.export import load_artifact   # or inline the 10-line
+  #   meta, fns = load_artifact("model.dctnx")        # loader — it only uses
+  #   logits = fns[128](x)                            # jax.export + zipfile
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import Dict, Optional, Sequence, Tuple
+
+import click
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from ..models import EPSesPlusLinearConfig, init_eps_plus_linear
+from ..train import load_pytree
+from .predict import _resolve_forward
+from .runner import parse_epses_specs
+
+_META_NAME = "meta.json"
+
+
+def export_forward(
+    params,
+    cfg: EPSesPlusLinearConfig,
+    *,
+    batch_sizes: Sequence[int],
+    channels: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+    in_dtype=jnp.float32,
+) -> Dict[int, bytes]:
+    """Serialize the serving forward (weights baked in as constants) for each
+    batch size. Static batch shapes — symbolic dims would disqualify the
+    Mosaic kernels — so export every batch size the server will use."""
+    fparams, forward_fn = _resolve_forward(params, cfg)
+    serialized: Dict[int, bytes] = {}
+    for bs in batch_sizes:
+        fn = jax.jit(lambda xb: forward_fn(fparams, xb))
+        spec = jax.ShapeDtypeStruct(
+            (channels, bs, cfg.image_size, cfg.image_size, cfg.q0), in_dtype
+        )
+        exported = jax_export.export(
+            fn, platforms=None if platforms is None else tuple(platforms)
+        )(spec)
+        serialized[bs] = bytes(exported.serialize())
+    return serialized
+
+
+def write_artifact(
+    path: str,
+    serialized: Dict[int, bytes],
+    meta: dict,
+) -> None:
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(_META_NAME, json.dumps(meta, indent=1))
+        for bs, blob in sorted(serialized.items()):
+            zf.writestr(f"forward_bs{bs}.jaxexp", blob)
+
+
+def load_artifact(path: str) -> Tuple[dict, Dict[int, object]]:
+    """(meta, {batch_size: callable}) — each callable maps a
+    (channels, bs, H, W, q0) array to (bs, num_classes) logits. Needs only
+    jax + stdlib, not dctn_tpu."""
+    fns: Dict[int, object] = {}
+    with zipfile.ZipFile(path) as zf:
+        meta = json.loads(zf.read(_META_NAME))
+        for name in zf.namelist():
+            if name == _META_NAME:
+                continue
+            bs = int(name[len("forward_bs") : -len(".jaxexp")])
+            exported = jax_export.deserialize(bytearray(zf.read(name)))
+            fns[bs] = exported.call
+    return meta, fns
+
+
+def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
+    return tuple(int(v) for v in value.split(",") if v.strip())
+
+
+@click.command()
+@click.argument("checkpoint", type=click.Path(exists=True, dir_okay=False))
+@click.option("--epses-specs", type=parse_epses_specs, required=True)
+@click.option("--image-size", type=int, default=28)
+@click.option("--q0", type=int, default=2)
+@click.option("--channels", type=int, default=1)
+@click.option("--num-classes", type=int, default=10)
+@click.option("--batch-sizes", callback=_parse_int_list, default="1,128",
+              help="comma-separated; one exported entry point per size")
+@click.option("--platform", "platforms", multiple=True,
+              help="target platform(s), e.g. --platform tpu --platform cpu; "
+                   "default: the exporting host's platform")
+@click.option("--backend", type=click.Choice(("auto", "pallas", "xla")),
+              default="auto",
+              help="forward implementation to lower: the fused Pallas "
+                   "pipeline (TPU), plain XLA, or auto (pallas iff a TPU "
+                   "target is involved)")
+@click.option("--out", type=click.Path(dir_okay=False), required=True)
+def main(checkpoint, epses_specs, image_size, q0, channels, num_classes,
+         batch_sizes, platforms, backend, out):
+    run(checkpoint=checkpoint, epses_specs=epses_specs, image_size=image_size,
+        q0=q0, channels=channels, num_classes=num_classes,
+        batch_sizes=batch_sizes, platforms=platforms or None, backend=backend,
+        out=out)
+
+
+def run(*, checkpoint, epses_specs, image_size=28, q0=2, channels=1,
+        num_classes=10, batch_sizes=(1, 128), platforms=None, backend="auto",
+        out):
+    targets = tuple(platforms) if platforms else (jax.default_backend(),)
+    if backend == "auto":
+        backend = "pallas" if "tpu" in targets else "xla"
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=epses_specs, image_size=image_size, q0=q0,
+        num_classes=num_classes, eval_backend=backend,
+    )
+    template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    params = load_pytree(template, checkpoint)
+    serialized = export_forward(
+        params, cfg, batch_sizes=batch_sizes, channels=channels,
+        platforms=platforms,
+    )
+    meta = {
+        "epses_specs": [list(s) for s in epses_specs],
+        "image_size": image_size,
+        "q0": q0,
+        "channels": channels,
+        "num_classes": num_classes,
+        "batch_sizes": sorted(batch_sizes),
+        "platforms": list(targets),
+        "backend": backend,
+        "in_dtype": "float32",
+        "jax_version": jax.__version__,
+    }
+    write_artifact(out, serialized, meta)
+    total = sum(len(b) for b in serialized.values())
+    print(
+        f"exported {len(serialized)} entry point(s) "
+        f"(bs {sorted(serialized)}, platforms {list(targets)}) "
+        f"to {out} ({total / 1e6:.2f} MB)"
+    )
+
+
+if __name__ == "__main__":
+    main()
