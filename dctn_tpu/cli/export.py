@@ -8,7 +8,8 @@ the TPU-native production complement to ``cli/predict.py``: one
 self-contained file that embeds the trained weights as constants plus the
 lowered forward (the fused Mosaic kernels when exported for TPU, the XLA
 forward elsewhere), loadable in any jax-capable server process **without the
-dctn_tpu package installed**.
+dctn_tpu package installed**. Both model families export: EPSesPlusLinear
+(``--model-family eps``) and the legacy ConvSBS stack (``conv_sbs``).
 
 Artifact layout (a zip):
   meta.json          — model config echo, batch sizes, platforms, dtype
@@ -70,6 +71,31 @@ def export_forward(
     return serialized
 
 
+def export_conv_sbs_forward(
+    params,
+    cfg,
+    *,
+    batch_sizes: Sequence[int],
+    image_size: int = 28,
+    platforms: Optional[Sequence[str]] = None,
+    in_dtype=jnp.float32,
+) -> Dict[int, bytes]:
+    """ConvSBS (legacy family) serving export: raw (bs, H, W) pixels →
+    (bs, num_labels) logits, the quantum map baked into the module
+    (mnist.py:255-263 semantics — the reference model this family replaces)."""
+    from ..models.conv_sbs_model import conv_sbs_model_forward
+
+    serialized: Dict[int, bytes] = {}
+    for bs in batch_sizes:
+        fn = jax.jit(lambda xb: conv_sbs_model_forward(params, cfg, xb))
+        spec = jax.ShapeDtypeStruct((bs, image_size, image_size), in_dtype)
+        exported = jax_export.export(
+            fn, platforms=None if platforms is None else tuple(platforms)
+        )(spec)
+        serialized[bs] = bytes(exported.serialize())
+    return serialized
+
+
 def write_artifact(
     path: str,
     serialized: Dict[int, bytes],
@@ -103,11 +129,22 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
 
 @click.command()
 @click.argument("checkpoint", type=click.Path(exists=True, dir_okay=False))
-@click.option("--epses-specs", type=parse_epses_specs, required=True)
+@click.option("--model-family", type=click.Choice(("eps", "conv_sbs")),
+              default="eps")
+@click.option("--epses-specs", type=parse_epses_specs, default=None,
+              help="required for --model-family eps")
 @click.option("--image-size", type=int, default=28)
 @click.option("--q0", type=int, default=2)
 @click.option("--channels", type=int, default=1)
 @click.option("--num-classes", type=int, default=10)
+@click.option("--num-sbs-layers", type=int, default=2,
+              help="conv_sbs family")
+@click.option("--bond-dim", type=int, default=4, help="conv_sbs family")
+@click.option("--trace-edge/--no-trace-edge", default=False,
+              help="conv_sbs family")
+@click.option("--cos-sin-squared", is_flag=True, help="conv_sbs family")
+@click.option("--input-multiplier", type=float, default=1.0,
+              help="conv_sbs family")
 @click.option("--batch-sizes", callback=_parse_int_list, default="1,128",
               help="comma-separated; one exported entry point per size")
 @click.option("--platform", "platforms", multiple=True,
@@ -119,41 +156,79 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
                    "pipeline (TPU), plain XLA, or auto (pallas iff a TPU "
                    "target is involved)")
 @click.option("--out", type=click.Path(dir_okay=False), required=True)
-def main(checkpoint, epses_specs, image_size, q0, channels, num_classes,
-         batch_sizes, platforms, backend, out):
-    run(checkpoint=checkpoint, epses_specs=epses_specs, image_size=image_size,
-        q0=q0, channels=channels, num_classes=num_classes,
-        batch_sizes=batch_sizes, platforms=platforms or None, backend=backend,
-        out=out)
+def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
+         num_classes, num_sbs_layers, bond_dim, trace_edge, cos_sin_squared,
+         input_multiplier, batch_sizes, platforms, backend, out):
+    run(checkpoint=checkpoint, model_family=model_family,
+        epses_specs=epses_specs, image_size=image_size, q0=q0,
+        channels=channels, num_classes=num_classes,
+        num_sbs_layers=num_sbs_layers, bond_dim=bond_dim,
+        trace_edge=trace_edge, cos_sin_squared=cos_sin_squared,
+        input_multiplier=input_multiplier, batch_sizes=batch_sizes,
+        platforms=platforms or None, backend=backend, out=out)
 
 
-def run(*, checkpoint, epses_specs, image_size=28, q0=2, channels=1,
-        num_classes=10, batch_sizes=(1, 128), platforms=None, backend="auto",
-        out):
+def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
+        q0=2, channels=1, num_classes=10, num_sbs_layers=2, bond_dim=4,
+        trace_edge=False, cos_sin_squared=False, input_multiplier=1.0,
+        batch_sizes=(1, 128), platforms=None, backend="auto", out=None):
     targets = tuple(platforms) if platforms else (jax.default_backend(),)
     if backend == "auto":
         backend = "pallas" if "tpu" in targets else "xla"
-    cfg = EPSesPlusLinearConfig(
-        epses_specs=epses_specs, image_size=image_size, q0=q0,
-        num_classes=num_classes, eval_backend=backend,
-    )
-    template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
-    params = load_pytree(template, checkpoint)
-    serialized = export_forward(
-        params, cfg, batch_sizes=batch_sizes, channels=channels,
-        platforms=platforms,
-    )
+    if model_family == "eps":
+        if not epses_specs:
+            raise click.UsageError("--model-family eps needs --epses-specs")
+        cfg = EPSesPlusLinearConfig(
+            epses_specs=epses_specs, image_size=image_size, q0=q0,
+            num_classes=num_classes, eval_backend=backend,
+        )
+        template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+        params = load_pytree(template, checkpoint)
+        serialized = export_forward(
+            params, cfg, batch_sizes=batch_sizes, channels=channels,
+            platforms=platforms,
+        )
+        family_meta = {
+            "epses_specs": [list(s) for s in epses_specs],
+            "q0": q0,
+            "channels": channels,
+            "num_classes": num_classes,
+        }
+    else:
+        from ..models.conv_sbs_model import (
+            ConvSBSModelConfig,
+            init_conv_sbs_model,
+        )
+
+        cfg = ConvSBSModelConfig(
+            num_sbs_layers=num_sbs_layers, bond_dim_size=bond_dim,
+            trace_edge=trace_edge, cos_sin_squared=cos_sin_squared,
+            input_multiplier=input_multiplier, num_labels=num_classes,
+            backend=backend,
+        )
+        template = init_conv_sbs_model(jax.random.PRNGKey(0), cfg)
+        params = load_pytree(template, checkpoint)
+        serialized = export_conv_sbs_forward(
+            params, cfg, batch_sizes=batch_sizes, image_size=image_size,
+            platforms=platforms,
+        )
+        family_meta = {
+            "num_sbs_layers": num_sbs_layers,
+            "bond_dim_size": bond_dim,
+            "trace_edge": trace_edge,
+            "cos_sin_squared": cos_sin_squared,
+            "input_multiplier": input_multiplier,
+            "num_labels": num_classes,
+        }
     meta = {
-        "epses_specs": [list(s) for s in epses_specs],
+        "model_family": model_family,
         "image_size": image_size,
-        "q0": q0,
-        "channels": channels,
-        "num_classes": num_classes,
         "batch_sizes": sorted(batch_sizes),
         "platforms": list(targets),
         "backend": backend,
         "in_dtype": "float32",
         "jax_version": jax.__version__,
+        **family_meta,
     }
     write_artifact(out, serialized, meta)
     total = sum(len(b) for b in serialized.values())

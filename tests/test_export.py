@@ -53,6 +53,31 @@ def test_export_roundtrip_matches_forward(tmp_path):
     np.testing.assert_array_equal(got, want)  # identical lowering + constants
 
 
+def test_export_conv_sbs_family(tmp_path):
+    """The legacy ConvSBS family exports and serves exactly too."""
+    from dctn_tpu.cli.export import export_conv_sbs_forward
+    from dctn_tpu.models.conv_sbs_model import (
+        ConvSBSModelConfig,
+        conv_sbs_model_forward,
+        init_conv_sbs_model,
+    )
+
+    cfg = ConvSBSModelConfig(num_sbs_layers=2, bond_dim_size=3)
+    params = init_conv_sbs_model(jax.random.PRNGKey(4), cfg)
+    serialized = export_conv_sbs_forward(
+        params, cfg, batch_sizes=(2,), image_size=8
+    )
+    path = str(tmp_path / "legacy.dctnx")
+    write_artifact(path, serialized, {"model_family": "conv_sbs"})
+    meta, fns = load_artifact(path)
+    assert meta["model_family"] == "conv_sbs"
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 8, 8)).astype(jnp.float32)
+    got = np.asarray(fns[2](x))
+    want = np.asarray(conv_sbs_model_forward(params, cfg, x))
+    assert got.shape == (2, 10)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_export_tpu_platform_lowers_pallas_from_cpu_host():
     """Cross-platform export: the fused Pallas (fast cmt) pipeline lowers for
     TPU on a CPU-only host — deployment artifacts can be built off-device."""
