@@ -71,6 +71,52 @@ def export_forward(
     return serialized
 
 
+def export_sharded_forward(
+    params,
+    cfg: EPSesPlusLinearConfig,
+    *,
+    global_batch: int,
+    mesh_devices: int,
+    channels: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+    in_dtype=jnp.float32,
+) -> bytes:
+    """Multi-chip serving export: one entry point taking the GLOBAL batch,
+    data-sharded over a ``mesh_devices``-device mesh (weights baked in and
+    replicated). jax.export records the device assignment + shardings, so
+    the artifact must be built on (or with the same device count as) the
+    serving topology — e.g. build on the v5e-8 pod it will serve on, or on
+    a virtual CPU mesh of matching size for testing."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import make_mesh
+
+    mesh = make_mesh(mesh_devices)
+    assert global_batch % mesh_devices == 0, (global_batch, mesh_devices)
+    fparams, forward_fn = _resolve_forward(params, cfg)
+
+    sharded = jax.shard_map(
+        lambda xs: forward_fn(fparams, xs),
+        mesh=mesh,
+        in_specs=P(None, "data"),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    fn = jax.jit(
+        sharded,
+        in_shardings=NamedSharding(mesh, P(None, "data")),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    spec = jax.ShapeDtypeStruct(
+        (channels, global_batch, cfg.image_size, cfg.image_size, cfg.q0),
+        in_dtype,
+    )
+    exported = jax_export.export(
+        fn, platforms=None if platforms is None else tuple(platforms)
+    )(spec)
+    return bytes(exported.serialize())
+
+
 def export_conv_sbs_forward(
     params,
     cfg,
@@ -108,18 +154,32 @@ def write_artifact(
 
 
 def load_artifact(path: str) -> Tuple[dict, Dict[int, object]]:
-    """(meta, {batch_size: callable}) — each callable maps a
-    (channels, bs, H, W, q0) array to (bs, num_classes) logits. Needs only
-    jax + stdlib, not dctn_tpu."""
+    """(meta, {batch_size: callable}) — each callable maps an input batch to
+    logits. Needs only jax + stdlib, not dctn_tpu. Sharded artifacts
+    (``meta["mesh_devices"] > 1``) are re-jitted over the loading host's
+    first N devices with the artifact's data-sharding convention — an
+    exported N-device function must be invoked in an N-device context."""
     fns: Dict[int, object] = {}
     with zipfile.ZipFile(path) as zf:
         meta = json.loads(zf.read(_META_NAME))
+        n_mesh = meta.get("mesh_devices", 1)
         for name in zf.namelist():
             if name == _META_NAME:
                 continue
             bs = int(name[len("forward_bs") : -len(".jaxexp")])
             exported = jax_export.deserialize(bytearray(zf.read(name)))
-            fns[bs] = exported.call
+            if n_mesh > 1:
+                from jax.sharding import Mesh, NamedSharding
+                from jax.sharding import PartitionSpec as _P
+
+                mesh = Mesh(jax.devices()[:n_mesh], ("data",))
+                fns[bs] = jax.jit(
+                    exported.call,
+                    in_shardings=NamedSharding(mesh, _P(None, "data")),
+                    out_shardings=NamedSharding(mesh, _P("data")),
+                )
+            else:
+                fns[bs] = exported.call
     return meta, fns
 
 
@@ -146,7 +206,11 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
 @click.option("--input-multiplier", type=float, default=1.0,
               help="conv_sbs family")
 @click.option("--batch-sizes", callback=_parse_int_list, default="1,128",
-              help="comma-separated; one exported entry point per size")
+              help="comma-separated; one exported entry point per size "
+                   "(GLOBAL batch when --mesh-devices > 1)")
+@click.option("--mesh-devices", type=int, default=1,
+              help="export a data-sharded forward over a mesh of this many "
+                   "devices (eps family; build on the serving topology)")
 @click.option("--platform", "platforms", multiple=True,
               help="target platform(s), e.g. --platform tpu --platform cpu; "
                    "default: the exporting host's platform")
@@ -158,23 +222,28 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
 @click.option("--out", type=click.Path(dir_okay=False), required=True)
 def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
          num_classes, num_sbs_layers, bond_dim, trace_edge, cos_sin_squared,
-         input_multiplier, batch_sizes, platforms, backend, out):
+         input_multiplier, batch_sizes, mesh_devices, platforms, backend,
+         out):
     run(checkpoint=checkpoint, model_family=model_family,
         epses_specs=epses_specs, image_size=image_size, q0=q0,
         channels=channels, num_classes=num_classes,
         num_sbs_layers=num_sbs_layers, bond_dim=bond_dim,
         trace_edge=trace_edge, cos_sin_squared=cos_sin_squared,
         input_multiplier=input_multiplier, batch_sizes=batch_sizes,
-        platforms=platforms or None, backend=backend, out=out)
+        mesh_devices=mesh_devices, platforms=platforms or None,
+        backend=backend, out=out)
 
 
 def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         q0=2, channels=1, num_classes=10, num_sbs_layers=2, bond_dim=4,
         trace_edge=False, cos_sin_squared=False, input_multiplier=1.0,
-        batch_sizes=(1, 128), platforms=None, backend="auto", out=None):
+        batch_sizes=(1, 128), mesh_devices=1, platforms=None, backend="auto",
+        out=None):
     targets = tuple(platforms) if platforms else (jax.default_backend(),)
     if backend == "auto":
         backend = "pallas" if "tpu" in targets else "xla"
+    if mesh_devices > 1 and model_family != "eps":
+        raise click.UsageError("--mesh-devices > 1 needs --model-family eps")
     if model_family == "eps":
         if not epses_specs:
             raise click.UsageError("--model-family eps needs --epses-specs")
@@ -184,10 +253,19 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         )
         template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
         params = load_pytree(template, checkpoint)
-        serialized = export_forward(
-            params, cfg, batch_sizes=batch_sizes, channels=channels,
-            platforms=platforms,
-        )
+        if mesh_devices > 1:
+            serialized = {
+                bs: export_sharded_forward(
+                    params, cfg, global_batch=bs, mesh_devices=mesh_devices,
+                    channels=channels, platforms=platforms,
+                )
+                for bs in batch_sizes
+            }
+        else:
+            serialized = export_forward(
+                params, cfg, batch_sizes=batch_sizes, channels=channels,
+                platforms=platforms,
+            )
         family_meta = {
             "epses_specs": [list(s) for s in epses_specs],
             "q0": q0,
@@ -224,6 +302,7 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         "model_family": model_family,
         "image_size": image_size,
         "batch_sizes": sorted(batch_sizes),
+        "mesh_devices": mesh_devices,
         "platforms": list(targets),
         "backend": backend,
         "in_dtype": "float32",

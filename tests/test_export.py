@@ -97,6 +97,30 @@ def test_export_tpu_platform_lowers_pallas_from_cpu_host():
     assert exported.platforms == ("tpu",)
 
 
+def test_export_sharded_forward_8device_mesh(tmp_path):
+    """Multi-chip serving artifact: data-sharded global-batch forward over
+    the virtual 8-device mesh, bit-compatible with the single-device path."""
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from dctn_tpu.cli.export import export_sharded_forward
+
+    params = init_eps_plus_linear(jax.random.PRNGKey(6), CFG)
+    blob = export_sharded_forward(
+        params, CFG, global_batch=16, mesh_devices=8
+    )
+    path = str(tmp_path / "pod.dctnx")
+    write_artifact(path, {16: blob}, {"mesh_devices": 8, "batch_sizes": [16]})
+    meta, fns = load_artifact(path)
+    assert meta["mesh_devices"] == 8
+    x = _x(16, key=7)
+    got = np.asarray(fns[16](x))
+    want = np.asarray(eps_plus_linear_forward(params, x, CFG, training=False))
+    assert got.shape == (16, 10)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
 def test_export_cli_end_to_end(tmp_path):
     params = init_eps_plus_linear(jax.random.PRNGKey(2), CFG)
     ckpt = str(tmp_path / "ckpt.npz")
