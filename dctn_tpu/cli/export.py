@@ -219,11 +219,16 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
               help="forward implementation to lower: the fused Pallas "
                    "pipeline (TPU), plain XLA, or auto (pallas iff a TPU "
                    "target is involved)")
+@click.option("--compute-dtype", type=click.Choice(("float32", "bfloat16")),
+              default="float32",
+              help="MXU operand dtype baked into the artifact (eps family; "
+                   "bf16 halves the resident core footprint — numerically "
+                   "~free on TPU, see docs/performance.md)")
 @click.option("--out", type=click.Path(dir_okay=False), required=True)
 def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
          num_classes, num_sbs_layers, bond_dim, trace_edge, cos_sin_squared,
          input_multiplier, batch_sizes, mesh_devices, platforms, backend,
-         out):
+         compute_dtype, out):
     run(checkpoint=checkpoint, model_family=model_family,
         epses_specs=epses_specs, image_size=image_size, q0=q0,
         channels=channels, num_classes=num_classes,
@@ -231,14 +236,14 @@ def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
         trace_edge=trace_edge, cos_sin_squared=cos_sin_squared,
         input_multiplier=input_multiplier, batch_sizes=batch_sizes,
         mesh_devices=mesh_devices, platforms=platforms or None,
-        backend=backend, out=out)
+        backend=backend, compute_dtype=compute_dtype, out=out)
 
 
 def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         q0=2, channels=1, num_classes=10, num_sbs_layers=2, bond_dim=4,
         trace_edge=False, cos_sin_squared=False, input_multiplier=1.0,
         batch_sizes=(1, 128), mesh_devices=1, platforms=None, backend="auto",
-        out=None):
+        compute_dtype="float32", out=None):
     targets = tuple(platforms) if platforms else (jax.default_backend(),)
     if backend == "auto":
         backend = "pallas" if "tpu" in targets else "xla"
@@ -250,6 +255,9 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         cfg = EPSesPlusLinearConfig(
             epses_specs=epses_specs, image_size=image_size, q0=q0,
             num_classes=num_classes, eval_backend=backend,
+            compute_dtype=jnp.bfloat16
+            if compute_dtype == "bfloat16"
+            else None,
         )
         template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
         params = load_pytree(template, checkpoint)
@@ -305,6 +313,7 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         "mesh_devices": mesh_devices,
         "platforms": list(targets),
         "backend": backend,
+        "compute_dtype": compute_dtype,
         "in_dtype": "float32",
         "jax_version": jax.__version__,
         **family_meta,
