@@ -246,7 +246,9 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         compute_dtype="float32", out=None):
     targets = tuple(platforms) if platforms else (jax.default_backend(),)
     if backend == "auto":
-        backend = "pallas" if "tpu" in targets else "xla"
+        # Mosaic custom calls only lower for TPU — a multi-platform artifact
+        # (e.g. --platform tpu --platform cpu) must take the XLA forward.
+        backend = "pallas" if all(t == "tpu" for t in targets) else "xla"
     if mesh_devices > 1 and model_family != "eps":
         raise click.UsageError("--mesh-devices > 1 needs --model-family eps")
     if model_family == "eps":
