@@ -12,6 +12,10 @@ Usage:
   python -m dctn_tpu.cli.predict CKPT.npz --ds-type fashionmnist \
       --ds-path synthetic --epses-specs "(2,4)" --split test \
       --out preds.npy --latency-bench
+  # or serve straight from a cli/export.py deployment artifact (model
+  # config + weights come from the artifact; --epses-specs not needed):
+  python -m dctn_tpu.cli.predict model.dctnx --ds-type fashionmnist \
+      --ds-path synthetic --split test --batch-size 128
 """
 
 from __future__ import annotations
@@ -32,6 +36,52 @@ from ..models import (
 )
 from ..train import load_pytree
 from .runner import parse_epses_specs
+
+
+def _is_artifact(path: str) -> bool:
+    """True iff ``path`` is a cli/export.py deployment artifact (a zip with
+    meta.json) rather than an npz checkpoint."""
+    import zipfile
+
+    if not zipfile.is_zipfile(path):
+        return False
+    with zipfile.ZipFile(path) as zf:
+        return "meta.json" in zf.namelist()
+
+
+def _artifact_forward(path: str, batch_sizes):
+    """(cfg, forward_fn) serving straight from an exported artifact — the
+    weights live inside the StableHLO module, so ``params`` is ignored.
+    Every batch size the caller will use must have an exported entry
+    (artifacts are static-shaped by design, docs/deployment.md)."""
+    from .export import load_artifact
+
+    meta, fns = load_artifact(path)
+    family = meta.get("model_family", "eps")
+    if family != "eps":
+        raise click.UsageError(
+            f"predict serves eps-family artifacts; this one is {family!r}"
+        )
+    missing = [bs for bs in batch_sizes if bs not in fns]
+    if missing:
+        raise click.UsageError(
+            f"artifact has entry points for batch sizes {sorted(fns)}; "
+            f"missing {missing} — re-export with --batch-sizes"
+        )
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=tuple(tuple(s) for s in meta["epses_specs"]),
+        image_size=meta["image_size"],
+        q0=meta["q0"],
+        num_classes=meta.get("num_classes", 10),
+    )
+
+    in_dtype = meta.get("in_dtype", "float32")
+
+    def forward_fn(_params, xb):
+        # exported modules are strict about input dtypes (tests run x64)
+        return fns[xb.shape[1]](xb.astype(in_dtype))
+
+    return meta, cfg, forward_fn
 
 
 def _resolve_forward(params, cfg):
@@ -121,7 +171,9 @@ def latency_stats(params, cfg, x, batch_size: int, iters: int = 30,
 @click.argument("checkpoint", type=click.Path(exists=True, dir_okay=False))
 @click.option("--ds-type", required=True)
 @click.option("--ds-path", required=True)
-@click.option("--epses-specs", type=parse_epses_specs, required=True)
+@click.option("--epses-specs", type=parse_epses_specs, default=None,
+              help="required for npz checkpoints; exported artifacts carry "
+                   "their own model config")
 @click.option("--phi-multiplier", type=float, default=None)
 @click.option("--split", type=click.Choice(("train", "val", "test")), default="test")
 @click.option("--batch-size", type=int, default=128)
@@ -141,9 +193,21 @@ def main(checkpoint, ds_type, ds_path, epses_specs, phi_multiplier, split,
         mesh_devices=mesh_devices)
 
 
-def run(*, checkpoint, ds_type, ds_path, epses_specs, phi_multiplier=None,
+def run(*, checkpoint, ds_type, ds_path, epses_specs=None, phi_multiplier=None,
         split="test", batch_size=128, out=None, latency_bench=False,
         mesh_devices=1, synthetic_sizes=(8192, 2048, 2048)):
+    artifact = _is_artifact(checkpoint)
+    if artifact:
+        needed = {batch_size} | ({1, batch_size} if latency_bench else set())
+        meta, acfg, forward_fn = _artifact_forward(checkpoint, sorted(needed))
+        if meta.get("mesh_devices", 1) > 1 and mesh_devices > 1:
+            raise click.UsageError(
+                "sharded artifacts are already mesh-jitted — run with "
+                "--mesh-devices 1 and a global --batch-size"
+            )
+        epses_specs = acfg.epses_specs
+    elif not epses_specs:
+        raise click.UsageError("--epses-specs is required for npz checkpoints")
     splits = load_dataset(
         ds_type, ds_path, phi_multiplier=phi_multiplier,
         autoscale_kernel_size=None if phi_multiplier else epses_specs[0][0],
@@ -152,14 +216,22 @@ def run(*, checkpoint, ds_type, ds_path, epses_specs, phi_multiplier=None,
     sp = getattr(splits, split)
     image_size = sp.x.shape[2]
     q0 = sp.x.shape[-1]
-    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    cfg = EPSesPlusLinearConfig(
-        epses_specs=epses_specs, image_size=image_size, q0=q0,
-        eval_backend=backend,
-    )
-    template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
-    params = load_pytree(template, checkpoint)
-    params, forward_fn = _resolve_forward(params, cfg)
+    if artifact:
+        if (image_size, q0) != (acfg.image_size, acfg.q0):
+            raise click.UsageError(
+                f"dataset shape ({image_size}, q0={q0}) does not match the "
+                f"artifact ({acfg.image_size}, q0={acfg.q0})"
+            )
+        cfg, params = acfg, {}
+    else:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        cfg = EPSesPlusLinearConfig(
+            epses_specs=epses_specs, image_size=image_size, q0=q0,
+            eval_backend=backend,
+        )
+        template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+        params = load_pytree(template, checkpoint)
+        params, forward_fn = _resolve_forward(params, cfg)
     x = jnp.asarray(sp.x)
     if mesh_devices > 1:
         from ..parallel import make_mesh, make_parallel_predict_fn, shard_split

@@ -121,6 +121,29 @@ def test_export_sharded_forward_8device_mesh(tmp_path):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
+def test_predict_serves_from_artifact(tmp_path):
+    """cli/predict accepts a deployment artifact in place of a checkpoint:
+    model config + weights come from the artifact, predictions equal the
+    checkpoint-based run's."""
+    from dctn_tpu.cli.predict import run as predict_run
+
+    sizes = (32, 16, 16)
+    cfg = EPSesPlusLinearConfig(epses_specs=((2, 4),), image_size=28, q0=2)
+    params = init_eps_plus_linear(jax.random.PRNGKey(8), cfg)
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_pytree(params, ckpt)
+    art = str(tmp_path / "model.dctnx")
+    export_run(
+        checkpoint=ckpt, epses_specs=((2, 4),), image_size=28, q0=2,
+        batch_sizes=(8,), backend="xla", out=art,
+    )
+    common = dict(ds_type="mnist", ds_path="synthetic", split="test",
+                  batch_size=8, synthetic_sizes=sizes)
+    from_ckpt = predict_run(checkpoint=ckpt, epses_specs=((2, 4),), **common)
+    from_art = predict_run(checkpoint=art, **common)
+    np.testing.assert_array_equal(from_art, from_ckpt)
+
+
 def test_export_cli_end_to_end(tmp_path):
     params = init_eps_plus_linear(jax.random.PRNGKey(2), CFG)
     ckpt = str(tmp_path / "ckpt.npz")
