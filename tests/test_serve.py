@@ -1,0 +1,126 @@
+"""Inference-server tests: artifact-backed HTTP serving (cli/serve.py).
+
+Covers batch routing (exact entry, padded tail, chunking past the largest
+entry), both response formats, health/meta endpoints, and bad-input
+handling — all against a live ThreadingHTTPServer on an ephemeral port.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from dctn_tpu.cli.export import run as export_run
+from dctn_tpu.cli.serve import make_server
+from dctn_tpu.models import (
+    EPSesPlusLinearConfig,
+    eps_plus_linear_forward,
+    init_eps_plus_linear,
+)
+from dctn_tpu.train import save_pytree
+
+CFG = EPSesPlusLinearConfig(epses_specs=((2, 4),), image_size=6, q0=2)
+
+
+@pytest.fixture(scope="module")
+def served():
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        params = init_eps_plus_linear(jax.random.PRNGKey(0), CFG)
+        ckpt = f"{tmp}/ckpt.npz"
+        save_pytree(params, ckpt)
+        art = f"{tmp}/model.dctnx"
+        export_run(
+            checkpoint=ckpt, epses_specs=((2, 4),), image_size=6, q0=2,
+            batch_sizes=(2, 4), backend="xla", out=art,
+        )
+        server, model = make_server(art)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            yield f"http://127.0.0.1:{server.server_address[1]}", params
+        finally:
+            server.shutdown()
+
+
+def _post(base, x, query=""):
+    buf = io.BytesIO()
+    np.save(buf, x)
+    req = urllib.request.Request(
+        f"{base}/predict{query}", data=buf.getvalue(), method="POST"
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.read(), resp.headers.get("Content-Type")
+
+
+def _x(bs, key=1):
+    return np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(key), (1, bs, 6, 6, 2)),
+        np.float32,
+    )
+
+
+def _want(params, x):
+    return np.asarray(
+        eps_plus_linear_forward(params, x, CFG, training=False)
+    )
+
+
+def test_healthz_and_meta(served):
+    base, _ = served
+    with urllib.request.urlopen(f"{base}/healthz") as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["batch_sizes"] == [2, 4]
+    with urllib.request.urlopen(f"{base}/meta") as r:
+        meta = json.loads(r.read())
+    assert meta["epses_specs"] == [[2, 4]]
+
+
+def test_predict_exact_entry(served):
+    base, params = served
+    x = _x(4)
+    body, ctype = _post(base, x)
+    assert ctype == "application/octet-stream"
+    logits = np.load(io.BytesIO(body))
+    np.testing.assert_array_equal(logits, _want(params, x))
+
+
+def test_predict_padded_and_chunked(served):
+    base, params = served
+    for bs in (1, 3, 7):  # pad-to-2, pad-to-4, chunk 4 + pad-to-4
+        x = _x(bs, key=bs)
+        logits = np.load(io.BytesIO(_post(base, x)[0]))
+        np.testing.assert_allclose(
+            logits, _want(params, x), rtol=0, atol=1e-6
+        )
+
+
+def test_predict_json_format(served):
+    base, params = served
+    x = _x(4, key=11)
+    body, ctype = _post(base, x, query="?format=json")
+    assert ctype == "application/json"
+    preds = json.loads(body)["predictions"]
+    np.testing.assert_array_equal(
+        preds, np.argmax(_want(params, x), axis=1)
+    )
+
+
+def test_predict_bad_input_is_400(served):
+    base, _ = served
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((3, 3), np.float32))  # wrong rank
+    req = urllib.request.Request(
+        f"{base}/predict", data=buf.getvalue(), method="POST"
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "error" in json.loads(e.read())
