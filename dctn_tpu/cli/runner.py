@@ -278,6 +278,13 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
                    "(saved as train_state_latest.npz at every eval)")
 @click.option("--synthetic-sizes", nargs=3, type=int, default=(8192, 2048, 2048),
               help="train/val/test sizes when --ds-path synthetic")
+@click.option("--export-artifact", type=click.Path(dir_okay=False),
+              default=None,
+              help="after training, export the final params to a jax.export "
+                   "deployment artifact at this path (cli/export.py format; "
+                   "entry points per --export-batch-sizes)")
+@click.option("--export-batch-sizes", type=str, default="1,128",
+              help="comma-separated serving batch sizes for --export-artifact")
 @click.option("--eval-train-subset", type=int, default=None,
               help="score only this many train samples per eval (full set if unset)")
 def main(**kwargs) -> None:
@@ -910,6 +917,38 @@ def run(**kwargs) -> TrainLoopState:
     writer.wait()
     logger.info("training stopped: %s at %d iters", state.stop_reason,
                 state.num_iters_done)
+    if kwargs["export_artifact"]:
+        from .export import export_forward, write_artifact
+
+        final = params_view(state.params) if params_view else state.params
+        bss = tuple(
+            int(b) for b in kwargs["export_batch_sizes"].split(",") if b
+        )
+        serialized = export_forward(
+            final, cfg, batch_sizes=bss, channels=int(x_init.shape[0])
+        )
+        write_artifact(
+            kwargs["export_artifact"], serialized,
+            {
+                "model_family": "eps",
+                "epses_specs": [list(s) for s in cfg.epses_specs],
+                "image_size": cfg.image_size,
+                "q0": cfg.q0,
+                "channels": int(x_init.shape[0]),
+                "num_classes": cfg.num_classes,
+                "batch_sizes": sorted(bss),
+                "mesh_devices": 1,
+                "platforms": [jax.default_backend()],
+                "backend": cfg.eval_backend,
+                "compute_dtype": "bfloat16"
+                if cfg.compute_dtype is not None
+                else "float32",
+                "in_dtype": "float32",
+                "jax_version": jax.__version__,
+            },
+        )
+        logger.info("deployment artifact written to %s (bs %s)",
+                    kwargs["export_artifact"], sorted(bss))
     return state
 
 

@@ -121,6 +121,23 @@ def test_export_sharded_forward_8device_mesh(tmp_path):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
+def test_export_multi_platform_artifact(tmp_path):
+    """A tpu+cpu artifact must auto-select the universal XLA forward
+    (Mosaic custom calls only lower for TPU) and still execute here."""
+    params = init_eps_plus_linear(jax.random.PRNGKey(9), CFG)
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_pytree(params, ckpt)
+    out = str(tmp_path / "multi.dctnx")
+    export_run(
+        checkpoint=ckpt, epses_specs=((2, 4),), image_size=6, q0=2,
+        batch_sizes=(3,), platforms=("tpu", "cpu"), out=out,
+    )
+    meta, fns = load_artifact(out)
+    assert meta["backend"] == "xla" and meta["platforms"] == ["tpu", "cpu"]
+    logits = np.asarray(fns[3](_x(3, key=9)))
+    assert logits.shape == (3, 10) and np.isfinite(logits).all()
+
+
 def test_predict_serves_from_artifact(tmp_path):
     """cli/predict accepts a deployment artifact in place of a checkpoint:
     model config + weights come from the artifact, predictions equal the
@@ -142,6 +159,39 @@ def test_predict_serves_from_artifact(tmp_path):
     from_ckpt = predict_run(checkpoint=ckpt, epses_specs=((2, 4),), **common)
     from_art = predict_run(checkpoint=art, **common)
     np.testing.assert_array_equal(from_art, from_ckpt)
+
+
+def test_runner_export_artifact_flag(tmp_path):
+    """--export-artifact: training ends with a servable deployment artifact
+    of the FINAL params."""
+    from dctn_tpu.cli.runner import run as runner_run
+    from dctn_tpu.data import load_dataset
+
+    sizes = (128, 64, 64)
+    art = str(tmp_path / "trained.dctnx")
+    state = runner_run(
+        experiments_dir=str(tmp_path / "exp"),
+        ds_type="fashionmnist", ds_path="synthetic",
+        epses_specs=((2, 4),), batch_size=16, optimizer_name="adam",
+        init_epses_composition_unit_theoretical_output_std=True,
+        lr=3e-3, eval_schedule=((None, 10),), max_num_iters=10,
+        keep_last_models=1, synthetic_sizes=sizes, patience=50,
+        reg_coeff=1e-6,
+        export_artifact=art, export_batch_sizes="1,8",
+    )
+    meta, fns = load_artifact(art)
+    assert meta["batch_sizes"] == [1, 8] and meta["model_family"] == "eps"
+    splits = load_dataset("fashionmnist", "synthetic",
+                          autoscale_kernel_size=2, synthetic_sizes=sizes)
+    x = jnp.asarray(splits.test.x[:, :8]).astype(jnp.float32)
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4),), image_size=x.shape[2], q0=x.shape[-1],
+    )
+    got = np.asarray(fns[8](x))
+    want = np.asarray(
+        eps_plus_linear_forward(state.params, x, cfg, training=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
 def test_export_cli_end_to_end(tmp_path):
