@@ -87,6 +87,12 @@ def permute_pixels_batch(images: np.ndarray, permutation) -> np.ndarray:
               help="data-parallel over this many devices (replicated TT "
                    "cores, pixel splits sharded on the sample axis, pmean "
                    "gradient all-reduce; 1 = single-device path)")
+@click.option("--export-artifact", type=click.Path(dir_okay=False),
+              default=None,
+              help="after training, export the final TT cores to a "
+                   "jax.export deployment artifact (cli/export.py format)")
+@click.option("--export-batch-sizes", type=str, default="1,100",
+              help="comma-separated serving batch sizes for --export-artifact")
 @click.option("--seed", type=int, default=0)
 @click.option("--synthetic-sizes", nargs=2, type=int, default=(2048, 512))
 @click.option("--tb-log-every-n-epochs", type=int, default=10,
@@ -365,6 +371,44 @@ def run(**kw):
             ):
                 logger.info("early stopping at epoch %d", epoch)
                 break
+    if kw["export_artifact"]:
+        from .export import export_conv_sbs_forward, write_artifact
+
+        # the artifact bakes cfg (quantum map, multiplier) but NOT the
+        # host-side pixel permutation — a shuffled-pixels model would
+        # silently mis-serve raw images
+        assert not kw["shuffle_pixels"], (
+            "--export-artifact with --shuffle-pixels is not supported"
+        )
+
+        bss = tuple(
+            int(b) for b in kw["export_batch_sizes"].split(",") if b
+        )
+        image_size = int(images.shape[1])
+        serialized = export_conv_sbs_forward(
+            params, cfg, batch_sizes=bss, image_size=image_size
+        )
+        write_artifact(
+            kw["export_artifact"], serialized,
+            {
+                "model_family": "conv_sbs",
+                "image_size": image_size,
+                "num_sbs_layers": cfg.num_sbs_layers,
+                "bond_dim_size": cfg.bond_dim_size,
+                "trace_edge": cfg.trace_edge,
+                "cos_sin_squared": cfg.cos_sin_squared,
+                "input_multiplier": cfg.input_multiplier,
+                "num_labels": cfg.num_labels,
+                "batch_sizes": sorted(bss),
+                "mesh_devices": 1,
+                "platforms": [jax.default_backend()],
+                "backend": cfg.backend,
+                "in_dtype": "float32",
+                "jax_version": jax.__version__,
+            },
+        )
+        logger.info("deployment artifact written to %s (bs %s)",
+                    kw["export_artifact"], sorted(bss))
     return params, best_acc
 
 

@@ -194,6 +194,38 @@ def test_runner_export_artifact_flag(tmp_path):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
+def test_legacy_runner_export_artifact_flag(tmp_path):
+    """The legacy ConvSBS runner's --export-artifact produces a servable
+    artifact equal to the final cores' forward."""
+    from dctn_tpu.cli.legacy_runner import run as legacy_run
+    from dctn_tpu.models.conv_sbs_model import (
+        ConvSBSModelConfig,
+        conv_sbs_model_forward,
+    )
+
+    art = str(tmp_path / "legacy_trained.dctnx")
+    params, _ = legacy_run(
+        ds_path="synthetic", models_dir=str(tmp_path / "models"),
+        num_sbs_layers=2, bond_dim_size=2,
+        initialization="khrulkov-normal", learning_rate=1e-3,
+        optimizer_type="sgd", batch_size=32, epochs=1,
+        warmup_num_epochs=1, synthetic_sizes=(64, 32), seed=0,
+        export_artifact=art, export_batch_sizes="4",
+    )
+    meta, fns = load_artifact(art)
+    assert meta["model_family"] == "conv_sbs" and meta["batch_sizes"] == [4]
+    cfg = ConvSBSModelConfig(
+        num_sbs_layers=2, bond_dim_size=2,
+        input_multiplier=meta["input_multiplier"],
+    )
+    x = jax.random.uniform(
+        jax.random.PRNGKey(3), (4, meta["image_size"], meta["image_size"])
+    ).astype(jnp.float32)
+    got = np.asarray(fns[4](x))
+    want = np.asarray(conv_sbs_model_forward(params, cfg, x))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
 def test_export_cli_end_to_end(tmp_path):
     params = init_eps_plus_linear(jax.random.PRNGKey(2), CFG)
     ckpt = str(tmp_path / "ckpt.npz")
