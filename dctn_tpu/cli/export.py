@@ -20,14 +20,13 @@ Usage:
   python -m dctn_tpu.cli.export CKPT.npz --epses-specs "(4,4),(3,6)" \
       --image-size 28 --q0 2 --batch-sizes 1,128 --out model.dctnx
   # serving side (no dctn_tpu needed):
-  #   from dctn_tpu.cli.export import load_artifact   # or inline the 10-line
+  #   from dctn_tpu.cli.export import load_artifact   # or inline the short
   #   meta, fns = load_artifact("model.dctnx")        # loader — it only uses
   #   logits = fns[128](x)                            # jax.export + zipfile
 """
 
 from __future__ import annotations
 
-import io
 import json
 import zipfile
 from typing import Dict, Optional, Sequence, Tuple
