@@ -111,6 +111,38 @@ def test_predict_json_format(served):
     )
 
 
+def test_serve_conv_sbs_family(tmp_path):
+    """Batch routing on axis 0 (conv_sbs artifacts) incl. the padded tail."""
+    from dctn_tpu.cli.export import export_conv_sbs_forward, write_artifact
+    from dctn_tpu.models.conv_sbs_model import (
+        ConvSBSModelConfig,
+        conv_sbs_model_forward,
+        init_conv_sbs_model,
+    )
+
+    cfg = ConvSBSModelConfig(num_sbs_layers=2, bond_dim_size=2)
+    params = init_conv_sbs_model(jax.random.PRNGKey(1), cfg)
+    art = str(tmp_path / "legacy.dctnx")
+    write_artifact(
+        art,
+        export_conv_sbs_forward(params, cfg, batch_sizes=(4,), image_size=8),
+        {"model_family": "conv_sbs", "batch_sizes": [4]},
+    )
+    server, model = make_server(art)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        x = np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(2), (6, 8, 8)), np.float32
+        )  # 6 = one full chunk of 4 + a tail padded to 4
+        logits = np.load(io.BytesIO(_post(base, x)[0]))
+        want = np.asarray(conv_sbs_model_forward(params, cfg, x))
+        np.testing.assert_allclose(logits, want, rtol=0, atol=1e-6)
+    finally:
+        server.shutdown()
+
+
 def test_predict_bad_input_is_400(served):
     base, _ = served
     buf = io.BytesIO()
