@@ -90,8 +90,12 @@ def export_sharded_forward(
 
     from ..parallel import make_mesh
 
+    if global_batch % mesh_devices:
+        raise ValueError(
+            f"global batch {global_batch} is not divisible by "
+            f"mesh_devices={mesh_devices}"
+        )
     mesh = make_mesh(mesh_devices)
-    assert global_batch % mesh_devices == 0, (global_batch, mesh_devices)
     fparams, forward_fn = _resolve_forward(params, cfg)
 
     sharded = jax.shard_map(
@@ -162,6 +166,11 @@ def load_artifact(path: str) -> Tuple[dict, Dict[int, object]]:
     with zipfile.ZipFile(path) as zf:
         meta = json.loads(zf.read(_META_NAME))
         n_mesh = meta.get("mesh_devices", 1)
+        if n_mesh > 1 and len(jax.devices()) < n_mesh:
+            raise RuntimeError(
+                f"sharded artifact needs {n_mesh} devices; this host has "
+                f"{len(jax.devices())}"
+            )
         for name in zf.namelist():
             if name == _META_NAME:
                 continue
@@ -182,8 +191,45 @@ def load_artifact(path: str) -> Tuple[dict, Dict[int, object]]:
     return meta, fns
 
 
+def parse_batch_sizes(s: str) -> Tuple[int, ...]:
+    """'1,128' → (1, 128) — shared by export's and the runners'
+    --export-batch-sizes options."""
+    return tuple(int(v) for v in s.split(",") if v.strip())
+
+
+def build_meta(
+    *,
+    model_family: str,
+    image_size: int,
+    batch_sizes: Sequence[int],
+    backend: str,
+    mesh_devices: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+    compute_dtype: str = "float32",
+    **family_meta,
+) -> dict:
+    """The one place the artifact meta schema is assembled — export's CLI
+    and both runners' --export-artifact flags all go through here so the
+    schema cannot drift between producers."""
+    targets = list(platforms) if platforms else [jax.default_backend()]
+    return {
+        "model_family": model_family,
+        "image_size": image_size,
+        "batch_sizes": sorted(batch_sizes),
+        "mesh_devices": mesh_devices,
+        "platforms": targets,
+        "backend": backend,
+        # the compute-dtype knob exists only on the eps forward; a conv_sbs
+        # artifact is always an f32 module regardless of the flag
+        "compute_dtype": compute_dtype if model_family == "eps" else "float32",
+        "in_dtype": "float32",
+        "jax_version": jax.__version__,
+        **family_meta,
+    }
+
+
 def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
-    return tuple(int(v) for v in value.split(",") if v.strip())
+    return parse_batch_sizes(value)
 
 
 @click.command()
@@ -216,8 +262,9 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
 @click.option("--backend", type=click.Choice(("auto", "pallas", "xla")),
               default="auto",
               help="forward implementation to lower: the fused Pallas "
-                   "pipeline (TPU), plain XLA, or auto (pallas iff a TPU "
-                   "target is involved)")
+                   "pipeline (TPU), plain XLA, or auto (pallas iff EVERY "
+                   "target is tpu — Mosaic custom calls don't lower for "
+                   "other platforms)")
 @click.option("--compute-dtype", type=click.Choice(("float32", "bfloat16")),
               default="float32",
               help="MXU operand dtype baked into the artifact (eps family; "
@@ -250,6 +297,13 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         backend = "pallas" if all(t == "tpu" for t in targets) else "xla"
     if mesh_devices > 1 and model_family != "eps":
         raise click.UsageError("--mesh-devices > 1 needs --model-family eps")
+    if mesh_devices > 1:
+        bad = [bs for bs in batch_sizes if bs % mesh_devices]
+        if bad:
+            raise click.UsageError(
+                f"global batch sizes {bad} are not divisible by "
+                f"--mesh-devices {mesh_devices}"
+            )
     if model_family == "eps":
         if not epses_specs:
             raise click.UsageError("--model-family eps needs --epses-specs")
@@ -307,18 +361,11 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
             "input_multiplier": input_multiplier,
             "num_labels": num_classes,
         }
-    meta = {
-        "model_family": model_family,
-        "image_size": image_size,
-        "batch_sizes": sorted(batch_sizes),
-        "mesh_devices": mesh_devices,
-        "platforms": list(targets),
-        "backend": backend,
-        "compute_dtype": compute_dtype,
-        "in_dtype": "float32",
-        "jax_version": jax.__version__,
-        **family_meta,
-    }
+    meta = build_meta(
+        model_family=model_family, image_size=image_size,
+        batch_sizes=batch_sizes, backend=backend, mesh_devices=mesh_devices,
+        platforms=platforms, compute_dtype=compute_dtype, **family_meta,
+    )
     write_artifact(out, serialized, meta)
     total = sum(len(b) for b in serialized.values())
     print(

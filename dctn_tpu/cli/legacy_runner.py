@@ -119,6 +119,13 @@ def run(**kw):
 
     setup_run_provenance(kw["models_dir"], kw)
     assert not (kw["make_input_window_std_one"] and kw["input_multiplier"] is not None)
+    if kw["export_artifact"] and kw["shuffle_pixels"]:
+        # the artifact bakes cfg (quantum map, multiplier) but NOT the
+        # host-side pixel permutation — a shuffled-pixels model would
+        # silently mis-serve raw images; refuse BEFORE training
+        raise click.UsageError(
+            "--export-artifact with --shuffle-pixels is not supported"
+        )
 
     # --- data: MNIST train split into train/val (random_split analog) ---
     if kw["ds_path"] == "synthetic":
@@ -372,40 +379,30 @@ def run(**kw):
                 logger.info("early stopping at epoch %d", epoch)
                 break
     if kw["export_artifact"]:
-        from .export import export_conv_sbs_forward, write_artifact
-
-        # the artifact bakes cfg (quantum map, multiplier) but NOT the
-        # host-side pixel permutation — a shuffled-pixels model would
-        # silently mis-serve raw images
-        assert not kw["shuffle_pixels"], (
-            "--export-artifact with --shuffle-pixels is not supported"
+        from .export import (
+            build_meta,
+            export_conv_sbs_forward,
+            parse_batch_sizes,
+            write_artifact,
         )
 
-        bss = tuple(
-            int(b) for b in kw["export_batch_sizes"].split(",") if b
-        )
+        bss = parse_batch_sizes(kw["export_batch_sizes"])
         image_size = int(images.shape[1])
         serialized = export_conv_sbs_forward(
             params, cfg, batch_sizes=bss, image_size=image_size
         )
         write_artifact(
             kw["export_artifact"], serialized,
-            {
-                "model_family": "conv_sbs",
-                "image_size": image_size,
-                "num_sbs_layers": cfg.num_sbs_layers,
-                "bond_dim_size": cfg.bond_dim_size,
-                "trace_edge": cfg.trace_edge,
-                "cos_sin_squared": cfg.cos_sin_squared,
-                "input_multiplier": cfg.input_multiplier,
-                "num_labels": cfg.num_labels,
-                "batch_sizes": sorted(bss),
-                "mesh_devices": 1,
-                "platforms": [jax.default_backend()],
-                "backend": cfg.backend,
-                "in_dtype": "float32",
-                "jax_version": jax.__version__,
-            },
+            build_meta(
+                model_family="conv_sbs", image_size=image_size,
+                batch_sizes=bss, backend=cfg.backend,
+                num_sbs_layers=cfg.num_sbs_layers,
+                bond_dim_size=cfg.bond_dim_size,
+                trace_edge=cfg.trace_edge,
+                cos_sin_squared=cfg.cos_sin_squared,
+                input_multiplier=cfg.input_multiplier,
+                num_labels=cfg.num_labels,
+            ),
         )
         logger.info("deployment artifact written to %s (bs %s)",
                     kw["export_artifact"], sorted(bss))

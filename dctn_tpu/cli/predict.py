@@ -217,10 +217,13 @@ def run(*, checkpoint, ds_type, ds_path, epses_specs=None, phi_multiplier=None,
     image_size = sp.x.shape[2]
     q0 = sp.x.shape[-1]
     if artifact:
-        if (image_size, q0) != (acfg.image_size, acfg.q0):
+        channels = int(sp.x.shape[0])
+        want = (meta.get("channels", channels), acfg.image_size, acfg.q0)
+        if (channels, image_size, q0) != want:
             raise click.UsageError(
-                f"dataset shape ({image_size}, q0={q0}) does not match the "
-                f"artifact ({acfg.image_size}, q0={acfg.q0})"
+                f"dataset shape (channels={channels}, {image_size}, q0={q0}) "
+                f"does not match the artifact (channels={want[0]}, {want[1]}, "
+                f"q0={want[2]})"
             )
         cfg, params = acfg, {}
     else:

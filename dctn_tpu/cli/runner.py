@@ -918,34 +918,30 @@ def run(**kwargs) -> TrainLoopState:
     logger.info("training stopped: %s at %d iters", state.stop_reason,
                 state.num_iters_done)
     if kwargs["export_artifact"]:
-        from .export import export_forward, write_artifact
+        from .export import (
+            build_meta,
+            export_forward,
+            parse_batch_sizes,
+            write_artifact,
+        )
 
         final = params_view(state.params) if params_view else state.params
-        bss = tuple(
-            int(b) for b in kwargs["export_batch_sizes"].split(",") if b
-        )
+        bss = parse_batch_sizes(kwargs["export_batch_sizes"])
         serialized = export_forward(
             final, cfg, batch_sizes=bss, channels=int(x_init.shape[0])
         )
         write_artifact(
             kwargs["export_artifact"], serialized,
-            {
-                "model_family": "eps",
-                "epses_specs": [list(s) for s in cfg.epses_specs],
-                "image_size": cfg.image_size,
-                "q0": cfg.q0,
-                "channels": int(x_init.shape[0]),
-                "num_classes": cfg.num_classes,
-                "batch_sizes": sorted(bss),
-                "mesh_devices": 1,
-                "platforms": [jax.default_backend()],
-                "backend": cfg.eval_backend,
-                "compute_dtype": "bfloat16"
+            build_meta(
+                model_family="eps", image_size=cfg.image_size,
+                batch_sizes=bss, backend=cfg.eval_backend,
+                compute_dtype="bfloat16"
                 if cfg.compute_dtype is not None
                 else "float32",
-                "in_dtype": "float32",
-                "jax_version": jax.__version__,
-            },
+                epses_specs=[list(s) for s in cfg.epses_specs],
+                q0=cfg.q0, channels=int(x_init.shape[0]),
+                num_classes=cfg.num_classes,
+            ),
         )
         logger.info("deployment artifact written to %s (bs %s)",
                     kwargs["export_artifact"], sorted(bss))

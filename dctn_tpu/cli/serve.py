@@ -108,9 +108,18 @@ def _handler_for(model: ArtifactModel):
                 length = int(self.headers.get("Content-Length", 0))
                 x = np.load(io.BytesIO(self.rfile.read(length)),
                             allow_pickle=False)
-                logits = model.predict(x)
-            except Exception as e:  # surface shape/dtype errors to the client
+            except Exception as e:  # not a .npy body → client error
                 return self._json(400, {"error": str(e)})
+            try:
+                logits = model.predict(x)
+            except (ValueError, TypeError, KeyError) as e:
+                # shape/dtype/rank mismatches → client error
+                return self._json(400, {"error": str(e)})
+            except Exception as e:
+                # device lost, compile failure, OOM → SERVER error: tell
+                # callers/load-balancers to retry elsewhere, not to drop
+                # the request as malformed
+                return self._json(500, {"error": str(e)})
             fmt = parse_qs(url.query).get("format", ["npy"])[0]
             if fmt == "json":
                 self._json(200, {
