@@ -78,6 +78,33 @@ def test_export_conv_sbs_family(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_export_fast_pipeline_exactness_interpret(tmp_path):
+    """Numerical evidence for the fast-path export without a chip: under
+    interpret-mode Pallas the cmt pipeline lowers to pure jax ops, exports,
+    and must match the reference-layout forward to f32 epsilon (the on-chip
+    analog is checked by experiments/serving_latency.py)."""
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4),), image_size=8, q0=2,
+        eval_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(10), cfg)
+    serialized = export_forward(params, cfg, batch_sizes=(4,))
+    path = str(tmp_path / "fast.dctnx")
+    write_artifact(path, serialized, {"batch_sizes": [4]})
+    _, fns = load_artifact(path)
+    x = (
+        jax.random.uniform(jax.random.PRNGKey(11), (1, 4, 8, 8, 2))
+        .astype(jnp.float32)
+        * 1.4
+    )
+    got = np.asarray(fns[4](x))
+    ref_cfg = EPSesPlusLinearConfig(epses_specs=((2, 4),), image_size=8, q0=2)
+    want = np.asarray(
+        eps_plus_linear_forward(params, x, ref_cfg, training=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
 def test_export_tpu_platform_lowers_pallas_from_cpu_host():
     """Cross-platform export: the fused Pallas (fast cmt) pipeline lowers for
     TPU on a CPU-only host — deployment artifacts can be built off-device."""
