@@ -213,6 +213,7 @@ def build_meta(
     schema cannot drift between producers."""
     targets = list(platforms) if platforms else [jax.default_backend()]
     return {
+        "format_version": 1,
         "model_family": model_family,
         "image_size": image_size,
         "batch_sizes": sorted(batch_sizes),
