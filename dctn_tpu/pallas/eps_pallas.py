@@ -100,11 +100,30 @@ def _dcore_bytes(n, n1, q, o, bn, mm_bytes, ot=None):
     return 4 * a * z_t + 4 * bn * (2 * a + 2 * a2 + z_t + n * q + ot)
 
 
+def _legal_ots(n, n1, q, o):
+    """o-tile sizes whose pallas blocks Mosaic accepts, descending. The
+    tiled pass blocks the f32 accumulator as (ot·q^n2, A) rows of the (Z, A)
+    output — legal only when that row count is a sublane multiple (divisible
+    by 8) or the tile is the whole array (ot == o). (The cotangent side is
+    always legal: the tiled dispatch reshapes g to (o//ot, ot, npad) so its
+    block's second-minor dim EQUALS the array dim — see _run_bwd.)"""
+    a2 = q ** (n - n1)
+    return sorted(
+        (
+            d
+            for d in range(1, o + 1)
+            if o % d == 0 and (d == o or (d * a2) % 8 == 0)
+        ),
+        reverse=True,
+    )
+
+
 def _dcore_plan(n, n1, q, o, bn_cap, mm_bytes):
     """(bn_a, ot) for the d_core pass: prefer the whole accumulator resident
-    (ot=o, today's fast path), else the largest o-divisor tile that fits;
-    None when even (ot=1, bn=128) overflows."""
-    for ot in sorted((d for d in range(1, o + 1) if o % d == 0), reverse=True):
+    (ot=o, today's fast path), else the largest LEGAL o-divisor tile
+    (_legal_ots) that fits; None when even the smallest legal tile at bn=128
+    overflows."""
+    for ot in _legal_ots(n, n1, q, o):
         bn_a = _largest_bn(
             lambda v: _dcore_bytes(n, n1, q, o, v, mm_bytes, ot), cap=bn_cap
         )
@@ -129,18 +148,20 @@ def pallas_forward_fits(
     n: int, n1: int, q: int, o: int, bn: int = 128, mm_bytes: int = 4
 ) -> bool:
     """Go/no-go for the whole fused fwd+bwd pipeline: the forward, the
-    d_views pass, and the d_core pass (at its smallest o-tile) must each fit
-    the VMEM budget at the minimum tile. ``mm_bytes`` is the RESIDENT core's
+    d_views pass, and the d_core pass (at its smallest LEGAL o-tile,
+    _legal_ots) must each fit the VMEM budget at the minimum tile. ``mm_bytes`` is the RESIDENT core's
     itemsize — pass the resolved mm_dtype's (2 on the real backend, where
     the MXU runs one bf16 pass at default precision anyway); the f32
     default is the conservative legacy gate. With mm_bytes=2 the recorded
     three-EPS family's (K=3, Q_in=4, O=12) layer (12.6 MB core) clears the
     gate: fwd/d_views hold a 6.3 MB bf16 core, and d_core tiles its f32
     accumulator over o."""
+    ot_min = _legal_ots(n, n1, q, o)[-1]
     return (
         _fwd_bytes(n, n1, q, o, bn, mm_bytes) < _VMEM_BUDGET_BYTES
         and _dviews_bytes(n, n1, q, o, bn, mm_bytes) < _VMEM_BUDGET_BYTES
-        and _dcore_bytes(n, n1, q, o, bn, mm_bytes, ot=1) < _VMEM_BUDGET_BYTES
+        and _dcore_bytes(n, n1, q, o, bn, mm_bytes, ot=ot_min)
+        < _VMEM_BUDGET_BYTES
     )
 
 
@@ -310,16 +331,19 @@ def _dcore_kernel_factory(
     views and g; d_cmt's output block is constant-indexed along the pixel
     grid axis so it lives in VMEM across that whole (sequential) sweep.
     ``pix_axis=1`` is the o-TILED variant: grid (o//ot, npix//bn), g arrives
-    as this tile's (ot, bn) rows and the accumulator holds only the tile's
-    (ot·q^n2, A) rows — how cores whose full f32 d_cmt exceeds VMEM (the
-    three-EPS family's 12.6 MB layer) still get a fused backward. The body
-    is identical: kr2's row count simply follows g's block."""
+    as this tile's (1, ot, bn) block of the host-side (o//ot, ot, npad)
+    reshape (3-D so the block's second-minor dim EQUALS the array dim —
+    Mosaic rejects a partial (ot, bn) block of (o, npad) unless ot is a
+    sublane multiple) and the accumulator holds only the tile's (ot·q^n2, A)
+    rows — how cores whose full f32 d_cmt exceeds VMEM (the three-EPS
+    family's 12.6 MB layer) still get a fused backward. The body is
+    identical: kr2's row count simply follows g's block."""
     n2 = n - n1
 
     def kernel(views_ref, g_ref, dcmt_ref):
         i = pl.program_id(pix_axis)
         u = _suffix_chain(views_ref, 0, n1)[0]
-        g = g_ref[:]
+        g = g_ref[0] if pix_axis == 1 else g_ref[:]
         if n2 > 0:
             v = _suffix_chain(views_ref, n1, n)[0]
             kr2 = (g[:, None, :] * v[None, :, :]).reshape(-1, g.shape[-1])
@@ -517,6 +541,12 @@ def _run_bwd(
         )(views_t, g_t)
     else:
         z_t = ot * (z // out_size)
+        # g as (o//ot, ot, npad): the (1, ot, bn) block's second-minor dim
+        # equals the array dim, so any divisor tile is a legal block (the
+        # 2-D (ot, bn) block of (o, npad) is rejected by Mosaic's
+        # sublane-multiple rule whenever ot % 8 != 0 — e.g. the three-EPS
+        # family's o=12, ot=6).
+        g3 = g_t.reshape(out_size // ot, ot, npad)
         d_cmt = pl.pallas_call(
             _dcore_kernel_factory(
                 n, n1, q, out_size, bn_a, mm_dtype, pix_axis=1
@@ -529,14 +559,15 @@ def _run_bwd(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (ot, bn_a), lambda zt, i: (zt, i), memory_space=pltpu.VMEM
+                    (1, ot, bn_a), lambda zt, i: (zt, 0, i),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
                 (z_t, a), lambda zt, i: (zt, 0), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
-        )(views_t, g_t)
+        )(views_t, g3)
     use_t = t is not None
     b_inputs = [views_t, cmt, g_t] + ([t] if use_t else [])
     b_specs = [

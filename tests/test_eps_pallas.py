@@ -389,3 +389,70 @@ def test_tiled_dcore_bitexact_in_bf16(rng):
     for ot in (6, 1):
         np.testing.assert_array_equal(outs[ot][0], outs[O][0])
         np.testing.assert_array_equal(outs[ot][1], outs[O][1])
+
+
+def test_tpu_lowering_of_tiled_dcore_backward(rng):
+    """Mosaic's block-mapping legality (last-two block dims must be sublane/
+    lane multiples or span the whole array) is enforced only when LOWERING
+    for a real TPU target — interpret-mode tests cannot see it. r3 chip
+    regression: the o-tiled d_core pass blocked the cotangent as a partial
+    (ot=6, bn) slab of the (o=12, npad) array and the chip rejected the
+    recorded three-EPS family's step; the tiled dispatch now reshapes g to
+    (o//ot, ot, npad) so its block's second-minor dim equals the array dim.
+    jax.export runs the full Mosaic lowering from this CPU host."""
+    from jax import export as jax_export
+    import dctn_tpu.pallas.eps_pallas as ep
+
+    # this layer's real (bf16-resident) chip plan must be o-tiled,
+    # otherwise the lowering below checks nothing
+    _, ot = ep._dcore_plan(9, 5, 4, 12, 1024, 2)
+    assert 0 < ot < 12
+
+    k1, k2 = jax.random.split(rng)
+    core = jax.random.normal(k1, E.eps_shape(3, 1, 4, 12), jnp.float32)
+    x = jax.random.normal(k2, (1, 8, 5, 5, 4), jnp.float32)
+
+    def loss(c, xx):
+        return jnp.sum(
+            E.eps(c, xx, split=5, backend="pallas", compute_dtype=jnp.bfloat16)
+        )
+
+    f = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    exported = jax_export.export(f, platforms=("tpu",))(core, x)
+    assert exported.platforms == ("tpu",)
+
+
+def test_tpu_lowering_of_flagship_fast_train_step():
+    """The driver dryrun exercises interpret-mode Pallas only; nothing else
+    pushed the TRAINING backward through the Mosaic lowering off-device.
+    Lower the flagship two-EPS fast-layout train step (saved-t layer-2
+    backward + force_two_pass layer-1) for the TPU platform from this CPU
+    host so kernel block legality is checked in CI, not first on the chip."""
+    import dataclasses
+
+    from jax import export as jax_export
+
+    from dctn_tpu.models import EPSesPlusLinearConfig, init_eps_plus_linear
+    from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
+    from dctn_tpu.train import make_optimizer
+    from dctn_tpu.train.step import make_fast_train_step
+
+    cfg_i = EPSesPlusLinearConfig(
+        epses_specs=((4, 4), (3, 6)), image_size=12, q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg_i)
+    cfg = dataclasses.replace(
+        cfg_i, train_backend="pallas", eval_backend="pallas"
+    )
+    fast, plans = fast_params_from_reference(params, cfg)
+    opt = make_optimizer("adam", 1e-3)
+    step = make_fast_train_step(
+        cfg, opt, plans, "epses_composition", 1e-3, donate=False
+    )
+    x = jnp.zeros((1, 8, 12, 12, 2), jnp.float32)
+    y = jnp.zeros((8,), jnp.int32)
+    exported = jax_export.export(jax.jit(step), platforms=("tpu",))(
+        fast, opt.init(fast), jax.random.PRNGKey(1), x, y
+    )
+    assert exported.platforms == ("tpu",)
