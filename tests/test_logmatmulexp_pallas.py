@@ -48,3 +48,22 @@ def test_large_magnitudes_stable(rng):
     assert bool(jnp.all(jnp.isfinite(out)))
     expected = logmatmulexp_reference(la.astype(jnp.float64), lb.astype(jnp.float64))
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-4)
+
+
+def test_tpu_lowering_of_logmatmulexp_kernel(rng):
+    """Cross-lower the fused log-space matmul fwd+bwd for a TPU target from
+    this CPU host — Mosaic block legality is invisible to interpret mode
+    (the r3 o-tiled EPS lesson, test_eps_pallas.py::test_tpu_lowering_*)."""
+    from jax import export as jax_export
+
+    k1, k2 = jax.random.split(rng)
+    la = jax.random.normal(k1, (256, 256), jnp.float32)
+    lb = jax.random.normal(k2, (256, 256), jnp.float32)
+
+    def loss(a, b):
+        return jnp.sum(logmatmulexp_pallas(a, b, False))
+
+    exported = jax_export.export(
+        jax.jit(jax.grad(loss, argnums=(0, 1))), platforms=("tpu",)
+    )(la, lb)
+    assert exported.platforms == ("tpu",)

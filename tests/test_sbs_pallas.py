@@ -182,3 +182,35 @@ def test_sbs_pallas_large_qc_dot_path(rng):
     for a, b in zip(gc1, gc2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-6)
     np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1), rtol=5e-4, atol=5e-6)
+
+
+def test_tpu_lowering_of_sbs_kernels(rng):
+    """Mosaic block legality is checked only when lowering for a TPU target
+    (see test_eps_pallas.py::test_tpu_lowering_* — an interpret-green
+    o-tiled EPS plan was rejected on chip in r3). Cross-lower the fused
+    ConvSBS fwd+bwd for every kernel variant from this CPU host: open
+    strings, the legacy snake, multi-channel merged factors, a trace_edge
+    ring, and the qc>64 MXU-sweep path."""
+    from jax import export as jax_export
+
+    ring = _string(
+        [(0, 0), (0, 1), (1, 0), (1, 1)], (1, 2, 1, 1), (2, 2, 2, 2), 1
+    )
+    big_qc = _string(
+        [(0, 0), (0, 1), (1, 0), (1, 1)], (1, 2, 1, 1), (1, 2, 2, 2), 2, q=16
+    )
+    for spec in list(CASES) + [ring, big_qc]:
+        cores = _random_cores(rng, spec)
+        x = jax.random.uniform(
+            jax.random.split(rng)[0],
+            (spec.in_num_channels, 2, 5, 5, spec.in_quantum_dim_size),
+            jnp.float32,
+        )
+
+        def loss(cs, xx):
+            return jnp.sum(sbs.conv_sbs(spec, cs, xx, backend="pallas"))
+
+        exported = jax_export.export(
+            jax.jit(jax.grad(loss, argnums=(0, 1))), platforms=("tpu",)
+        )(cores, x)
+        assert exported.platforms == ("tpu",)
