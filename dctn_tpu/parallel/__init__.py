@@ -11,6 +11,17 @@ from .data_parallel import (
     replicate,
     ShardedSplit,
 )
+from .spatial_parallel import (
+    make_sp_mesh,
+    make_sp_train_step,
+    make_sp_fast_train_step,
+    make_sp_forward,
+    make_sp_score_fn,
+    sp_shard_batch,
+    sp_check_config,
+    sp_local_rows,
+    pad_rows,
+)
 from .tensor_parallel import (
     make_tp_mesh,
     make_tp_params,
