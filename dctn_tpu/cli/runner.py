@@ -272,6 +272,12 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
 @click.option("--tp-shard-all/--tp-shard-last", default=False,
               help="shard EVERY EPS core's output dim (inter-layer all_gather) "
                    "instead of only the last core's")
+@click.option("--space-devices", type=int, default=1,
+              help="spatial-parallel over this many devices: image HEIGHT "
+                   "sharded with one nearest-neighbor halo exchange per EPS "
+                   "layer, composable with --mesh-devices as the data axis — "
+                   "for inputs whose activations exceed one chip's HBM "
+                   "(parallel/spatial_parallel.py)")
 @click.option("--resume-from", type=click.Path(exists=True, dir_okay=False),
               default=None,
               help="resume params+optimizer+step from a train_state .npz "
@@ -354,6 +360,16 @@ def run(**kwargs) -> TrainLoopState:
             "--tb-batches is incompatible with --grad-accum-steps > 1 (or "
             "'auto'): per-sample probabilities are not accumulated across "
             "microbatches"
+        )
+    if kwargs["space_devices"] > 1 and kwargs["model_devices"] > 1:
+        raise click.BadParameter(
+            "--space-devices does not compose with --model-devices (shard "
+            "either the output dim or the height, plus the data axis)"
+        )
+    if kwargs["space_devices"] > 1 and kwargs["tb_batches"]:
+        raise click.BadParameter(
+            "--tb-batches is not supported with --space-devices > 1 "
+            "(per-sample probabilities are not plumbed through the SP step)"
         )
     if not auto_accum and kwargs["batch_size"] % (kwargs["mesh_devices"] * ga):
         raise click.BadParameter(
@@ -450,6 +466,7 @@ def run(**kwargs) -> TrainLoopState:
 
     n_mesh = kwargs["mesh_devices"]
     n_model = kwargs["model_devices"]
+    n_space = kwargs["space_devices"]
     params_view = None  # device→checkpoint layout transform (TP / fast layout)
     single_forward = None  # jitted (params, xb)→logits for the NaN dump
     # fast (cmt) parameter layout: cores stored matricized — no per-step 10-D
@@ -546,6 +563,51 @@ def run(**kwargs) -> TrainLoopState:
         logger.info(
             "tensor parallelism: mesh (data=%d, model=%d), shard_all=%s",
             n_mesh, n_model, shard_all,
+        )
+    elif n_space > 1:
+        # spatial-parallel path (optionally × data-parallel): image height
+        # sharded over the `space` axis with per-layer halo exchange;
+        # params/opt_state replicated, checkpoints unchanged
+        # (parallel/spatial_parallel.py)
+        from ..parallel import (
+            make_sp_mesh,
+            make_sp_train_step,
+            make_sp_fast_train_step,
+            make_sp_score_fn,
+            make_sp_forward,
+            sp_check_config,
+            sp_local_rows,
+        )
+
+        assert kwargs["batch_size"] % n_mesh == 0, "batch size must divide data mesh"
+        mesh = make_sp_mesh(n_mesh, n_space)
+        sp_check_config(cfg, n_space)  # single-hop halo constraint, clear error
+        if use_fast:
+            params = params_fast
+            step = make_sp_fast_train_step(
+                cfg, optimizer, fast_plans, mesh,
+                kwargs["reg_type"], kwargs["reg_coeff"],
+                frozen_eps_indices=kwargs["freeze_eps"], donate=True,
+                grad_accum_steps=kwargs["grad_accum_steps"],
+            )
+            score = make_sp_score_fn(cfg, mesh, kwargs["batch_size"], fast_plans)
+            single_forward = make_sp_forward(cfg, mesh, fast_plans)
+            params_view = lambda f: reference_params_from_fast(  # noqa: E731
+                f, cfg, fast_plans
+            )
+            logger.info("fast (cmt) parameter layout active")
+        else:
+            step = make_sp_train_step(
+                cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
+                frozen_eps_indices=kwargs["freeze_eps"], donate=True,
+                grad_accum_steps=kwargs["grad_accum_steps"],
+            )
+            score = make_sp_score_fn(cfg, mesh, kwargs["batch_size"])
+            single_forward = make_sp_forward(cfg, mesh)
+        opt_state = jax.jit(optimizer.init)(params)
+        logger.info(
+            "spatial parallelism: mesh (data=%d, space=%d), %d rows/device",
+            n_mesh, n_space, sp_local_rows(cfg.image_size, n_space),
         )
     elif n_mesh > 1:
         # data-parallel path: dataset sharded over the mesh, replicated
@@ -658,13 +720,19 @@ def run(**kwargs) -> TrainLoopState:
             )
         opt_state = optimizer.init(params)
 
-    if n_model > 1 or n_mesh == 1:
-        # shared single-device/TP assembly: device-resident split, device
+    if n_model > 1 or n_space > 1 or n_mesh == 1:
+        # shared single-device/TP/SP assembly: device-resident split, device
         # batch gathers, host-side index batcher, score(params, x, y)
         x_tr = jnp.asarray(splits.train.x)
         y_tr = jnp.asarray(splits.train.y)
         x_val = jnp.asarray(splits.val.x)
         y_val = jnp.asarray(splits.val.y)
+        if n_space > 1:
+            # SP consumes height-padded batches (rows divide the space axis)
+            from ..parallel import pad_rows
+
+            x_tr = pad_rows(x_tr, n_space)
+            x_val = pad_rows(x_val, n_space)
         gather = make_gather_batch(x_tr, y_tr)
         n_eval_train = kwargs["eval_train_subset"] or y_tr.shape[0]
         x_tr_eval, y_tr_eval = x_tr[:, :n_eval_train], y_tr[:n_eval_train]

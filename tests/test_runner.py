@@ -563,3 +563,77 @@ def test_predict_fast_forward_resolution():
     ref = np.asarray(jnp.argmax(
         eps_plus_linear_forward(params, x, cfg, training=False), axis=1))
     np.testing.assert_array_equal(preds, ref)
+
+
+def test_runner_spatial_parallel(tmp_path):
+    """--space-devices: height-sharded training through the full CLI
+    pipeline (SP×DP mesh), reference layout (XLA backend off-TPU)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    state = run(
+        experiments_dir=str(tmp_path),
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=32,
+        mesh_devices=2,
+        space_devices=2,
+        optimizer_name="adam",
+        lr=3e-3,
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=30,
+        keep_last_models=1,
+        synthetic_sizes=(128, 64, 64),
+        patience=50,
+        reg_coeff=1e-6,
+    )
+    assert state.stop_reason == "max_iters"
+    out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    records = load_records(os.path.join(out, "log.log"))
+    assert records[-1].trmce < records[0].trmce  # SP training learns
+    with open(os.path.join(out, "log.log")) as f:
+        log = f.read()
+    assert "spatial parallelism: mesh (data=2, space=2)" in log
+
+
+def test_runner_spatial_parallel_fast_layout(tmp_path):
+    """--space-devices on the fast (cmt) Pallas pipeline (interpret kernels
+    off-TPU): the flagship path runs height-sharded end-to-end, and the
+    checkpoint merges back to the reference layout."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    state = run(
+        experiments_dir=str(tmp_path),
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=16,
+        space_devices=4,
+        optimizer_name="adam",
+        lr=3e-3,
+        dropout_p=0.9,
+        train_backend="pallas_interpret",
+        eval_backend="pallas_interpret",
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=20,
+        keep_last_models=1,
+        synthetic_sizes=(64, 32, 32),
+        patience=50,
+    )
+    assert state.stop_reason == "max_iters"
+    out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    with open(os.path.join(out, "log.log")) as f:
+        log = f.read()
+    assert "fast (cmt) parameter layout active" in log
+    assert "spatial parallelism: mesh (data=1, space=4)" in log
+    # checkpoints are reference-layout (params_view applied)
+    ckpts = [f for f in os.listdir(out) if f.startswith("model_nitd")]
+    assert ckpts
+    with np.load(os.path.join(out, ckpts[0])) as d:
+        assert any(k.startswith("epses") and "cmt" not in k for k in d.files)
