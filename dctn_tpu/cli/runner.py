@@ -480,6 +480,7 @@ def run(**kwargs) -> TrainLoopState:
         FastLayoutUnavailable,
         eps_plus_linear_forward_fast,
         fast_params_from_reference,
+        legacy_split_plans,
         reference_params_from_fast,
     )
 
@@ -752,41 +753,83 @@ def run(**kwargs) -> TrainLoopState:
     if kwargs["resume_from"]:
         with np.load(kwargs["resume_from"]) as _d:
             saved_fast = bool(_d["param_layout"]) if "param_layout" in _d else False
-        if saved_fast != params_layout_fast and n_model == 1 and fast_plans is None:
+            saved_splits = (
+                tuple(int(v) for v in _d["eps_splits"])
+                if "eps_splits" in _d
+                else None
+            )
+        if saved_fast and n_model == 1 and fast_plans is None:
             # current run doesn't use the fast layout (e.g. XLA backend) but
             # conversion only needs the static plans — compute them if they fit
             try:
                 fast_plans = fast_params_from_reference(params, cfg)[1]
             except FastLayoutUnavailable:
                 pass
-        if saved_fast != params_layout_fast and (n_model > 1 or fast_plans is None):
+        # the saved cmt SHAPES depend on each layer's matmul split n1
+        # (models/eps_plus_linear.py): resolve the splits the file was saved
+        # under — the eps_splits tag, or (untagged pre-r3 states) the legacy
+        # "smallest n1 with q^n1 ≥ 128" rule — and convert when they differ
+        # from the current plans' picks.
+        saved_plans = None
+        if saved_fast and fast_plans is not None:
+            if saved_splits is None:
+                saved_plans = legacy_split_plans(fast_plans)
+                saved_splits = tuple(p["n1"] for p in saved_plans)
+            else:
+                saved_plans = tuple(
+                    {**p, "n1": s} for p, s in zip(fast_plans, saved_splits)
+                )
+        current_splits = (
+            tuple(p["n1"] for p in fast_plans) if fast_plans else None
+        )
+        splits_differ = (
+            saved_fast and params_layout_fast and saved_splits != current_splits
+        )
+        needs_convert = saved_fast != params_layout_fast or splits_differ
+        if needs_convert and (n_model > 1 or fast_plans is None):
             # TP trees differ structurally between the layouts (w vs w3), and
             # without Pallas plans the permutation is undefined — only these
             # cases still refuse.
             raise click.ClickException(
                 f"{kwargs['resume_from']} was saved with the "
                 f"{'fast (cmt)' if saved_fast else 'reference'} parameter "
-                "layout, but the current options resolve to the "
+                "layout"
+                + (
+                    f" under matmul splits {list(saved_splits)}"
+                    if splits_differ
+                    else ""
+                )
+                + ", but the current options resolve to the "
                 f"{'fast (cmt)' if params_layout_fast else 'reference'} "
                 "layout and auto-conversion is unavailable here "
                 "(tensor-parallel run, or the fast layout does not fit this "
                 "model) — resume with matching backend options, or start "
                 "fresh from a model checkpoint via --load-model-state"
             )
-        if saved_fast != params_layout_fast:
+        if needs_convert:
             # AUTO-CONVERT (VERDICT r2 next-round #7): the layout map is a
             # fixed exact permutation, and Adam/SGD moments are elementwise,
             # so the SAME permutation applies to every param-shaped subtree
-            # of the optimizer state. Load in the SAVED layout, then convert.
+            # of the optimizer state. Load in the SAVED layout, then convert
+            # (through the reference layout when saved and current cmt
+            # splits differ).
             ref_template = params_view(params) if params_layout_fast else params
             if saved_fast:
-                t_params = fast_params_from_reference(ref_template, cfg)[0]
-                convert = lambda t: reference_params_from_fast(  # noqa: E731
-                    t, cfg, fast_plans
+                t_params = fast_params_from_reference(
+                    ref_template, cfg, plans=saved_plans
+                )[0]
+                to_ref = lambda t: reference_params_from_fast(  # noqa: E731
+                    t, cfg, saved_plans
                 )
             else:
                 t_params = ref_template
-                convert = lambda t: fast_params_from_reference(t, cfg)[0]  # noqa: E731
+                to_ref = lambda t: t  # noqa: E731
+            if params_layout_fast:
+                convert = lambda t: fast_params_from_reference(  # noqa: E731
+                    to_ref(t), cfg
+                )[0]
+            else:
+                convert = to_ref
 
             def convert_tree(node):
                 if isinstance(node, dict) and "linear" in node:
@@ -812,10 +855,16 @@ def run(**kwargs) -> TrainLoopState:
             k_train = jax.random.wrap_key_data(jnp.asarray(restored["rng"]))
             logger.info(
                 "resumed train state from %s at step %d, converting the %s "
-                "parameter layout (and elementwise optimizer moments) to %s",
+                "parameter layout (and elementwise optimizer moments) to %s%s",
                 kwargs["resume_from"], resume_step,
                 "fast (cmt)" if saved_fast else "reference",
                 "fast (cmt)" if params_layout_fast else "reference",
+                (
+                    f" (matmul splits {list(saved_splits)} → "
+                    f"{list(current_splits)})"
+                    if splits_differ
+                    else ""
+                ),
             )
         else:
             template = {"params": params, "opt_state": opt_state,
@@ -872,6 +921,15 @@ def run(**kwargs) -> TrainLoopState:
                 "step": state.num_iters_done,
                 "rng": jax.random.key_data(state.rng),
                 "param_layout": np.int32(1 if params_layout_fast else 0),
+                # the cmt shapes depend on each layer's matmul split — tag
+                # them so resumes across split-rule changes auto-convert
+                **(
+                    {"eps_splits": np.asarray(
+                        [p["n1"] for p in fast_plans], np.int32
+                    )}
+                    if params_layout_fast and fast_plans
+                    else {}
+                ),
             },
             os.path.join(output_dir, "train_state_latest.npz"),
         )

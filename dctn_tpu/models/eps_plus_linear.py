@@ -342,6 +342,25 @@ def fast_layer_plans(cfg: EPSesPlusLinearConfig, in_channels: int = 1):
     return tuple(plans)
 
 
+def legacy_split_plans(plans):
+    """``plans`` with each layer's n1 replaced by the pre-r3 split rule's
+    pick (smallest n1 ≥ ⌈n/2⌉ with q^n1 ≥ 128, nudged even when factor
+    pairs merge) — the cmt layout of fast train states saved before the
+    MXU-aware split landed; those files carry no ``eps_splits`` tag and the
+    runner resumes them through this reconstruction."""
+    out = []
+    for p in plans:
+        n = p["kernel_size"] ** 2 * p["c"]
+        q = p["q"]
+        n1 = math.ceil(n / 2)
+        while q**n1 < 128 and n1 < n:
+            n1 += 1
+        if p["merge_pairs"] and n1 % 2 == 1:
+            n1 += 1 if n1 + 1 <= n else -1
+        out.append({**p, "n1": n1})
+    return tuple(out)
+
+
 def saved_t_capped_layers(cfg: EPSesPlusLinearConfig, plans, microbatch: int):
     """Indices of EPS layers whose saved-t backward is disabled only by the
     t-buffer HBM cap at this per-device microbatch size (layer 0 is skipped:
@@ -364,14 +383,19 @@ def saved_t_capped_layers(cfg: EPSesPlusLinearConfig, plans, microbatch: int):
     return capped
 
 
-def fast_params_from_reference(params: Params, cfg: EPSesPlusLinearConfig):
+def fast_params_from_reference(
+    params: Params, cfg: EPSesPlusLinearConfig, plans=None
+):
     """Reference pytree -> (fast_params, plans): each EPS core matricized to
-    the kernel's (Z, A) float32 layout."""
+    the kernel's (Z, A) float32 layout. Pass explicit ``plans`` to matricize
+    under historical splits (resume of a train state saved before a split-
+    rule change — the cmt SHAPE depends on each layer's n1)."""
     from ..pallas.eps_pallas import _core_to_cmt_k, _kernel_dims
 
     k0 = cfg.epses_specs[0][0]
     in_channels = (params["epses"][0].ndim - 1) // (k0 * k0)
-    plans = fast_layer_plans(cfg, in_channels)
+    if plans is None:
+        plans = fast_layer_plans(cfg, in_channels)
     cmts = []
     for core, p in zip(params["epses"], plans):
         _, q_k, n1_k = _kernel_dims(

@@ -47,6 +47,67 @@ def inner_product(
     return inner_product((new_d,) + epses1[2:], epses2[1:])
 
 
+def inner_product_cmt(cmts: Sequence[jax.Array], plans) -> jax.Array:
+    """``inner_product(epses, epses)`` computed ENTIRELY on the fast (cmt)
+    matricized parameter layout — no N-D core is ever materialized.
+
+    Why this exists (measured r3, deep three-EPS config, one v5e chip): XLA
+    tiles the last two dims of every array to the (8, 128) vector tile, so a
+    tiny-trailing-dim core like the 17-D (2,…,2,4) first layer inflates
+    ×~128 in HBM, and the reference-layout recursion's backward materializes
+    many such intermediates — the regularizer's gradient alone cost
+    3.3 ms/step (23%). Here every intermediate is a 2-D/3-D matrix with
+    MXU-friendly minor dims.
+
+    Math: with W_k the layer-k cmt reshaped (O_k, B_k, A_k) (a free
+    leading-dim split of its (Z, A) storage) and M_k the (O_k, O_k) Gram
+    matrix of the composition truncated at layer k, the recursion is
+
+        M_1[o, o'] = Σ_{b,a} W[o,b,a]·W[o',b,a]
+        M_{k+1}    = Σ  W ·(M_k^{⊗n} applied to every input leg of W)·W
+
+    where the Kronecker powers act per half (A legs via one (Z, A)×(A, A)
+    MXU matmul, B legs via one 3-D dot_general) — the same two-matmul trick
+    as ``absorb_on_input_dims`` but in matricized space. Merged factor
+    pairs (q=2 layers) absorb M⊗M per merged leg; kron_power's row-major
+    pairing matches the merged index order. The result is
+    trace(M_L) = ‖e_1 ∘ … ∘ e_L‖² (parity: reference
+    epses_composition.py:21-58; association order differs from
+    ``inner_product`` only in f32 roundoff).
+    """
+    from ..pallas.eps_pallas import _kernel_dims
+
+    M = None
+    for W, p in zip(cmts, plans):
+        n_k, q_k, n1_k = _kernel_dims(
+            p["c"], p["q"], p["kernel_size"], p["n1"], p["merge_pairs"]
+        )
+        n2_k = n_k - n1_k
+        o = p["out_size"]
+        a_dim, b_dim = q_k**n1_k, q_k**n2_k
+        w3 = W.reshape(o, b_dim, a_dim)
+        if M is None:
+            ym, y_layout_ab = w3, True
+        else:
+            m = 2 if p["merge_pairs"] else 1
+            k_a = eps_mod.kron_power(M, n1_k * m)  # (A, A), symmetric
+            y = jax.lax.dot_general(W, k_a, (((1,), (0,)), ((), ())))
+            y3 = y.reshape(o, b_dim, a_dim)
+            if n2_k:
+                k_b = eps_mod.kron_power(M, n2_k * m)  # (B, B), symmetric
+                # (o, A, B'): contracted dim lands last — the final Gram
+                # contraction below pairs dims explicitly, no transpose
+                ym, y_layout_ab = (
+                    jax.lax.dot_general(y3, k_b, (((1,), (0,)), ((), ()))),
+                    False,
+                )
+            else:
+                ym, y_layout_ab = y3, True
+        dims = ((1, 2), (1, 2)) if y_layout_ab else ((1, 2), (2, 1))
+        M = jax.lax.dot_general(w3, ym, (dims, ((), ())))  # (O, O)
+    return jnp.trace(M)
+
+
 def specs_to_full_specs(
     epses_specs: Sequence[Tuple[int, int]], initial_in_size: int
 ) -> Tuple[Dict[str, int], ...]:

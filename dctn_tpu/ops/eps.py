@@ -88,18 +88,45 @@ def khatri_rao(factors: Sequence[jax.Array]) -> jax.Array:
     return out
 
 
+# VPU ops are ~this many times slower than MXU flops on v5e-class chips
+# (197 TF/s bf16 MXU peak vs a few TF/s of vector multiplies); the exact
+# value only has to rank splits, not predict times.
+_VPU_MXU_RATIO = 64
+
+
 def _balanced_split(n: int, q: int, out_size: int) -> int:
     """Choose how many factors go in the matmul (u) half.
 
-    Numerically any split is identical; we pick n1 = ⌈n/2⌉ (the reference's
-    half-split) then nudge so the MXU contracting dim q^n1 reaches ≥128 when
-    possible without inflating the (N, q^(n-n1)·O) intermediate's q^(n-n1)
-    above q^n1.
+    Numerically any split is identical; the pick minimizes a TPU cost model
+    of one pixel column through the Pallas kernels (measured r3: the old
+    "smallest n1 with q^n1 ≥ 128" rule gave the (K=2, Q=12, O=24) layer a
+    contracting dim of 144, which the MXU pads to 256 — the kernel ran at
+    60 TF/s vs 181 for a 128-aligned sibling):
+
+    - MXU: 2 · pad128(q^n1) · q^(n-n1)·O — the matmul with its contracting
+      dim padded to the 128-wide systolic array;
+    - VPU (serial with the MXU inside a Mosaic grid step): the suffix
+      Khatri-Rao chains (≈ 4/3·(q^n1 + q^(n-n1))), the final O·q^(n-n1)
+      output contraction, and the bf16 cast of u.
+
+    When q == 2 and n is even the Pallas plan merges factor pairs
+    (plan_pallas_call), which requires an even n1 — odd candidates are
+    skipped so the post-merge nudge cannot land on a worse split than the
+    model chose.
     """
-    n1 = math.ceil(n / 2)
-    while q**n1 < 128 and n1 < n:
-        n1 += 1
-    return n1
+    merge_pairs = q == 2 and n % 2 == 0
+
+    def cost(n1: int) -> float:
+        a, b = q**n1, q ** (n - n1)
+        pad_a = -(-a // 128) * 128
+        mxu = 2 * pad_a * b * out_size
+        vpu = 4.0 / 3.0 * (a + b) + out_size * b + a
+        return mxu + _VPU_MXU_RATIO * vpu
+
+    candidates = [
+        n1 for n1 in range(1, n + 1) if not (merge_pairs and n1 % 2)
+    ] or list(range(1, n + 1))
+    return min(candidates, key=lambda n1: (cost(n1), n1))
 
 
 def _kr_prefixes_t(factors_t: Sequence[jax.Array]):

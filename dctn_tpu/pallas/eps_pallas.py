@@ -35,6 +35,7 @@ opt_einsum contraction path (eps.py:25-40) taken two levels further down.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -42,9 +43,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# keep the resident core + per-tile working set inside VMEM (16 MB hardware)
-_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
-_BN_CANDIDATES = (1024, 512, 256, 128)
+# Planning budget for the resident core + per-tile working set. v5e VMEM is
+# 128 MB (measured on this chip: a 120 MB resident block compiles and runs;
+# XLA's default scoped-vmem limit is only ~16 MB, raised per-kernel via
+# CompilerParams.vmem_limit_bytes below). The analytic _*_bytes formulas
+# undercount Mosaic's real allocation by up to ~2x (changing-index output
+# blocks are double-buffered, and dot products materialize an f32 result
+# tile before accumulating), so the budget stays well under half the
+# hardware: plans validated on chip at 56 MB.
+_VMEM_BUDGET_BYTES = int(os.environ.get("DCTN_TPU_VMEM_BUDGET_MB", "56")) << 20
+_VMEM_LIMIT_BYTES = 127 * 1024 * 1024
+_BN_CANDIDATES = (4096, 2048, 1024, 512, 256, 128)
+
+
+def _compiler_kwargs(interpret: bool) -> dict:
+    """Raise the Mosaic VMEM limit above XLA's ~16 MB scoped default so the
+    planner can use the chip's real 128 MB (interpret mode takes none)."""
+    if interpret:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        )
+    }
 # prefer the fused single-pass backward only when it can run a reasonable
 # tile; below this the two-pass variant's bigger tiles win (measured)
 _FUSED_MIN_BN = 256
@@ -447,6 +468,7 @@ def _run_fwd(views_t, cmt, n1, out_size, bn, interpret, save_t=False):
         ],
         out_specs=out_spec,
         interpret=interpret,
+        **_compiler_kwargs(interpret),
     )(views_t, cmt)
     return out
 
@@ -472,6 +494,7 @@ def _run_bwd_fused(views_t, cmt, g_t, n1, out_size, bn, interpret):
             pl.BlockSpec((z, a), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
+        **_compiler_kwargs(interpret),
     )(views_t, cmt, g_t)
     return dviews, d_cmt  # (Z, A) — cmt's own layout
 
@@ -498,6 +521,7 @@ def _run_bwd_fused_t(views_t, cmt, g_t, t, n1, out_size, bn, interpret):
             pl.BlockSpec((z, a), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
+        **_compiler_kwargs(interpret),
     )(views_t, cmt, g_t, t)
     return dviews, d_cmt  # (Z, A) — cmt's own layout
 
@@ -538,6 +562,7 @@ def _run_bwd(
                 (z, a), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
+            **_compiler_kwargs(interpret),
         )(views_t, g_t)
     else:
         z_t = ot * (z // out_size)
@@ -567,6 +592,7 @@ def _run_bwd(
                 (z_t, a), lambda zt, i: (zt, 0), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
+            **_compiler_kwargs(interpret),
         )(views_t, g3)
     use_t = t is not None
     b_inputs = [views_t, cmt, g_t] + ([t] if use_t else [])
@@ -588,6 +614,7 @@ def _run_bwd(
             (n, q, bn_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
+        **_compiler_kwargs(interpret),
     )(*b_inputs)
     return dviews, d_cmt  # (Z, A) — cmt's own layout
 

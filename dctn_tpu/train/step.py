@@ -32,17 +32,20 @@ REGULARIZERS = {
 def make_fast_reg_fn(cfg: EPSesPlusLinearConfig, plans, reg_type: str):
     """Regularizer over the FAST (cmt) parameter layout. The epswise L2 is
     permutation-invariant, so it computes the EXACT reference value directly
-    on the cmt leaves; the composition regularizer needs the 10-D cores and
-    unpermutes per step (re-adding transpose cost — prefer epswise here)."""
-    from ..models.eps_plus_linear import reference_params_from_fast
+    on the cmt leaves; the composition regularizer runs the cmt-native
+    matricized recursion (``composition.inner_product_cmt``) — the old
+    unpermute-to-N-D-cores path cost 3.3 ms/step of its own backward on the
+    deep three-EPS config (tiny-trailing-dim cores tile-pad ×~128)."""
+    from ..ops import composition
 
     def reg_fn(fast):
         if reg_type == "epswise":
             return jnp.sum(fast["linear"]["w"] ** 2) + sum(
                 jnp.sum(c**2) for c in fast["epses_cmt"]
             )
-        ref = reference_params_from_fast(fast, cfg, plans)
-        return REGULARIZERS[reg_type](ref)
+        return jnp.sum(fast["linear"]["w"] ** 2) + composition.inner_product_cmt(
+            fast["epses_cmt"], plans
+        )
 
     return reg_fn
 

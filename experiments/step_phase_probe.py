@@ -44,28 +44,58 @@ def timed(call, fence, iters):
 
 
 def main():
+    import ast
+    import os
+
     bss = [int(a) for a in sys.argv[1:]] or [128, 2048]
+    specs = ast.literal_eval(os.environ.get("PROBE_SPECS", "((4,4),(3,6))"))
+    reg_name = os.environ.get("PROBE_REG", "epswise")
+    reg_coeff = float(os.environ.get("PROBE_REG_COEFF", "1e-6"))
     for bs in bss:
         cfg = EPSesPlusLinearConfig(
-            epses_specs=((4, 4), (3, 6)), image_size=28, q0=2,
+            epses_specs=specs, image_size=28, q0=2,
             train_backend="pallas", eval_backend="pallas",
         )
         key = jax.random.PRNGKey(0)
         params = init_eps_plus_linear(key, cfg)
         fast, plans = fast_params_from_reference(params, cfg)
-        reg_fn = make_fast_reg_fn(cfg, plans, "epswise")
+        reg_fn = make_fast_reg_fn(cfg, plans, reg_name)
         opt = make_optimizer("adam", 3e-3)
         x = jax.random.uniform(key, (1, bs, 28, 28, 2), jnp.float32) * 1.4
         y = jax.random.randint(key, (bs,), 0, 10)
         iters = max(16, 49152 // bs)
 
-        def loss_fn(f):
+        def loss_fn(f, with_reg=True):
             logits = eps_plus_linear_forward_fast(
                 f, x, cfg, plans, training=True, rng=jax.random.PRNGKey(1)
             )
             logp = jax.nn.log_softmax(logits, axis=1)
             ce = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
-            return ce + 1e-6 * reg_fn(f)
+            return ce + (reg_coeff * reg_fn(f) if with_reg else 0.0)
+
+        # (a0) fwd+loss WITHOUT the regularizer — isolates the reg's cost
+        fwd0 = jax.jit(lambda f: loss_fn(f, with_reg=False))
+        box0 = {}
+
+        def run_fwd0():
+            box0["l"] = fwd0(fast)
+
+        t_fwd0 = timed(run_fwd0, lambda: float(box0["l"]), iters)
+        vg0 = jax.jit(jax.value_and_grad(lambda f: loss_fn(f, with_reg=False)))
+
+        def run_vg0():
+            box0["l"], box0["g"] = vg0(fast)
+
+        t_vg0 = timed(
+            run_vg0,
+            lambda: float(box0["l"])
+            + float(jax.tree_util.tree_leaves(box0["g"])[0].ravel()[0]),
+            iters,
+        )
+        print(
+            f"bs {bs}: NO-REG fwd+loss {t_fwd0:7.3f} ms | fwd+bwd {t_vg0:7.3f} ms",
+            flush=True,
+        )
 
         # (a) forward + loss only (no saved-t write should survive DCE:
         # nothing consumes the residuals)

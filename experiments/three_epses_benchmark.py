@@ -69,9 +69,10 @@ def validate() -> dict:
 
     cfg, params = _build("pallas", None)
     plans = fast_layer_plans(cfg)  # raises FastLayoutUnavailable if gated out
-    # the middle layer must really be the o-tiled case (bf16-resident plan)
+    # record the middle layer's active d_core plan (o-tiled under the legacy
+    # 14 MB VMEM budget; untiled under the real-128-MB-VMEM default)
     mid = _dcore_plan(9, 5, 4, 12, 1024, 2)
-    assert mid is not None and mid[1] < 12, mid
+    assert mid is not None, mid
 
     cfg_x, params_x = _build("xla", None)
     fast, _ = fast_params_from_reference(params, cfg)

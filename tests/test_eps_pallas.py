@@ -96,19 +96,27 @@ def test_two_pass_backward_matches_xla(rng, monkeypatch):
 
 
 @pytest.mark.parametrize(
-    "C,Q,K,n1,O,H,W,B,want_mode",
+    "C,Q,K,n1,O,H,W,B,want_mode,budget_mb",
     [
-        (1, 4, 3, 5, 6, 10, 10, 3, "two_t"),  # flagship eps2 shape (f32 VMEM)
-        (1, 2, 4, 8, 4, 12, 12, 2, "fused_t"),  # merged-pair eps1 shape
+        # flagship eps2 shape under the legacy 16 MB-era budget → two-pass-
+        # with-t (the real-VMEM default upgrades it to fused_t; both arms
+        # must stay covered)
+        (1, 4, 3, 5, 6, 10, 10, 3, "two_t", 14),
+        (1, 4, 3, 5, 6, 10, 10, 3, "fused_t", None),  # default budget
+        (1, 2, 4, 8, 4, 12, 12, 2, "fused_t", None),  # merged-pair eps1 shape
     ],
 )
 def test_save_t_backward_matches_recompute(
-    rng, monkeypatch, C, Q, K, n1, O, H, W, B, want_mode
+    rng, monkeypatch, C, Q, K, n1, O, H, W, B, want_mode, budget_mb
 ):
     """The forward-saved-t backward (which drops the t-recompute matmul — 1
     of the backward's MXU passes) must match the recompute backward. Both the
     fused_t and the two-pass-with-t dispatch arms are pinned."""
     import dctn_tpu.pallas.eps_pallas as ep
+
+    if budget_mb is not None:
+        monkeypatch.setattr(ep, "_VMEM_BUDGET_BYTES", budget_mb << 20)
+        monkeypatch.setattr(ep, "_BN_CANDIDATES", (1024, 512, 256, 128))
 
     k1, k2 = jax.random.split(rng)
     core = jax.random.normal(k1, (Q,) * (K * K * C) + (O,), jnp.float32) * 0.1
@@ -151,10 +159,11 @@ def test_save_t_plan_gates():
         del os.environ["DCTN_TPU_SAVE_T_MAX_BYTES"]
 
 
-def test_save_t_plan_flagship_chip_mode():
+def test_save_t_plan_flagship_chip_mode(monkeypatch):
     """Pin the static plans the REAL CHIP uses (mm_dtype=bf16) for the
-    flagship two-EPS config: L1 (9,4,6) saves t and takes the
-    two-pass-with-t backward (fused_t doesn't fit VMEM at bn ≥ 256);
+    flagship two-EPS config: L1 (9,4,6) saves t and — under the real-VMEM
+    default budget — takes the FUSED single-pass saved-t backward (under
+    the legacy 16 MB-era budget it degraded to two-pass-with-t);
     L0 (merged (16,2,4) → (8,4,4)) is force_two_pass (its d_views pass is
     DCEd) so it never saves t."""
     import dctn_tpu.pallas.eps_pallas as ep
@@ -162,8 +171,13 @@ def test_save_t_plan_flagship_chip_mode():
     bf16 = jnp.bfloat16
     npad_l1 = 128 * 23 * 23  # bs 128, exact bn multiple not required here
     plan_l1 = ep._save_t_plan(9, 5, 4, 6, 512, bf16, npad_l1, False)
-    assert plan_l1 is not None and plan_l1[0] == "two_t"
+    assert plan_l1 is not None and plan_l1[0] == "fused_t"
     assert ep._save_t_plan(8, 4, 4, 4, 512, bf16, 128 * 25 * 25, True) is None
+    # legacy budget: the same layer degrades to the two-pass-with-t arm
+    monkeypatch.setattr(ep, "_VMEM_BUDGET_BYTES", 14 << 20)
+    monkeypatch.setattr(ep, "_BN_CANDIDATES", (1024, 512, 256, 128))
+    plan_legacy = ep._save_t_plan(9, 5, 4, 6, 512, bf16, npad_l1, False)
+    assert plan_legacy is not None and plan_legacy[0] == "two_t"
 
 
 def test_save_t_capped():
@@ -323,14 +337,20 @@ def test_tiled_dcore_matches_full(rng):
         np.testing.assert_allclose(outs[ot][1], outs[O][1], rtol=1e-6, atol=1e-7)
 
 
-def test_large_core_bf16_gradients(rng):
-    """End-to-end gradients through a core whose full f32 d_cmt exceeds the
-    VMEM budget — the recorded three-EPS family's (K=3, Q_in=4, O=12) middle
-    layer — on the bf16-resident plan the real backend uses (fit-gated by
-    mm_bytes=2, d_core o-tiled). bf16 tolerances vs the XLA f32 oracle."""
+def test_large_core_bf16_gradients(rng, monkeypatch):
+    """End-to-end gradients through a core whose full f32 d_cmt exceeds a
+    16 MB-era VMEM budget — the recorded three-EPS family's (K=3, Q_in=4,
+    O=12) middle layer — on the bf16-resident o-tiled plan. The default
+    budget now uses the chip's real 128 MB VMEM and runs this layer
+    untiled, so the legacy budget is forced here to keep the o-tiled
+    machinery covered (it still fires for cores ≥ ~8x this one).
+    bf16 tolerances vs the XLA f32 oracle."""
+    import dctn_tpu.pallas.eps_pallas as ep
     from dctn_tpu.pallas.eps_pallas import _dcore_plan, pallas_forward_fits
 
-    # the real plan decisions for this layer
+    monkeypatch.setattr(ep, "_VMEM_BUDGET_BYTES", 14 * 1024 * 1024)
+    monkeypatch.setattr(ep, "_BN_CANDIDATES", (1024, 512, 256, 128))
+    # the legacy-budget plan decisions for this layer
     assert not pallas_forward_fits(9, 5, 4, 12, mm_bytes=4)
     assert pallas_forward_fits(9, 5, 4, 12, mm_bytes=2)
     bn_a, ot = _dcore_plan(9, 5, 4, 12, 1024, 2)
@@ -391,7 +411,7 @@ def test_tiled_dcore_bitexact_in_bf16(rng):
         np.testing.assert_array_equal(outs[ot][1], outs[O][1])
 
 
-def test_tpu_lowering_of_tiled_dcore_backward(rng):
+def test_tpu_lowering_of_tiled_dcore_backward(rng, monkeypatch):
     """Mosaic's block-mapping legality (last-two block dims must be sublane/
     lane multiples or span the whole array) is enforced only when LOWERING
     for a real TPU target — interpret-mode tests cannot see it. r3 chip
@@ -403,8 +423,10 @@ def test_tpu_lowering_of_tiled_dcore_backward(rng):
     from jax import export as jax_export
     import dctn_tpu.pallas.eps_pallas as ep
 
-    # this layer's real (bf16-resident) chip plan must be o-tiled,
-    # otherwise the lowering below checks nothing
+    # force the 16 MB-era budget: under the real 128 MB VMEM default this
+    # layer runs untiled, and the lowering below would check nothing
+    monkeypatch.setattr(ep, "_VMEM_BUDGET_BYTES", 14 * 1024 * 1024)
+    monkeypatch.setattr(ep, "_BN_CANDIDATES", (1024, 512, 256, 128))
     _, ot = ep._dcore_plan(9, 5, 4, 12, 1024, 2)
     assert 0 < ot < 12
 

@@ -36,6 +36,41 @@ def _setup(specs=((3, 3), (2, 4)), image_size=8):
     return cfg, params, x, y
 
 
+@pytest.mark.parametrize(
+    "specs,image_size",
+    [
+        (((3, 3), (2, 4)), 8),
+        (((4, 4), (3, 12), (2, 24)), 28),  # the deep config whose reg
+        # backward cost 3.3 ms/step on the old unpermute-to-N-D path
+        (((2, 4), (2, 2), (2, 6)), 12),  # an out_size=2 mid layer → the
+        # NEXT layer merges factor pairs with a live M (M⊗M per merged leg)
+    ],
+)
+def test_inner_product_cmt_matches_reference(specs, image_size):
+    """The cmt-native composition inner product (the fast step's
+    epses_composition regularizer) equals the reference-layout recursion in
+    f64, value AND gradient (gradient compared through the exact layout
+    permutation)."""
+    from dctn_tpu.ops import composition as C
+
+    cfg, params, _, _ = _setup(specs, image_size)
+    fast, plans = fast_params_from_reference(params, cfg)
+    e64 = tuple(jnp.asarray(e, jnp.float64) for e in params["epses"])
+    c64 = tuple(c.astype(jnp.float64) for c in fast["epses_cmt"])
+    ref, g_ref = jax.value_and_grad(lambda es: C.inner_product(es, es))(e64)
+    got, g_cmt = jax.value_and_grad(lambda cs: C.inner_product_cmt(cs, plans))(
+        c64
+    )
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-12)
+    back = reference_params_from_fast(
+        {"epses_cmt": g_cmt, "linear": {}}, cfg, plans
+    )
+    for a, b in zip(back["epses"], g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-13
+        )
+
+
 def test_fast_conversion_round_trips_exactly():
     cfg, params, _, _ = _setup()
     fast, plans = fast_params_from_reference(params, cfg)
@@ -80,8 +115,12 @@ def test_fast_step_trajectory_matches_regular(reg_type, opt_name):
     np.testing.assert_allclose(
         float(m_f["loss"]), float(m_ref["loss"]), rtol=1e-6
     )
+    # the fast step's composition regularizer runs the cmt-native matricized
+    # recursion (composition.inner_product_cmt) — same math, different f32
+    # association order than the reference-layout recursion (f64 equality is
+    # pinned in test_fast_layout.py::test_inner_product_cmt_matches_reference)
     np.testing.assert_allclose(
-        float(m_f["reg_term"]), float(m_ref["reg_term"]), rtol=1e-6
+        float(m_f["reg_term"]), float(m_ref["reg_term"]), rtol=1e-5
     )
     merged = reference_params_from_fast(f, cfg, plans)
     for a, b in zip(
