@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .eps_pallas import _compiler_kwargs  # scoped-vmem lift (128 MB chip)
+
 _NEG = -1e30  # finite "-inf" for padding (keeps max-shift arithmetic NaN-free)
 
 
@@ -76,6 +78,7 @@ def _forward(log_a, log_b, block_m=128, block_n=128, interpret=False):
             (block_m, block_n), lambda i_, j_: (i_, j_), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
+        **_compiler_kwargs(interpret),
     )(a_p, b_p, amax_p, bmax_p)
     return out[:theta, :i], (amax, bmax)
 
@@ -85,8 +88,10 @@ def logmatmulexp_pallas(log_a, log_b, interpret: bool = False):
     """log(exp(log_a) @ exp(log_b)) as one fused TPU kernel.
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (for CPU
-    tests). R must fit VMEM alongside the tiles (R ≲ 8192 for f32); larger R
-    should use the jnp fallback in ``ops.logmatmulexp``.
+    tests). R must fit VMEM alongside the tiles — with the scoped-vmem
+    limit raised to the chip's real 128 MB (r3), R ≲ 65536 for f32 (two
+    (128, R) operand tiles double-buffered); larger R should use the jnp
+    fallback in ``ops.logmatmulexp``.
     """
     out, _ = _fwd(log_a, log_b, interpret)
     return out

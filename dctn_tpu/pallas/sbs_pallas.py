@@ -39,9 +39,11 @@ this many-small-leading-blocks form. The bigger blocks force 4-D
 broadcast products and U-block concatenations that lower into more Mosaic
 relayout work than the extra unrolled ops cost.
 
-Measured r2 on v5e (legacy model, 2 layers, bond 4, bs 100, fenced value
-fetches — unfenced timings on the async relay are garbage): open strings
-6.2 ms vs 16.0 XLA; trace_edge rings 23.1 ms vs 49.1 XLA (2.1×).
+Measured on v5e (legacy model, 2 layers, bond 4, long fenced windows —
+unfenced timings on the async relay are garbage), r3 post-VMEM-lift:
+open strings 2.61 ms vs 13.2 XLA at bs 100 (5.0×), 12.7 vs 78.5 at bs 512
+(6.2×); trace_edge rings 8.97 ms vs 46.2 XLA (5.2×). History in
+experiments/conv_sbs_benchmark_results.json.
 
 Capability parity: reference ``dctn/conv_sbs.py:258-304`` (forward) and its
 torch autograd (backward), re-decomposed for the TPU memory hierarchy.
@@ -58,7 +60,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+# Shared planning budget + Mosaic scoped-vmem lift (v5e VMEM is 128 MB;
+# XLA's default scoped limit is only ~16 MB — see eps_pallas.py). r2's SBS
+# plans were sized against a hardcoded 14 MB; r3 lifts them to the shared
+# budget, which raises both the support cliff in sbs_plan and the bn tile
+# candidates below (chip A/B, legacy 2-layer bond-4 step: bn 512→2048 took
+# open strings 3.50→2.61 ms at bs 100 and 17.5→12.7 ms at bs 512; the
+# trace_edge ring, bn 512→1024, went 20.1→8.97 ms).
+from .eps_pallas import _VMEM_BUDGET_BYTES, _compiler_kwargs
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +384,7 @@ def _pick_bn(olr, qc: int, npix: int) -> int:
     o_total = int(np.prod([o for o, _, _ in olr]))
     per_bn = 4 * (len(olr) * qc * 3 + 2 * rows_m + rows_state + 4 * o_total)
     cap = max(128, -(-npix // 128) * 128)
-    for bn in (512, 256, 128):
+    for bn in (2048, 1024, 512, 256, 128):
         if bn <= cap and bn * per_bn < _VMEM_BUDGET_BYTES:
             return bn
     return 128
@@ -406,6 +415,7 @@ def _conv_sbs_pallas_fwd(plan, cores_lro, views_t, interpret):
             (o_total, bn), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
+        **_compiler_kwargs(interpret),
     )(views_t, *cores_lro)
     return out, (cores_lro, views_t)
 
@@ -442,6 +452,7 @@ def _conv_sbs_pallas_bwd(plan, interpret, res, g):
             ]
         ),
         interpret=interpret,
+        **_compiler_kwargs(interpret),
     )(views_t, *cores_lro, g)
     dviews, dcores = outs[0], tuple(outs[1:])
     return dcores, dviews

@@ -3,9 +3,10 @@ kernels vs the XLA chain-fold path, on the VERDICT-prescribed config
 (num_sbs_layers=2, bond_dim_size=4). Appends JSON results like the
 reference's micro-benchmark results.json files.
 
-Measured r2 on one v5e chip (recorded in conv_sbs_benchmark_results.json):
-xla 6.1k/6.3k img/s (bs 100/512, ~14 GB HBM per step — bandwidth-bound),
-pallas 13.9k/23.1k img/s (2.3×/3.7×).
+Measured on one v5e chip (recorded in conv_sbs_benchmark_results.json),
+r3 post VMEM-budget lift: xla 7.6k/6.5k img/s (bs 100/512, ~14 GB HBM per
+step — bandwidth-bound), pallas 38.4k/40.2k img/s (5.0×/6.2×); trace_edge
+ring 11.1k vs 2.2k (5.2×).
 """
 
 import json
