@@ -90,10 +90,26 @@ def measure_tpu(batch_size: int, steps: int, compute_dtype: str, backend: str):
         # per-step 10-D transposes (~3.2 ms, batch-independent) vanish —
         # trajectory-exact vs the reference layout (tests/test_fast_layout.py).
         # compute_dtype plumbs through as the kernels' mm_dtype (r3).
-        from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
+        from dctn_tpu.models.eps_plus_linear import (
+            fast_layer_plans,
+            fast_params_from_reference,
+        )
         from dctn_tpu.train.step import make_fast_train_step
 
-        params, plans = fast_params_from_reference(params, cfg)
+        # Autotuned matmul splits (train/autotune.py, measured on this
+        # config: experiments/autotune_probe_results.json): (10, 6) beats
+        # the analytic model's (8, 5) by ~4%/2.5% full-step at bs 128/2048
+        # (29.3k/29.7k img/s). Exact — splits only re-matricize the cores;
+        # any training run gets the same via --autotune-splits. Opt out
+        # with BENCH_DEFAULT_SPLITS=1.
+        plans = fast_layer_plans(cfg)
+        if not int(os.environ.get("BENCH_DEFAULT_SPLITS", "0")):
+            tuned = {(4, 4): 10, (3, 6): 6}
+            plans = tuple(
+                {**p, "n1": tuned.get((p["kernel_size"], p["out_size"]), p["n1"])}
+                for p in plans
+            )
+        params, plans = fast_params_from_reference(params, cfg, plans=plans)
         step = make_fast_train_step(cfg, opt, plans, "epswise", 1e-6, donate=True)
     else:
         step = make_train_step(cfg, opt, "epswise", 1e-6, donate=True)

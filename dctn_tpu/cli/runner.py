@@ -278,6 +278,12 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
                    "layer, composable with --mesh-devices as the data axis — "
                    "for inputs whose activations exceed one chip's HBM "
                    "(parallel/spatial_parallel.py)")
+@click.option("--autotune-splits/--no-autotune-splits", default=False,
+              help="measure the top matmul-split (n1) candidates per EPS "
+                   "layer on the device at startup and train with the "
+                   "fastest instead of the analytic cost model's pick "
+                   "(train/autotune.py; exact — splits only re-matricize "
+                   "the same cores, and resume auto-converts)")
 @click.option("--resume-from", type=click.Path(exists=True, dir_okay=False),
               default=None,
               help="resume params+optimizer+step from a train_state .npz "
@@ -499,6 +505,29 @@ def run(**kwargs) -> TrainLoopState:
                 "fast (cmt) parameter layout unavailable (%s); using the "
                 "reference layout", e,
             )
+    if use_fast and kwargs["autotune_splits"]:
+        from ..train.autotune import autotune_splits
+
+        # per-device microbatch — the pixel count sets bn / saved-t, which
+        # can flip which split measures fastest
+        micro_bs = max(1, kwargs["batch_size"] // max(1, n_mesh))
+        if isinstance(kwargs["grad_accum_steps"], int):
+            micro_bs = max(1, micro_bs // max(1, kwargs["grad_accum_steps"]))
+        k0 = cfg.epses_specs[0][0]
+        in_ch = (params["epses"][0].ndim - 1) // (k0 * k0)
+        tuned_plans, autotune_report = autotune_splits(
+            cfg, micro_bs, in_ch,
+            reg_type=kwargs["reg_type"], reg_coeff=kwargs["reg_coeff"],
+            log_fn=logger.info, seed=kwargs["seed"],
+        )
+        if tuple(p["n1"] for p in tuned_plans) != tuple(
+            p["n1"] for p in fast_plans
+        ):
+            params_fast, fast_plans = fast_params_from_reference(
+                params, cfg, plans=tuned_plans
+            )
+        with open(os.path.join(output_dir, "autotune_report.json"), "w") as f:
+            json.dump(autotune_report, f, indent=1)
     if isinstance(kwargs["grad_accum_steps"], str):  # 'auto'
         kwargs["grad_accum_steps"] = _resolve_auto_grad_accum(
             cfg, fast_plans if use_fast else None,
@@ -825,8 +854,10 @@ def run(**kwargs) -> TrainLoopState:
                 t_params = ref_template
                 to_ref = lambda t: t  # noqa: E731
             if params_layout_fast:
+                # target the CURRENT plans (they may differ from the
+                # default splits under --autotune-splits)
                 convert = lambda t: fast_params_from_reference(  # noqa: E731
-                    to_ref(t), cfg
+                    to_ref(t), cfg, plans=fast_plans
                 )[0]
             else:
                 convert = to_ref

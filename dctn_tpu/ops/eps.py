@@ -115,18 +115,29 @@ def _balanced_split(n: int, q: int, out_size: int) -> int:
     model chose.
     """
     merge_pairs = q == 2 and n % 2 == 0
+    candidates = split_candidates(n, q)
+    return min(candidates, key=lambda n1: (_split_cost(n, q, out_size, n1), n1))
 
-    def cost(n1: int) -> float:
-        a, b = q**n1, q ** (n - n1)
-        pad_a = -(-a // 128) * 128
-        mxu = 2 * pad_a * b * out_size
-        vpu = 4.0 / 3.0 * (a + b) + out_size * b + a
-        return mxu + _VPU_MXU_RATIO * vpu
 
-    candidates = [
+def _split_cost(n: int, q: int, out_size: int, n1: int) -> float:
+    """The analytic per-pixel cost model behind ``_balanced_split`` (also
+    the candidate ranking for the empirical split autotuner,
+    train/autotune.py)."""
+    a, b = q**n1, q ** (n - n1)
+    pad_a = -(-a // 128) * 128
+    mxu = 2 * pad_a * b * out_size
+    vpu = 4.0 / 3.0 * (a + b) + out_size * b + a
+    return mxu + _VPU_MXU_RATIO * vpu
+
+
+def split_candidates(n: int, q: int) -> list:
+    """Legal matmul splits for an n-factor EPS layer: every 1 ≤ n1 ≤ n,
+    restricted to even values when the Pallas plan will merge factor pairs
+    (q == 2, even n) so the post-merge nudge cannot change the pick."""
+    merge_pairs = q == 2 and n % 2 == 0
+    return [
         n1 for n1 in range(1, n + 1) if not (merge_pairs and n1 % 2)
     ] or list(range(1, n + 1))
-    return min(candidates, key=lambda n1: (cost(n1), n1))
 
 
 def _kr_prefixes_t(factors_t: Sequence[jax.Array]):

@@ -1,0 +1,282 @@
+"""Empirical on-device autotuning of the fast-layout matmul split (n1).
+
+Each EPS layer's Pallas kernels stage the window contraction as
+``u(Q^n1) @ cmt`` — the split n1 fixes the MXU contracting dim, the VPU
+Khatri-Rao chain lengths, AND the stored (Z, A) cmt parameter shape.
+``ops.eps._balanced_split`` picks n1 from an analytic cost model; the model
+has been measured wrong before (r3: it inherited a (K=2, Q=12, O=24) layer
+at a=144 — MXU-padded to 256, 60.6 TF/s — from the earlier rule; the fix
+tripled that layer's arithmetic intensity). A model is still a model:
+``autotune_splits`` replaces the ranking with MEASUREMENT — the top
+candidates are compiled and timed as jitted fwd+bwd programs on the actual
+device at the actual pixel count, and the fastest becomes the plan.
+
+Why this is safe to flip per run: split changes are mathematically exact
+(the cmt layout is a bijective matricization of the same core —
+tests/test_fast_layout.py pins trajectory equality across splits), train
+states tag their splits (``eps_splits``), and the runner auto-converts on
+resume. So tuned runs interoperate with default runs and old checkpoints.
+
+Measurement rules (docs/performance.md): each candidate is timed with
+fenced value-fetch windows auto-extended to ≥1 s of device time
+(utils/benchmark._timed_window), so the fixed ~28 ms per-window relay cost
+and the async-dispatch pipeline cannot skew the ranking.
+
+No reference analog: the reference caches opt_einsum contraction paths
+(``dctn/contraction_path_cache.py``) but never measures alternatives; on
+TPU the measured ranking is the standard way hot-kernel parameters are
+chosen (XLA's own autotuner does the same for GEMM tilings).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import eps as eps_mod
+from ..utils.benchmark import _timed_window
+
+
+def _layer_dims(cfg, in_channels: int = 1):
+    """Per-layer (c, q, h, w, kernel_size, out_size) chain — independent of
+    any split choice, so layers tune independently."""
+    c, q, h, w = in_channels, cfg.q0, cfg.image_size, cfg.image_size
+    dims = []
+    for kernel_size, out_size in cfg.epses_specs:
+        dims.append((c, q, h, w, kernel_size, out_size))
+        h, w = h - kernel_size + 1, w - kernel_size + 1
+        c, q = 1, out_size
+    return dims
+
+
+def candidate_splits(
+    n: int, q: int, out_size: int, mm_bytes: int, max_candidates: int
+) -> list:
+    """Feasible splits ranked by the analytic cost model, truncated to the
+    ``max_candidates`` cheapest (the model is trusted to rank the tail —
+    only the head is worth compile time)."""
+    from ..pallas.eps_pallas import pallas_forward_fits
+
+    legal = [
+        n1
+        for n1 in eps_mod.split_candidates(n, q)
+        if pallas_forward_fits(n, n1, q, out_size, mm_bytes=mm_bytes)
+    ]
+    legal.sort(key=lambda n1: (eps_mod._split_cost(n, q, out_size, n1), n1))
+    return legal[:max_candidates]
+
+
+def _measure_candidate(
+    c, q, h, w, kernel_size, out_size, n1, batch_size, compute_dtype,
+    interpret, is_first_layer, key,
+):
+    """fwd+bwd ms/step of one layer at one split, synthetic operands (no
+    data-dependent control flow in the kernels — values cannot change the
+    timing, only shapes do)."""
+    from ..pallas.eps_pallas import (
+        _kernel_dims,
+        eps_pallas_apply_t_cmt,
+        plan_pallas_call,
+    )
+
+    hp, wp = h - kernel_size + 1, w - kernel_size + 1
+    npix = batch_size * hp * wp
+    n1_r, bn, merge_pairs, mm_dtype = plan_pallas_call(
+        c, q, kernel_size, n1, out_size, npix, compute_dtype, interpret
+    )
+    assert n1_r == n1  # candidates respect merge evenness by construction
+    n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
+    a = q_k**n1_k
+    z = out_size * q_k ** (n_k - n1_k)
+    k1, k2 = jax.random.split(key)
+    cmt = jax.random.normal(k1, (z, a), jnp.float32) * a**-0.5
+    xT = jax.random.uniform(k2, (c, q, h, w, batch_size), jnp.float32)
+    args = (
+        out_size, kernel_size, n1, bn, interpret, mm_dtype, merge_pairs,
+        is_first_layer,
+    )
+
+    def loss(cmt_, xT_):
+        return jnp.sum(eps_pallas_apply_t_cmt(cmt_, xT_, *args))
+
+    step = jax.jit(jax.value_and_grad(loss))
+    box = {}
+
+    def call():
+        box["v"], box["g"] = step(cmt, xT)
+        return box["v"]
+
+    call()  # compile
+    float(box["v"])  # fence the warmup
+    if interpret:  # CPU tests: the ranking is meaningless — one raw window
+        t0 = time.perf_counter()
+        for _ in range(2):
+            call()
+        float(box["v"])
+        return (time.perf_counter() - t0) / 2 * 1e3
+    iters, best = 32, float("inf")
+    for _ in range(2):
+        s_per_iter, iters = _timed_window(call, iters)
+        best = min(best, s_per_iter)
+    return best * 1e3
+
+
+def _measure_reg_marginal(cfg, plans, layer: int, n1: int, interpret, key):
+    """fwd+bwd ms of the composition regularizer with layer ``layer``'s
+    split set to ``n1`` (defaults elsewhere). The epses_composition
+    recursion absorbs Kronecker powers of the inter-layer Gram matrix whose
+    size is q^(2·n1·m) — the regularizer's cost COUPLES to the kernel split
+    (measured: an n1 one step larger on the deep config's K=3 layer made
+    the kron matrix 64 MB and DOUBLED the full step), so candidates must be
+    charged for it. Cross-layer terms don't depend on this layer's split
+    (the recursion passes (O, O) Gram VALUES between layers), so the
+    per-layer marginal is the right charge for a per-layer argmin."""
+    from ..ops.composition import inner_product_cmt
+    from ..pallas.eps_pallas import _kernel_dims
+
+    trial = tuple(
+        {**p, "n1": n1} if j == layer else p for j, p in enumerate(plans)
+    )
+    cmts = []
+    for p in trial:
+        n_k, q_k, n1_k = _kernel_dims(
+            p["c"], p["q"], p["kernel_size"], p["n1"], p["merge_pairs"]
+        )
+        a = q_k**n1_k
+        key, sub = jax.random.split(key)
+        cmts.append(
+            jax.random.normal(
+                sub, (p["out_size"] * q_k ** (n_k - n1_k), a), jnp.float32
+            )
+            * a**-0.5
+        )
+    cmts = tuple(cmts)
+    fn = jax.jit(jax.value_and_grad(lambda cs: inner_product_cmt(cs, trial)))
+    box = {}
+
+    def call():
+        box["v"], box["g"] = fn(cmts)
+        return box["v"]
+
+    call()
+    float(box["v"])
+    if interpret:
+        t0 = time.perf_counter()
+        for _ in range(2):
+            call()
+        float(box["v"])
+        return (time.perf_counter() - t0) / 2 * 1e3
+    iters, best = 64, float("inf")
+    for _ in range(2):
+        s_per_iter, iters = _timed_window(call, iters)
+        best = min(best, s_per_iter)
+    return best * 1e3
+
+
+def autotune_splits(
+    cfg,
+    batch_size: int,
+    in_channels: int = 1,
+    *,
+    max_candidates: int = 3,
+    reg_type: str = "epswise",
+    reg_coeff: float = 0.0,
+    log_fn: Optional[Callable[[str], None]] = None,
+    seed: int = 0,
+):
+    """Measure-and-pick n1 per EPS layer. Returns (plans, report): ``plans``
+    in the ``fast_layer_plans`` format with each layer's n1 replaced by the
+    measured winner, ``report`` one dict per layer with all candidate
+    timings. ``batch_size`` is the PER-DEVICE microbatch the step will run
+    (grad-accum/mesh-sharded runs should pass the sharded size — the pixel
+    count changes bn and the saved-t decision, hence possibly the winner).
+
+    When the run trains with the epses_composition regularizer, each
+    candidate is charged its marginal regularizer cost too (see
+    ``_measure_reg_marginal`` — the split-coupled kron sizes there can
+    dwarf a kernel-side win).
+
+    Raises FastLayoutUnavailable (from fast_layer_plans) if the model has no
+    fast layout to tune.
+    """
+    from ..models.eps_plus_linear import fast_layer_plans
+    from ..pallas.eps_pallas import _resolve_mm_dtype
+
+    log = log_fn or (lambda s: None)
+    interpret = cfg.train_backend == "pallas_interpret"
+    base_plans = fast_layer_plans(cfg, in_channels)
+    mm_bytes = _resolve_mm_dtype(cfg.compute_dtype, interpret).itemsize
+    charge_reg = reg_type == "epses_composition" and reg_coeff != 0.0
+    key = jax.random.PRNGKey(seed)
+    plans, report = [], []
+    for i, ((c, q, h, w, kernel_size, out_size), base) in enumerate(
+        zip(_layer_dims(cfg, in_channels), base_plans)
+    ):
+        n = kernel_size**2 * c
+        cands = candidate_splits(n, q, out_size, mm_bytes, max_candidates)
+        assert base["n1"] in cands, (base["n1"], cands)  # model pick is rank-1
+        rows = []
+        for n1 in cands:
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            try:
+                ms = _measure_candidate(
+                    c, q, h, w, kernel_size, out_size, n1, batch_size,
+                    cfg.compute_dtype, interpret, i == 0, sub,
+                )
+                row = {"n1": n1, "ms": ms}
+                if charge_reg:
+                    key, sub = jax.random.split(key)
+                    row["reg_ms"] = _measure_reg_marginal(
+                        cfg, base_plans, i, n1, interpret, sub
+                    )
+                    row["ms"] = ms + row["reg_ms"]
+                    row["kernel_ms"] = ms
+            except Exception as e:  # infeasible candidate (e.g. a split
+                # whose composition-reg kron intermediate exceeds HBM —
+                # measured: L2 of the deep config at n1=4 wants an 18 GB
+                # reshape). The default plan compiling is the runner's
+                # precondition, so losing non-default candidates is safe.
+                if n1 == base["n1"]:
+                    raise
+                row = {"n1": n1, "failed": type(e).__name__}
+                log(
+                    f"autotune L{i} n1={n1}: candidate failed to "
+                    f"compile/run ({type(e).__name__}) — skipped"
+                )
+                rows.append(row)
+                continue
+            rows.append(row)
+            log(
+                f"autotune L{i} (K={kernel_size}, Q={q}->O={out_size}) "
+                f"n1={n1}: {row['ms']:.3f} ms fwd+bwd"
+                + (f" (reg {row['reg_ms']:.3f})" if charge_reg else "")
+                + f" (compile+measure {time.perf_counter() - t0:.0f}s)"
+            )
+        ok_rows = [r for r in rows if "ms" in r]
+        winner = min(ok_rows, key=lambda r: r["ms"])
+        log(
+            f"autotune L{i}: picked n1={winner['n1']} "
+            f"(model pick {base['n1']}"
+            + (
+                ")"
+                if winner["n1"] == base["n1"]
+                else f", {ok_rows[0]['ms'] / winner['ms']:.2f}x over rank-1)"
+            )
+        )
+        plans.append({**base, "n1": winner["n1"]})
+        report.append(
+            {
+                "layer": i,
+                "kernel_size": kernel_size,
+                "q": q,
+                "out_size": out_size,
+                "candidates": rows,
+                "picked_n1": winner["n1"],
+                "model_n1": base["n1"],
+            }
+        )
+    return tuple(plans), report

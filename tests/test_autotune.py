@@ -1,0 +1,203 @@
+"""Empirical split autotuner (train/autotune.py): plan legality, trajectory
+exactness across split changes, and the runner flag end-to-end. Interpret
+mode on CPU — the measured ranking is meaningless here, so the tests pin
+structure and math, never which candidate wins."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dctn_tpu.models import EPSesPlusLinearConfig, init_eps_plus_linear
+from dctn_tpu.models.eps_plus_linear import (
+    fast_layer_plans,
+    fast_params_from_reference,
+    reference_params_from_fast,
+)
+from dctn_tpu.ops import eps as eps_mod
+from dctn_tpu.train import make_optimizer
+from dctn_tpu.train.autotune import autotune_splits, candidate_splits
+from dctn_tpu.train.step import make_fast_train_step
+
+
+def _cfg(specs=((3, 3), (2, 4)), image_size=8):
+    return EPSesPlusLinearConfig(
+        epses_specs=specs, image_size=image_size, q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+    )
+
+
+def test_candidate_splits_legal_and_ranked():
+    # q=2, even n -> merge_pairs: only even splits are candidates
+    cands = candidate_splits(4, 2, 4, mm_bytes=4, max_candidates=16)
+    assert cands and all(n1 % 2 == 0 for n1 in cands)
+    # rank-1 is the analytic model's pick
+    assert cands[0] == eps_mod._balanced_split(4, 2, 4)
+    # odd n: all splits legal
+    cands9 = candidate_splits(9, 2, 3, mm_bytes=4, max_candidates=16)
+    assert any(n1 % 2 == 1 for n1 in cands9)
+    assert cands9[0] == eps_mod._balanced_split(9, 2, 3)
+    # truncation keeps the head
+    assert candidate_splits(9, 2, 3, 4, 2) == cands9[:2]
+
+
+def test_autotune_returns_legal_plans():
+    cfg = _cfg()
+    plans, report = autotune_splits(cfg, 8, max_candidates=2)
+    base = fast_layer_plans(cfg)
+    assert len(plans) == len(base) == len(report)
+    for p, b, r in zip(plans, base, report):
+        assert p["kernel_size"] == b["kernel_size"]
+        assert p["core_shape"] == b["core_shape"]
+        n = p["kernel_size"] ** 2 * p["c"]
+        assert p["n1"] in eps_mod.split_candidates(n, p["q"])
+        assert r["model_n1"] == b["n1"]
+        assert r["picked_n1"] == p["n1"]
+        assert {row["n1"] for row in r["candidates"]} >= {b["n1"]}
+        assert all(row["ms"] > 0 for row in r["candidates"])
+        # the picked candidate is the measured minimum
+        assert r["picked_n1"] == min(r["candidates"], key=lambda x: x["ms"])["n1"]
+
+
+def test_autotune_charges_composition_reg():
+    """With the epses_composition regularizer active, every candidate row
+    carries its marginal reg cost and the ranking key is kernel + reg (the
+    measured kron-size coupling — a kernel-faster split can lose)."""
+    cfg = _cfg()
+    plans, report = autotune_splits(
+        cfg, 8, max_candidates=2,
+        reg_type="epses_composition", reg_coeff=1e-2,
+    )
+    for r in report:
+        for row in r["candidates"]:
+            assert row["reg_ms"] > 0 and row["kernel_ms"] > 0
+            assert row["ms"] == pytest.approx(
+                row["kernel_ms"] + row["reg_ms"]
+            )
+        assert r["picked_n1"] == min(
+            r["candidates"], key=lambda x: x["ms"]
+        )["n1"]
+    # epswise runs charge nothing extra
+    _, report_w = autotune_splits(
+        cfg, 8, max_candidates=1, reg_type="epswise", reg_coeff=1e-2
+    )
+    assert all(
+        "reg_ms" not in row
+        for r in report_w
+        for row in r["candidates"]
+    )
+
+
+def test_autotune_skips_failing_candidates(monkeypatch):
+    """An infeasible non-default candidate (on chip: e.g. a composition-reg
+    kron intermediate exceeding HBM) is recorded as failed and excluded;
+    the default plan failing re-raises."""
+    import dctn_tpu.train.autotune as at
+
+    cfg = _cfg(specs=((3, 3),), image_size=8)
+    base_n1 = fast_layer_plans(cfg)[0]["n1"]
+    real = at._measure_candidate
+
+    def flaky(c, q, h, w, k, o, n1, *a, **kw):
+        if n1 != base_n1:
+            raise RuntimeError("synthetic compile failure")
+        return real(c, q, h, w, k, o, n1, *a, **kw)
+
+    monkeypatch.setattr(at, "_measure_candidate", flaky)
+    plans, report = autotune_splits(cfg, 8, max_candidates=3)
+    assert plans[0]["n1"] == base_n1
+    failed = [r for r in report[0]["candidates"] if "failed" in r]
+    assert failed and all(f["failed"] == "RuntimeError" for f in failed)
+
+    def always_fail(*a, **kw):
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(at, "_measure_candidate", always_fail)
+    with pytest.raises(RuntimeError):
+        autotune_splits(cfg, 8, max_candidates=2)
+
+
+def test_nondefault_split_trajectory_matches_default():
+    """A tuned (non-default) split re-matricizes the same cores — the
+    training trajectory must match the default-split fast step (and hence
+    the reference layout, pinned in test_fast_layout) to f32 roundoff."""
+    cfg = _cfg()
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    base = fast_layer_plans(cfg)
+    # force a different legal split on every layer that has one
+    tuned = []
+    for p in base:
+        n = p["kernel_size"] ** 2 * p["c"]
+        alts = [c for c in eps_mod.split_candidates(n, p["q"]) if c != p["n1"]]
+        tuned.append({**p, "n1": alts[0]} if alts else p)
+    tuned = tuple(tuned)
+    assert tuple(p["n1"] for p in tuned) != tuple(p["n1"] for p in base)
+
+    opt = make_optimizer("adam", 3e-3)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 8, 2), jnp.float32)
+    y = jnp.asarray(np.arange(8) % 10)
+
+    results = []
+    for plans in (base, tuned):
+        fast, _ = fast_params_from_reference(params, cfg, plans=plans)
+        step = make_fast_train_step(
+            cfg, opt, plans, "epses_composition", 1e-2, donate=False
+        )
+        opt_state = opt.init(fast)
+        losses = []
+        for i in range(3):
+            fast, opt_state, m = step(
+                fast, opt_state, jax.random.PRNGKey(10 + i), x, y
+            )
+            losses.append(float(m["loss"]))
+        results.append((losses, reference_params_from_fast(fast, cfg, plans)))
+
+    (l_base, p_base), (l_tuned, p_tuned) = results
+    np.testing.assert_allclose(l_tuned, l_base, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_tuned), jax.tree_util.tree_leaves(p_base)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        )
+
+
+def test_runner_autotune_splits(tmp_path):
+    """--autotune-splits end-to-end: training runs on the tuned plans, the
+    report lands in the run dir, and checkpoints stay reference-layout."""
+    from dctn_tpu.cli.runner import run
+
+    state = run(
+        experiments_dir=str(tmp_path),
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4), (2, 4)),
+        batch_size=32,
+        optimizer_name="adam",
+        lr=3e-3,
+        train_backend="pallas_interpret",
+        eval_backend="pallas_interpret",
+        autotune_splits=True,
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=20,
+        keep_last_models=1,
+        synthetic_sizes=(128, 64, 64),
+        patience=50,
+        reg_coeff=1e-6,
+    )
+    assert state.stop_reason == "max_iters"
+    out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    with open(os.path.join(out, "autotune_report.json")) as f:
+        report = json.load(f)
+    assert len(report) == 2
+    assert all("picked_n1" in r and r["candidates"] for r in report)
+    log = open(os.path.join(out, "log.log")).read()
+    assert "autotune L0" in log and "picked n1=" in log
+    from dctn_tpu.viz import load_records
+
+    records = load_records(os.path.join(out, "log.log"))
+    assert records[-1].trmce < records[0].trmce
