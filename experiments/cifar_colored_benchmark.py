@@ -79,8 +79,11 @@ def main() -> None:
         os.path.dirname(__file__), "cifar_colored_benchmark_results.json"
     )
     existing = json.load(open(out)) if os.path.exists(out) else []
+    # merge by key so re-runs refresh rows instead of duplicating them
+    keyf = lambda r: (r["kind"], r["backend"], r["batch_size"])
+    merged = {keyf(r): r for r in existing + results}
     with open(out, "w") as f:
-        json.dump(existing + results, f, indent=1)
+        json.dump(list(merged.values()), f, indent=1)
 
 
 if __name__ == "__main__":

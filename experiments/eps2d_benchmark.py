@@ -40,8 +40,11 @@ def main() -> None:
             results.append(r)
     out = os.path.join(os.path.dirname(__file__), "eps2d_benchmark_results.json")
     existing = json.load(open(out)) if os.path.exists(out) else []
+    # merge by key so re-runs refresh rows instead of duplicating them
+    keyf = lambda r: (r["kind"], r["batch_size"], r["split"], r["custom_vjp"])
+    merged = {keyf(r): r for r in existing + results}
     with open(out, "w") as f:
-        json.dump(existing + results, f, indent=1)
+        json.dump(list(merged.values()), f, indent=1)
 
 
 if __name__ == "__main__":
