@@ -505,6 +505,11 @@ def run(**kwargs) -> TrainLoopState:
                 "fast (cmt) parameter layout unavailable (%s); using the "
                 "reference layout", e,
             )
+    if kwargs["autotune_splits"] and not use_fast:
+        logger.warning(
+            "--autotune-splits ignored: the fast (cmt) layout is not in "
+            "use (it requires the Pallas backend and no tp_shard_all)"
+        )
     if use_fast and kwargs["autotune_splits"]:
         from ..train.autotune import autotune_splits
 

@@ -184,6 +184,7 @@ def autotune_splits(
     max_candidates: int = 3,
     reg_type: str = "epswise",
     reg_coeff: float = 0.0,
+    min_gain: float = 0.02,
     log_fn: Optional[Callable[[str], None]] = None,
     seed: int = 0,
 ):
@@ -258,13 +259,29 @@ def autotune_splits(
             )
         ok_rows = [r for r in rows if "ms" in r]
         winner = min(ok_rows, key=lambda r: r["ms"])
+        default_row = next(r for r in ok_rows if r["n1"] == base["n1"])
+        if (
+            winner["n1"] != base["n1"]
+            and default_row["ms"] / winner["ms"] < 1.0 + min_gain
+        ):
+            # within the noise margin: keep the model pick — deviating
+            # changes the stored cmt layout (resume conversion churn) for
+            # no demonstrated benefit (observed run-to-run spread on
+            # sub-ms layers is a few %)
+            log(
+                f"autotune L{i}: n1={winner['n1']} only "
+                f"{default_row['ms'] / winner['ms']:.3f}x over the model "
+                f"pick (< {1 + min_gain:.2f}x margin) — keeping "
+                f"n1={base['n1']}"
+            )
+            winner = default_row
         log(
             f"autotune L{i}: picked n1={winner['n1']} "
             f"(model pick {base['n1']}"
             + (
                 ")"
                 if winner["n1"] == base["n1"]
-                else f", {ok_rows[0]['ms'] / winner['ms']:.2f}x over rank-1)"
+                else f", {default_row['ms'] / winner['ms']:.2f}x over model pick)"
             )
         )
         plans.append({**base, "n1": winner["n1"]})

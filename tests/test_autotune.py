@@ -46,7 +46,7 @@ def test_candidate_splits_legal_and_ranked():
 
 def test_autotune_returns_legal_plans():
     cfg = _cfg()
-    plans, report = autotune_splits(cfg, 8, max_candidates=2)
+    plans, report = autotune_splits(cfg, 8, max_candidates=2, min_gain=0.0)
     base = fast_layer_plans(cfg)
     assert len(plans) == len(base) == len(report)
     for p, b, r in zip(plans, base, report):
@@ -68,7 +68,7 @@ def test_autotune_charges_composition_reg():
     measured kron-size coupling — a kernel-faster split can lose)."""
     cfg = _cfg()
     plans, report = autotune_splits(
-        cfg, 8, max_candidates=2,
+        cfg, 8, max_candidates=2, min_gain=0.0,
         reg_type="epses_composition", reg_coeff=1e-2,
     )
     for r in report:
