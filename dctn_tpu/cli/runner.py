@@ -514,10 +514,21 @@ def run(**kwargs) -> TrainLoopState:
         from ..train.autotune import autotune_splits
 
         # per-device microbatch — the pixel count sets bn / saved-t, which
-        # can flip which split measures fastest
+        # can flip which split measures fastest. 'auto' accumulation is
+        # pre-resolved here against the DEFAULT plans (and re-resolved
+        # below against the tuned ones) so the tuner times the microbatch
+        # the step will actually run.
         micro_bs = max(1, kwargs["batch_size"] // max(1, n_mesh))
-        if isinstance(kwargs["grad_accum_steps"], int):
-            micro_bs = max(1, micro_bs // max(1, kwargs["grad_accum_steps"]))
+        ga = kwargs["grad_accum_steps"]
+        if ga == "auto":
+            ga = _resolve_auto_grad_accum(cfg, fast_plans, micro_bs)
+        micro_bs = max(1, micro_bs // max(1, ga))
+        if n_space > 1 or n_model > 1:
+            logger.warning(
+                "--autotune-splits measures unsharded layer shapes; under "
+                "--space-devices/--model-devices the per-device shapes "
+                "differ — treat the picks as approximate"
+            )
         k0 = cfg.epses_specs[0][0]
         in_ch = (params["epses"][0].ndim - 1) // (k0 * k0)
         tuned_plans, autotune_report = autotune_splits(

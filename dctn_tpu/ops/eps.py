@@ -114,7 +114,6 @@ def _balanced_split(n: int, q: int, out_size: int) -> int:
     skipped so the post-merge nudge cannot land on a worse split than the
     model chose.
     """
-    merge_pairs = q == 2 and n % 2 == 0
     candidates = split_candidates(n, q)
     return min(candidates, key=lambda n1: (_split_cost(n, q, out_size, n1), n1))
 
@@ -135,9 +134,9 @@ def split_candidates(n: int, q: int) -> list:
     restricted to even values when the Pallas plan will merge factor pairs
     (q == 2, even n) so the post-merge nudge cannot change the pick."""
     merge_pairs = q == 2 and n % 2 == 0
-    return [
-        n1 for n1 in range(1, n + 1) if not (merge_pairs and n1 % 2)
-    ] or list(range(1, n + 1))
+    out = [n1 for n1 in range(1, n + 1) if not (merge_pairs and n1 % 2)]
+    assert out  # merge_pairs requires even n ≥ 2, so n itself qualifies
+    return out
 
 
 def _kr_prefixes_t(factors_t: Sequence[jax.Array]):

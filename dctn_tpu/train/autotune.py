@@ -102,7 +102,13 @@ def _measure_candidate(
     def loss(cmt_, xT_):
         return jnp.sum(eps_pallas_apply_t_cmt(cmt_, xT_, *args))
 
-    step = jax.jit(jax.value_and_grad(loss))
+    # differentiate w.r.t. the INPUT too for non-first layers: with
+    # argnums=0 alone XLA dead-code-eliminates the separate d_views
+    # pallas_call on the two-pass/two_t backward arms (the production step
+    # relies on exactly that DCE — but only for layer 0), so those
+    # candidates would time without a pass training actually pays for
+    argnums = 0 if is_first_layer else (0, 1)
+    step = jax.jit(jax.value_and_grad(loss, argnums=argnums))
     box = {}
 
     def call():

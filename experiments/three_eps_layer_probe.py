@@ -90,7 +90,12 @@ def main():
             return jnp.sum(eps_pallas_apply_t_cmt(cmt_, xT_, *_a))
 
         jf = jax.jit(fwd_loss)
-        jg = jax.jit(jax.value_and_grad(fwd_loss))
+        # grad w.r.t. the input too for i>0 — otherwise XLA DCEs the
+        # separate d_views pallas_call on the two-pass/two_t arms and the
+        # bwd_passes accounting below would credit a pass that never ran
+        jg = jax.jit(
+            jax.value_and_grad(fwd_loss, argnums=0 if i == 0 else (0, 1))
+        )
         box = {}
         iters = max(16, int(3.5e6 // gflop_pass) if gflop_pass else 64)
         iters = min(iters, 768)
@@ -104,7 +109,8 @@ def main():
         t_f = timed(run_f, lambda: float(box["l"]), iters)
         t_g = timed(
             run_g,
-            lambda: float(box["l"]) + float(box["g"].ravel()[0]),
+            lambda: float(box["l"])
+            + float(jax.tree_util.tree_leaves(box["g"])[0].ravel()[0]),
             iters,
         )
         tf_f = gflop_pass / t_f  # GF / ms = TF/s
