@@ -52,11 +52,13 @@ def export_forward(
     channels: int = 1,
     platforms: Optional[Sequence[str]] = None,
     in_dtype=jnp.float32,
+    splits=None,
 ) -> Dict[int, bytes]:
     """Serialize the serving forward (weights baked in as constants) for each
     batch size. Static batch shapes — symbolic dims would disqualify the
-    Mosaic kernels — so export every batch size the server will use."""
-    fparams, forward_fn = _resolve_forward(params, cfg)
+    Mosaic kernels — so export every batch size the server will use.
+    ``splits``: optional per-layer matmul splits (see _resolve_forward)."""
+    fparams, forward_fn = _resolve_forward(params, cfg, splits)
     serialized: Dict[int, bytes] = {}
     for bs in batch_sizes:
         fn = jax.jit(lambda xb: forward_fn(fparams, xb))
@@ -79,6 +81,7 @@ def export_sharded_forward(
     channels: int = 1,
     platforms: Optional[Sequence[str]] = None,
     in_dtype=jnp.float32,
+    splits=None,
 ) -> bytes:
     """Multi-chip serving export: one entry point taking the GLOBAL batch,
     data-sharded over a ``mesh_devices``-device mesh (weights baked in and
@@ -96,7 +99,7 @@ def export_sharded_forward(
             f"mesh_devices={mesh_devices}"
         )
     mesh = make_mesh(mesh_devices)
-    fparams, forward_fn = _resolve_forward(params, cfg)
+    fparams, forward_fn = _resolve_forward(params, cfg, splits)
 
     sharded = jax.shard_map(
         lambda xs: forward_fn(fparams, xs),
@@ -271,11 +274,17 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
               help="MXU operand dtype baked into the artifact (eps family; "
                    "bf16 halves the resident core footprint — numerically "
                    "~free on TPU, see docs/performance.md)")
+@click.option("--autotune-splits/--no-autotune-splits", default=False,
+              help="measure each EPS layer's top matmul-split candidates "
+                   "on this device with the SERVING objective (forward "
+                   "only) at the largest batch size, and bake the fastest "
+                   "into the artifact (eps family, pallas backend; exact — "
+                   "splits only re-matricize the cores)")
 @click.option("--out", type=click.Path(dir_okay=False), required=True)
 def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
          num_classes, num_sbs_layers, bond_dim, trace_edge, cos_sin_squared,
          input_multiplier, batch_sizes, mesh_devices, platforms, backend,
-         compute_dtype, out):
+         compute_dtype, autotune_splits, out):
     run(checkpoint=checkpoint, model_family=model_family,
         epses_specs=epses_specs, image_size=image_size, q0=q0,
         channels=channels, num_classes=num_classes,
@@ -283,14 +292,15 @@ def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
         trace_edge=trace_edge, cos_sin_squared=cos_sin_squared,
         input_multiplier=input_multiplier, batch_sizes=batch_sizes,
         mesh_devices=mesh_devices, platforms=platforms or None,
-        backend=backend, compute_dtype=compute_dtype, out=out)
+        backend=backend, compute_dtype=compute_dtype,
+        autotune_splits=autotune_splits, out=out)
 
 
 def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         q0=2, channels=1, num_classes=10, num_sbs_layers=2, bond_dim=4,
         trace_edge=False, cos_sin_squared=False, input_multiplier=1.0,
         batch_sizes=(1, 128), mesh_devices=1, platforms=None, backend="auto",
-        compute_dtype="float32", out=None):
+        compute_dtype="float32", autotune_splits=False, out=None):
     targets = tuple(platforms) if platforms else (jax.default_backend(),)
     if backend == "auto":
         # Mosaic custom calls only lower for TPU — a multi-platform artifact
@@ -317,18 +327,52 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         )
         template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
         params = load_pytree(template, checkpoint)
+        splits = None
+        if autotune_splits:
+            if backend != "pallas":
+                raise click.UsageError(
+                    "--autotune-splits needs the pallas backend (the fast "
+                    "layout); it is the only path with tunable splits"
+                )
+            from ..train.autotune import autotune_splits as _tune
+
+            # serving objective, tuned once at the largest (throughput)
+            # entry; the per-device batch is what each chip sees. On a
+            # non-TPU host (cross-compiling artifacts) the real kernels
+            # can't run — measure under the interpreter and say so.
+            on_tpu = jax.default_backend() == "tpu"
+            if not on_tpu:
+                click.echo(
+                    "--autotune-splits: no TPU on this host — measuring "
+                    "under interpret-mode Pallas; treat picks as "
+                    "approximate (tune on the serving hardware for real "
+                    "numbers)", err=True,
+                )
+            tune_cfg = EPSesPlusLinearConfig(
+                epses_specs=epses_specs, image_size=image_size, q0=q0,
+                num_classes=num_classes,
+                train_backend="pallas" if on_tpu else "pallas_interpret",
+                eval_backend="pallas" if on_tpu else "pallas_interpret",
+                compute_dtype=cfg.compute_dtype,
+            )
+            tune_bs = max(batch_sizes) // max(1, mesh_devices)
+            tuned, _report = _tune(
+                tune_cfg, max(1, tune_bs), channels, forward_only=True,
+                log_fn=lambda m: click.echo(m, err=True),
+            )
+            splits = tuple(p["n1"] for p in tuned)
         if mesh_devices > 1:
             serialized = {
                 bs: export_sharded_forward(
                     params, cfg, global_batch=bs, mesh_devices=mesh_devices,
-                    channels=channels, platforms=platforms,
+                    channels=channels, platforms=platforms, splits=splits,
                 )
                 for bs in batch_sizes
             }
         else:
             serialized = export_forward(
                 params, cfg, batch_sizes=batch_sizes, channels=channels,
-                platforms=platforms,
+                platforms=platforms, splits=splits,
             )
         family_meta = {
             "epses_specs": [list(s) for s in epses_specs],
@@ -336,6 +380,8 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
             "channels": channels,
             "num_classes": num_classes,
         }
+        if splits is not None:
+            family_meta["autotuned_splits"] = list(splits)
     else:
         from ..models.conv_sbs_model import (
             ConvSBSModelConfig,

@@ -84,19 +84,30 @@ def _artifact_forward(path: str, batch_sizes):
     return meta, cfg, forward_fn
 
 
-def _resolve_forward(params, cfg):
+def _resolve_forward(params, cfg, splits=None):
     """(forward_params, forward_fn): the fast (cmt) Pallas pipeline when
     every layer fits its plans (the serving-optimal path — no boundary
-    relayouts), else the reference-layout forward."""
+    relayouts), else the reference-layout forward. ``splits``: optional
+    per-layer matmul splits (n1) overriding the cost model — e.g. the
+    serving-objective picks from ``train.autotune.autotune_splits(...,
+    forward_only=True)``; exact (splits only re-matricize the cores)."""
     if cfg.eval_backend in ("pallas", "pallas_interpret"):
         from ..models.eps_plus_linear import (
             FastLayoutUnavailable,
             eps_plus_linear_forward_fast,
+            fast_layer_plans,
             fast_params_from_reference,
         )
 
         try:
-            fast, plans = fast_params_from_reference(params, cfg)
+            k0 = cfg.epses_specs[0][0]
+            in_ch = (params["epses"][0].ndim - 1) // (k0 * k0)
+            plans = fast_layer_plans(cfg, in_ch)
+            if splits is not None:
+                plans = tuple(
+                    {**p, "n1": n1} for p, n1 in zip(plans, splits)
+                )
+            fast, plans = fast_params_from_reference(params, cfg, plans=plans)
         except FastLayoutUnavailable:
             pass
         else:

@@ -71,11 +71,11 @@ def candidate_splits(
 
 def _measure_candidate(
     c, q, h, w, kernel_size, out_size, n1, batch_size, compute_dtype,
-    interpret, is_first_layer, key,
+    interpret, is_first_layer, key, forward_only=False,
 ):
-    """fwd+bwd ms/step of one layer at one split, synthetic operands (no
-    data-dependent control flow in the kernels — values cannot change the
-    timing, only shapes do)."""
+    """fwd+bwd (or fwd-only for serving) ms/step of one layer at one split,
+    synthetic operands (no data-dependent control flow in the kernels —
+    values cannot change the timing, only shapes do)."""
     from ..pallas.eps_pallas import (
         _kernel_dims,
         eps_pallas_apply_t_cmt,
@@ -102,18 +102,27 @@ def _measure_candidate(
     def loss(cmt_, xT_):
         return jnp.sum(eps_pallas_apply_t_cmt(cmt_, xT_, *args))
 
-    # differentiate w.r.t. the INPUT too for non-first layers: with
-    # argnums=0 alone XLA dead-code-eliminates the separate d_views
-    # pallas_call on the two-pass/two_t backward arms (the production step
-    # relies on exactly that DCE — but only for layer 0), so those
-    # candidates would time without a pass training actually pays for
-    argnums = 0 if is_first_layer else (0, 1)
-    step = jax.jit(jax.value_and_grad(loss, argnums=argnums))
-    box = {}
+    if forward_only:  # serving objective: inference has no backward
+        fwd = jax.jit(loss)
+        box = {}
 
-    def call():
-        box["v"], box["g"] = step(cmt, xT)
-        return box["v"]
+        def call():
+            box["v"] = fwd(cmt, xT)
+            return box["v"]
+
+    else:
+        # differentiate w.r.t. the INPUT too for non-first layers: with
+        # argnums=0 alone XLA dead-code-eliminates the separate d_views
+        # pallas_call on the two-pass/two_t backward arms (the production
+        # step relies on exactly that DCE — but only for layer 0), so those
+        # candidates would time without a pass training actually pays for
+        argnums = 0 if is_first_layer else (0, 1)
+        step = jax.jit(jax.value_and_grad(loss, argnums=argnums))
+        box = {}
+
+        def call():
+            box["v"], box["g"] = step(cmt, xT)
+            return box["v"]
 
     call()  # compile
     float(box["v"])  # fence the warmup
@@ -191,6 +200,7 @@ def autotune_splits(
     reg_type: str = "epswise",
     reg_coeff: float = 0.0,
     min_gain: float = 0.02,
+    forward_only: bool = False,
     log_fn: Optional[Callable[[str], None]] = None,
     seed: int = 0,
 ):
@@ -200,6 +210,11 @@ def autotune_splits(
     timings. ``batch_size`` is the PER-DEVICE microbatch the step will run
     (grad-accum/mesh-sharded runs should pass the sharded size — the pixel
     count changes bn and the saved-t decision, hence possibly the winner).
+
+    ``forward_only=True`` tunes the SERVING objective instead (inference
+    forward, no backward, no regularizer) — used by the export CLI to pick
+    splits for baked artifacts; training and serving can prefer different
+    splits since the backward's pass shapes dominate the training pick.
 
     When the run trains with the epses_composition regularizer, each
     candidate is charged its marginal regularizer cost too (see
@@ -216,7 +231,11 @@ def autotune_splits(
     interpret = cfg.train_backend == "pallas_interpret"
     base_plans = fast_layer_plans(cfg, in_channels)
     mm_bytes = _resolve_mm_dtype(cfg.compute_dtype, interpret).itemsize
-    charge_reg = reg_type == "epses_composition" and reg_coeff != 0.0
+    charge_reg = (
+        reg_type == "epses_composition"
+        and reg_coeff != 0.0
+        and not forward_only  # serving has no regularizer
+    )
     key = jax.random.PRNGKey(seed)
     plans, report = [], []
     for i, ((c, q, h, w, kernel_size, out_size), base) in enumerate(
@@ -233,6 +252,7 @@ def autotune_splits(
                 ms = _measure_candidate(
                     c, q, h, w, kernel_size, out_size, n1, batch_size,
                     cfg.compute_dtype, interpret, i == 0, sub,
+                    forward_only=forward_only,
                 )
                 row = {"n1": n1, "ms": ms}
                 if charge_reg:
@@ -259,7 +279,8 @@ def autotune_splits(
             rows.append(row)
             log(
                 f"autotune L{i} (K={kernel_size}, Q={q}->O={out_size}) "
-                f"n1={n1}: {row['ms']:.3f} ms fwd+bwd"
+                f"n1={n1}: {row['ms']:.3f} ms "
+                + ("fwd" if forward_only else "fwd+bwd")
                 + (f" (reg {row['reg_ms']:.3f})" if charge_reg else "")
                 + f" (compile+measure {time.perf_counter() - t0:.0f}s)"
             )

@@ -25,7 +25,8 @@ RESULTS = os.environ.get(
 
 
 def measure(
-    batch_size: int, compute_dtype: str, steps: int, grad_accum: int = 1
+    batch_size: int, compute_dtype: str, steps: int, grad_accum: int = 1,
+    splits=None,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -46,6 +47,11 @@ def measure(
     key = jax.random.PRNGKey(0)
     params = init_eps_plus_linear(key, cfg)
     params, plans = fast_params_from_reference(params, cfg)
+    if splits is not None:  # autotuned matmul splits (train/autotune.py)
+        plans = tuple({**p, "n1": n1} for p, n1 in zip(plans, splits))
+        params, plans = fast_params_from_reference(
+            init_eps_plus_linear(key, cfg), cfg, plans=plans
+        )
     opt = make_optimizer("adam", 3e-3)
     step = make_fast_train_step(
         cfg, opt, plans, "epswise", 1e-6, donate=True, grad_accum_steps=grad_accum
@@ -73,6 +79,9 @@ def measure(
     }
     if grad_accum != 1:
         row["grad_accum"] = grad_accum
+    if splits is not None:
+        row["splits"] = list(splits)
+        row["path"] = "pallas_fast_cmt_tuned_splits"
     return row
 
 
@@ -82,22 +91,26 @@ def main() -> None:
     batches = [int(a) for a in sys.argv[1:]] or [128, 2048]
     dtypes = os.environ.get("SWEEP_DTYPES", "float32,bfloat16").split(",")
     accum = int(os.environ.get("SWEEP_ACCUM", "1"))
+    # SWEEP_SPLITS="10,6": per-layer autotuned n1 picks (default: cost model)
+    splits_env = os.environ.get("SWEEP_SPLITS", "")
+    splits = tuple(int(v) for v in splits_env.split(",")) if splits_env else None
     rows = []
     if os.path.exists(RESULTS):
         rows = json.load(open(RESULTS))["rows"]
     done = {
-        (r["batch_size"], r["compute_dtype"], r.get("grad_accum", 1)) for r in rows
+        (r["batch_size"], r["compute_dtype"], r.get("grad_accum", 1),
+         tuple(r.get("splits", ()))) for r in rows
     }
     for bs in batches:
         for dt in dtypes:
-            if (bs, dt, accum) in done:
+            if (bs, dt, accum, tuple(splits or ())) in done:
                 continue
             # ~49k-image windows (~1.7 s): the relay fence costs a fixed
             # ~28 ms per window, which at short windows inflates per-step
             # time (at bs 128 × 30 steps it read +0.9 ms/step — the phantom
             # "bs-128 gap", see docs/performance.md measurement rules)
             steps = max(4, min(512, 49152 // bs))
-            row = measure(bs, dt, steps, accum)
+            row = measure(bs, dt, steps, accum, splits)
             rows.append(row)
             print(json.dumps(row), flush=True)
             with open(RESULTS, "w") as f:

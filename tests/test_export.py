@@ -105,6 +105,52 @@ def test_export_fast_pipeline_exactness_interpret(tmp_path):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
 
 
+def test_export_with_tuned_splits_matches_reference(tmp_path):
+    """Serving-split override (export --autotune-splits bakes these): a
+    non-default per-layer matmul split re-matricizes the same cores, so the
+    exported forward still matches the reference layout to f32 epsilon, and
+    run() records the picks in meta.json."""
+    from dctn_tpu.ops.eps import split_candidates
+    from dctn_tpu.models.eps_plus_linear import fast_layer_plans
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4),), image_size=8, q0=2,
+        eval_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(10), cfg)
+    default_n1 = fast_layer_plans(cfg)[0]["n1"]
+    alt = [c for c in split_candidates(4, 2) if c != default_n1][0]
+    serialized = export_forward(params, cfg, batch_sizes=(4,), splits=(alt,))
+    path = str(tmp_path / "tuned.dctnx")
+    write_artifact(path, serialized, {"batch_sizes": [4]})
+    _, fns = load_artifact(path)
+    x = (
+        jax.random.uniform(jax.random.PRNGKey(11), (1, 4, 8, 8, 2))
+        .astype(jnp.float32)
+        * 1.4
+    )
+    got = np.asarray(fns[4](x))
+    ref_cfg = EPSesPlusLinearConfig(epses_specs=((2, 4),), image_size=8, q0=2)
+    want = np.asarray(
+        eps_plus_linear_forward(params, x, ref_cfg, training=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+    # CLI path: --autotune-splits runs the fwd-only tuner and records picks
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_pytree(params, ckpt)
+    out = str(tmp_path / "tuned_cli.dctnx")
+    export_run(
+        checkpoint=ckpt, epses_specs=((2, 4),), image_size=8, q0=2,
+        batch_sizes=(4,), backend="pallas", platforms=("tpu",),
+        autotune_splits=True, out=out,
+    )
+    with zipfile.ZipFile(out) as zf:
+        meta = json.loads(zf.read("meta.json"))
+    picks = meta["autotuned_splits"]
+    assert len(picks) == 1 and picks[0] in split_candidates(4, 2)
+
+
 def test_export_tpu_platform_lowers_pallas_from_cpu_host():
     """Cross-platform export: the fused Pallas (fast cmt) pipeline lowers for
     TPU on a CPU-only host — deployment artifacts can be built off-device."""
