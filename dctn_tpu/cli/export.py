@@ -53,12 +53,15 @@ def export_forward(
     platforms: Optional[Sequence[str]] = None,
     in_dtype=jnp.float32,
     splits=None,
+    quantize=None,
 ) -> Dict[int, bytes]:
     """Serialize the serving forward (weights baked in as constants) for each
     batch size. Static batch shapes — symbolic dims would disqualify the
     Mosaic kernels — so export every batch size the server will use.
-    ``splits``: optional per-layer matmul splits (see _resolve_forward)."""
-    fparams, forward_fn = _resolve_forward(params, cfg, splits)
+    ``splits``: optional per-layer matmul splits (see _resolve_forward);
+    ``quantize="int8"``: bake W8A8-quantized EPS layers (int8 weights — the
+    artifact shrinks ~4× — and ~2× the MXU rate on v5e)."""
+    fparams, forward_fn = _resolve_forward(params, cfg, splits, quantize)
     serialized: Dict[int, bytes] = {}
     for bs in batch_sizes:
         fn = jax.jit(lambda xb: forward_fn(fparams, xb))
@@ -82,6 +85,7 @@ def export_sharded_forward(
     platforms: Optional[Sequence[str]] = None,
     in_dtype=jnp.float32,
     splits=None,
+    quantize=None,
 ) -> bytes:
     """Multi-chip serving export: one entry point taking the GLOBAL batch,
     data-sharded over a ``mesh_devices``-device mesh (weights baked in and
@@ -99,7 +103,7 @@ def export_sharded_forward(
             f"mesh_devices={mesh_devices}"
         )
     mesh = make_mesh(mesh_devices)
-    fparams, forward_fn = _resolve_forward(params, cfg, splits)
+    fparams, forward_fn = _resolve_forward(params, cfg, splits, quantize)
 
     sharded = jax.shard_map(
         lambda xs: forward_fn(fparams, xs),
@@ -209,6 +213,7 @@ def build_meta(
     mesh_devices: int = 1,
     platforms: Optional[Sequence[str]] = None,
     compute_dtype: str = "float32",
+    quantize: str = "none",
     **family_meta,
 ) -> dict:
     """The one place the artifact meta schema is assembled — export's CLI
@@ -226,6 +231,8 @@ def build_meta(
         # the compute-dtype knob exists only on the eps forward; a conv_sbs
         # artifact is always an f32 module regardless of the flag
         "compute_dtype": compute_dtype if model_family == "eps" else "float32",
+        # W8A8 int8 EPS matmuls (eps family, pallas backend only)
+        "quantize": quantize if model_family == "eps" else "none",
         "in_dtype": "float32",
         "jax_version": jax.__version__,
         **family_meta,
@@ -274,6 +281,14 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
               help="MXU operand dtype baked into the artifact (eps family; "
                    "bf16 halves the resident core footprint — numerically "
                    "~free on TPU, see docs/performance.md)")
+@click.option("--quantize", type=click.Choice(("none", "int8")),
+              default="none",
+              help="W8A8 dynamic quantization of the EPS matmuls (eps "
+                   "family, pallas backend): int8 weights baked in (~4× "
+                   "smaller artifact) + per-pixel dynamic activation "
+                   "quantization in-kernel — ~2× the MXU rate on v5e, at "
+                   "the cost of int8 rounding noise in the logits (see "
+                   "docs/deployment.md for measured accuracy deltas)")
 @click.option("--autotune-splits/--no-autotune-splits", default=False,
               help="measure each EPS layer's top matmul-split candidates "
                    "on this device with the SERVING objective (forward "
@@ -284,7 +299,7 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
 def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
          num_classes, num_sbs_layers, bond_dim, trace_edge, cos_sin_squared,
          input_multiplier, batch_sizes, mesh_devices, platforms, backend,
-         compute_dtype, autotune_splits, out):
+         compute_dtype, quantize, autotune_splits, out):
     run(checkpoint=checkpoint, model_family=model_family,
         epses_specs=epses_specs, image_size=image_size, q0=q0,
         channels=channels, num_classes=num_classes,
@@ -292,7 +307,7 @@ def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
         trace_edge=trace_edge, cos_sin_squared=cos_sin_squared,
         input_multiplier=input_multiplier, batch_sizes=batch_sizes,
         mesh_devices=mesh_devices, platforms=platforms or None,
-        backend=backend, compute_dtype=compute_dtype,
+        backend=backend, compute_dtype=compute_dtype, quantize=quantize,
         autotune_splits=autotune_splits, out=out)
 
 
@@ -300,12 +315,21 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         q0=2, channels=1, num_classes=10, num_sbs_layers=2, bond_dim=4,
         trace_edge=False, cos_sin_squared=False, input_multiplier=1.0,
         batch_sizes=(1, 128), mesh_devices=1, platforms=None, backend="auto",
-        compute_dtype="float32", autotune_splits=False, out=None):
+        compute_dtype="float32", quantize="none", autotune_splits=False,
+        out=None):
     targets = tuple(platforms) if platforms else (jax.default_backend(),)
     if backend == "auto":
         # Mosaic custom calls only lower for TPU — a multi-platform artifact
         # (e.g. --platform tpu --platform cpu) must take the XLA forward.
         backend = "pallas" if all(t == "tpu" for t in targets) else "xla"
+    if quantize != "none":
+        if model_family != "eps":
+            raise click.UsageError("--quantize needs --model-family eps")
+        if backend != "pallas":
+            raise click.UsageError(
+                "--quantize needs the pallas backend (the W8A8 kernels live "
+                "on the fast pipeline; pass --backend pallas or target tpu)"
+            )
     if mesh_devices > 1 and model_family != "eps":
         raise click.UsageError("--mesh-devices > 1 needs --model-family eps")
     if mesh_devices > 1:
@@ -361,18 +385,20 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
                 log_fn=lambda m: click.echo(m, err=True),
             )
             splits = tuple(p["n1"] for p in tuned)
+        q = None if quantize == "none" else quantize
         if mesh_devices > 1:
             serialized = {
                 bs: export_sharded_forward(
                     params, cfg, global_batch=bs, mesh_devices=mesh_devices,
                     channels=channels, platforms=platforms, splits=splits,
+                    quantize=q,
                 )
                 for bs in batch_sizes
             }
         else:
             serialized = export_forward(
                 params, cfg, batch_sizes=batch_sizes, channels=channels,
-                platforms=platforms, splits=splits,
+                platforms=platforms, splits=splits, quantize=q,
             )
         family_meta = {
             "epses_specs": [list(s) for s in epses_specs],
@@ -411,7 +437,8 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
     meta = build_meta(
         model_family=model_family, image_size=image_size,
         batch_sizes=batch_sizes, backend=backend, mesh_devices=mesh_devices,
-        platforms=platforms, compute_dtype=compute_dtype, **family_meta,
+        platforms=platforms, compute_dtype=compute_dtype, quantize=quantize,
+        **family_meta,
     )
     write_artifact(out, serialized, meta)
     total = sum(len(b) for b in serialized.values())

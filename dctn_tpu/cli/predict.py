@@ -84,13 +84,19 @@ def _artifact_forward(path: str, batch_sizes):
     return meta, cfg, forward_fn
 
 
-def _resolve_forward(params, cfg, splits=None):
+def _resolve_forward(params, cfg, splits=None, quantize=None):
     """(forward_params, forward_fn): the fast (cmt) Pallas pipeline when
     every layer fits its plans (the serving-optimal path — no boundary
     relayouts), else the reference-layout forward. ``splits``: optional
     per-layer matmul splits (n1) overriding the cost model — e.g. the
     serving-objective picks from ``train.autotune.autotune_splits(...,
-    forward_only=True)``; exact (splits only re-matricize the cores)."""
+    forward_only=True)``; exact (splits only re-matricize the cores).
+    ``quantize="int8"``: W8A8 dynamic quantization of the EPS matmuls
+    (pallas/eps_pallas_q8.py) — requires the fast pipeline (raises
+    FastLayoutUnavailable when a layer doesn't fit); ~2× the MXU rate on
+    v5e and 4× smaller baked-in weights, at the cost of int8 rounding
+    noise in the logits."""
+    assert quantize in (None, "int8"), quantize
     if cfg.eval_backend in ("pallas", "pallas_interpret"):
         from ..models.eps_plus_linear import (
             FastLayoutUnavailable,
@@ -109,13 +115,32 @@ def _resolve_forward(params, cfg, splits=None):
                 )
             fast, plans = fast_params_from_reference(params, cfg, plans=plans)
         except FastLayoutUnavailable:
-            pass
+            if quantize:
+                raise
         else:
+            if quantize == "int8":
+                from ..pallas.eps_pallas_q8 import (
+                    forward_fast_q8,
+                    quantize_fast_params,
+                )
+
+                qparams = quantize_fast_params(fast, plans)
+                interp = cfg.eval_backend == "pallas_interpret"
+                return qparams, (
+                    lambda f, xb: forward_fast_q8(
+                        f, xb, cfg, plans, interpret=interp
+                    )
+                )
             return fast, (
                 lambda f, xb: eps_plus_linear_forward_fast(
                     f, xb, cfg, plans, training=False
                 )
             )
+    if quantize:
+        raise ValueError(
+            "quantize needs the pallas eval backend (the q8 kernels live on "
+            "the fast pipeline)"
+        )
     return params, lambda p, xb: eps_plus_linear_forward(p, xb, cfg, training=False)
 
 

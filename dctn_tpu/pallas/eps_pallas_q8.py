@@ -1,0 +1,219 @@
+"""int8 (W8A8) fused Pallas forward for EPS serving.
+
+TPU-native capability with no reference analog (the reference's deployment
+story ends at training scripts — see ``cli/export.py``): the v5e MXU runs
+int8×int8→int32 at ~2× its bf16 rate (measured on this chip: 305 vs
+165 T(FL)OPS at (8192,4096)×(4096,4096)), so the serving forward — whose
+FLOPs live almost entirely in each layer's (Z, A)×(A, bn) matmul — can
+roughly halve its MXU time by quantizing that matmul.
+
+Scheme (standard dynamic W8A8, no calibration data needed):
+- **Weights** (the matricized core, static at export time): symmetric
+  per-row int8 — ``sw[z] = max|cmt[z, :]| / 127``, ``wq = round(cmt / sw)``.
+  Per-row scales are exact w.r.t. the matmul (each output row is scaled by
+  one constant).
+- **Activations** (the Khatri-Rao chain product ``u``, built in-kernel):
+  symmetric per-COLUMN (per-pixel) int8, computed dynamically on the VPU —
+  ``su[b] = max_a |u[a, b]| / 127``. Per-column scales are likewise exact
+  w.r.t. the matmul.
+- ``t = (wq @ uq).int32 → f32 · sw · su`` — the only approximation is the
+  rounding of the two int8 quantizations; the int32 accumulation itself is
+  exact (A ≤ 4096 entries of |v| ≤ 127² keeps the sum far below 2³¹).
+- The second contraction (t against the other half's chain product ``v``)
+  stays f32 on the VPU — it is elementwise work, not MXU work.
+
+Forward-only by design: training keeps full precision (the f32/bf16 custom
+VJP kernels in ``eps_pallas.py``); this path exists for the deployment
+artifacts (``cli/export.py --quantize int8``), where it also shrinks the
+baked-in weights 4×.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .eps_pallas import (
+    _VMEM_BUDGET_BYTES,
+    _ab,
+    _compiler_kwargs,
+    _core_to_cmt_k,
+    _kernel_dims,
+    _largest_bn,
+    _stack_views_from_xT,
+    _suffix_chain,
+)
+
+_EPS_SCALE = 1e-30  # guard: all-zero rows/columns quantize to 0 with a tiny
+# positive scale instead of dividing by zero (padded pixel columns are zero)
+
+
+def quantize_cmt(cmt):
+    """Per-row symmetric int8 quantization of a matricized (Z, A) core:
+    (wq int8 (Z, A), sw f32 (Z, 1)). Pure jnp — the in-kernel activation
+    quantizer uses the same round/clip ops, so CPU oracles can replicate the
+    math bit-for-bit."""
+    cmt = jnp.asarray(cmt, jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(cmt), axis=1, keepdims=True) / 127.0,
+                     _EPS_SCALE)
+    wq = jnp.clip(jnp.round(cmt / sw), -127, 127).astype(jnp.int8)
+    return wq, sw
+
+
+def _quantize_columns(u):
+    """Dynamic per-column int8 of the (A, bn) chain product (VPU ops only):
+    (uq int8, su f32 (1, bn))."""
+    su = jnp.maximum(jnp.max(jnp.abs(u), axis=0, keepdims=True) / 127.0,
+                     _EPS_SCALE)
+    uq = jnp.clip(jnp.round(u / su), -127, 127).astype(jnp.int8)
+    return uq, su
+
+
+def _fwd_q8_bytes(n, n1, q, o, bn):
+    """VMEM estimate for the int8 forward at tile size bn: the resident int8
+    core + its f32 row scales, plus per-tile views / chain products (f32),
+    the int8 u tile, the int32 t tile and the f32 dequantized t."""
+    a, z = _ab(n, n1, q, o)
+    return (
+        a * z  # int8 resident core
+        + 4 * z  # sw (padded to a lane, counted generously by caller budget)
+        + a * bn  # int8 uq
+        + 4 * bn * (2 * a + 3 * z + n * q + o)
+    )
+
+
+def plan_q8_bn(n, n1, q, o, npix_cap):
+    """Largest bn tile for the int8 forward under the shared VMEM budget
+    (same candidate ladder as the f32 planner); None if even bn=128
+    overflows (then the layer cannot run the q8 kernel)."""
+    return _largest_bn(
+        lambda bn: _fwd_q8_bytes(n, n1, q, o, bn), cap=npix_cap
+    )
+
+
+def _fwd_q8_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
+    n2 = n - n1
+
+    def kernel(views_ref, wq_ref, sw_ref, out_ref):
+        # views_ref: (n, q, bn) f32; wq_ref: (Z, A) int8 o-major rows;
+        # sw_ref: (Z, 1) f32; out_ref: (o, bn) f32.
+        u = _suffix_chain(views_ref, 0, n1)[0]  # (A, bn) f32
+        uq, su = _quantize_columns(u)
+        t_i32 = jax.lax.dot_general(
+            wq_ref[:], uq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        t = t_i32.astype(jnp.float32) * sw_ref[:] * su  # (Z, bn)
+        if n2 > 0:
+            v = _suffix_chain(views_ref, n1, n)[0]  # (q^n2, bn)
+            t3 = t.reshape(o, q**n2, bn)
+            rows = [
+                jnp.sum(t3[oi] * v, axis=0, keepdims=True) for oi in range(o)
+            ]
+            out = jnp.concatenate(rows, axis=0)
+        else:
+            out = t
+        out_ref[:] = out
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n1", "out_size", "bn", "interpret"))
+def _run_fwd_q8(views_t, wq, sw, n1, out_size, bn, interpret):
+    n, q, npad = views_t.shape
+    return pl.pallas_call(
+        _fwd_q8_kernel_factory(n, n1, q, out_size, bn),
+        out_shape=jax.ShapeDtypeStruct((out_size, npad), jnp.float32),
+        grid=(npad // bn,),
+        in_specs=[
+            pl.BlockSpec((n, q, bn), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wq.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(sw.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((out_size, bn), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **_compiler_kwargs(interpret),
+    )(views_t, wq, sw)
+
+
+def eps_pallas_apply_t_q8(
+    wq, sw, xT, out_size, kernel_size, n1, bn, interpret, merge_pairs
+):
+    """Quantized transposed-pipeline EPS forward: xT (C, Q, H, W, B) →
+    outT (O, H', W', B). ``wq``/``sw`` from ``quantize_cmt`` of the layer's
+    (Z, A) matricized core under the SAME (n1, merge_pairs) plan used to
+    stack the views. Inference-only (no VJP)."""
+    c, q, h, w, b = xT.shape
+    hp, wp = h - kernel_size + 1, w - kernel_size + 1
+    _n_k, _q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
+    views_t, npix = _stack_views_from_xT(xT, kernel_size, bn, merge_pairs)
+    out_t = _run_fwd_q8(views_t, wq, sw, n1_k, out_size, bn, interpret)
+    return out_t[:, :npix].reshape(out_size, hp, wp, b)
+
+
+def quantize_fast_params(fast, plans):
+    """Fast (cmt) parameter pytree → int8 serving pytree:
+    ``{"epses_q": (int8 (Z,A), …), "epses_scale": (f32 (Z,1), …),
+    "linear": f32}``. The classifier stays f32 — its matmul is a rounding
+    error of the total FLOPs. Exactly inverts nothing: quantization is
+    lossy; use only for serving."""
+    wqs, sws = [], []
+    for cmt in fast["epses_cmt"]:
+        wq, sw = quantize_cmt(cmt)
+        wqs.append(wq)
+        sws.append(sw)
+    return {
+        "epses_q": tuple(wqs),
+        "epses_scale": tuple(sws),
+        "linear": dict(fast["linear"]),
+    }
+
+
+def quantize_reference_params(params, cfg, plans=None, in_channels=1):
+    """Reference-layout params → (qparams, plans) via the fast cmt
+    matricization (the q8 kernel consumes cmt-layout rows)."""
+    from ..models.eps_plus_linear import fast_params_from_reference
+
+    fast, plans = fast_params_from_reference(params, cfg, plans)
+    return quantize_fast_params(fast, plans), plans
+
+
+def forward_fast_q8(qparams, x, cfg, plans, *, interpret=False):
+    """The transposed Pallas serving pipeline over int8 params — the W8A8
+    twin of ``eps_plus_linear_forward_fast`` (inference only). Split plans
+    (n1 / merge_pairs) mirror the f32 fast path exactly, so autotuned splits
+    baked into ``plans`` carry over; the tile size bn is re-planned for the
+    q8 working set (the int8 resident core is 4× smaller, but the per-tile
+    int8 u copy and int32 t make large-bn tiles bigger than f32's — the two
+    plans are not interchangeable)."""
+    from ..models.eps_plus_linear import _transposed_classifier
+    from .eps_pallas import plan_pallas_call
+
+    c0, b, h, w, q0 = x.shape
+    xT = jnp.transpose(x, (0, 4, 2, 3, 1))
+    ch, qq, hh, ww = c0, q0, h, w
+    outT = None
+    for wq, sw, p in zip(qparams["epses_q"], qparams["epses_scale"], plans):
+        k_, out_size = p["kernel_size"], p["out_size"]
+        hp, wp = hh - k_ + 1, ww - k_ + 1
+        npix = b * hp * wp
+        n1, _bn_f32, merge_pairs, _mm = plan_pallas_call(
+            ch, qq, k_, p["n1"], out_size, npix, None, interpret
+        )
+        assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
+        n_k, q_k, n1_k = _kernel_dims(ch, qq, k_, n1, merge_pairs)
+        cap = max(128, -(-npix // 128) * 128)
+        bn = plan_q8_bn(n_k, n1_k, q_k, out_size, cap)
+        assert bn is not None, (n_k, n1_k, q_k, out_size)
+        outT = eps_pallas_apply_t_q8(
+            wq, sw, xT, out_size, k_, n1, bn, interpret, merge_pairs
+        )
+        xT = outT[None]
+        ch, qq, hh, ww = 1, out_size, hp, wp
+    return _transposed_classifier(outT, qparams["linear"])

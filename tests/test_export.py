@@ -322,3 +322,64 @@ def test_export_cli_end_to_end(tmp_path):
         eps_plus_linear_forward(params, _x(2, key=2), CFG, training=False)
     )
     np.testing.assert_array_equal(np.asarray(fns[2](_x(2, key=2))), want)
+
+
+def test_export_quantized_int8_roundtrip(tmp_path):
+    """--quantize int8: the exported artifact reproduces the in-process W8A8
+    forward exactly (same lowering + baked int8 constants), records its
+    quantize mode in meta, and its logits track the f32 forward within the
+    quantization-noise budget."""
+    from dctn_tpu.models.eps_plus_linear import (
+        fast_layer_plans,
+        fast_params_from_reference,
+    )
+    from dctn_tpu.pallas.eps_pallas_q8 import (
+        forward_fast_q8,
+        quantize_fast_params,
+    )
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4), (2, 6)), image_size=8, q0=2,
+        eval_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(20), cfg)
+    serialized = export_forward(
+        params, cfg, batch_sizes=(4,), quantize="int8"
+    )
+    path = str(tmp_path / "q8.dctnx")
+    write_artifact(path, serialized, {"batch_sizes": [4], "quantize": "int8"})
+    meta, fns = load_artifact(path)
+    assert meta["quantize"] == "int8"
+    x = (
+        jax.random.uniform(jax.random.PRNGKey(21), (1, 4, 8, 8, 2))
+        .astype(jnp.float32)
+        * 1.4
+    )
+    got = np.asarray(fns[4](x))
+    fast, plans = fast_params_from_reference(params, cfg)
+    qparams = quantize_fast_params(fast, plans)
+    want = np.asarray(forward_fast_q8(qparams, x, cfg, plans, interpret=True))
+    np.testing.assert_array_equal(got, want)  # identical lowering + constants
+    f32 = np.asarray(eps_plus_linear_forward(
+        params, x,
+        EPSesPlusLinearConfig(epses_specs=((2, 4), (2, 6)), image_size=8, q0=2),
+        training=False,
+    ))
+    rel = np.linalg.norm(got - f32) / np.linalg.norm(f32)
+    assert rel < 0.05, rel
+
+
+def test_export_quantized_cli_validation(tmp_path):
+    """--quantize composes only with the eps family + pallas backend."""
+    import click
+    import pytest as _pytest
+
+    params = init_eps_plus_linear(jax.random.PRNGKey(22), CFG)
+    ckpt = str(tmp_path / "m.npz")
+    save_pytree(params, ckpt)
+    with _pytest.raises(click.UsageError, match="pallas"):
+        export_run(
+            checkpoint=ckpt, epses_specs=CFG.epses_specs, image_size=6,
+            batch_sizes=(2,), backend="xla", quantize="int8",
+            out=str(tmp_path / "bad.dctnx"),
+        )
