@@ -193,6 +193,30 @@ def main() -> None:
                 flush=True,
             )
     tm, ta = score(params, jnp.asarray(x_te), jnp.asarray(y_te))
+
+    # int8 W8A8 serving accuracy on the TRAINED model — the number an
+    # `export --quantize int8` artifact of this checkpoint ships with
+    # (pallas/eps_pallas_q8.py; fused kernels on TPU, interpret on CPU).
+    import dataclasses
+
+    from dctn_tpu.cli.predict import _resolve_forward, predict_split
+
+    q_backend = (
+        "pallas" if jax.default_backend() == "tpu" else "pallas_interpret"
+    )
+    q_cfg = dataclasses.replace(cfg, eval_backend=q_backend)
+    fq, fwd_q8 = _resolve_forward(params, q_cfg, quantize="int8")
+    ff, fwd_f32 = _resolve_forward(params, q_cfg)
+    x_te_d = jnp.asarray(x_te)
+    preds_q8 = predict_split(fq, q_cfg, x_te_d, 128, forward_fn=fwd_q8)
+    preds_f32 = predict_split(ff, q_cfg, x_te_d, 128, forward_fn=fwd_f32)
+    int8_acc = float(np.mean(preds_q8 == y_te))
+    agreement = float(np.mean(preds_q8 == preds_f32))
+    print(
+        f"int8 serving: test_acc {int8_acc:.4f} "
+        f"(f32 {float(ta):.4f}), pred agreement {agreement:.4f}",
+        flush=True,
+    )
     result = {
         "kind": "real-data digits (sklearn built-in), EPS(4,4)+linear (the 90.19-family architecture)",
         "nu": nu,
@@ -200,6 +224,8 @@ def main() -> None:
         "val_acc_best": best_val,
         "test_acc": float(ta),
         "test_mean_ce": float(tm),
+        "test_acc_int8_serving": int8_acc,
+        "int8_pred_agreement_vs_f32": agreement,
         "train_seconds": round(time.perf_counter() - t0, 1),
         "device": str(jax.devices()[0]),
     }

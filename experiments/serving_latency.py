@@ -46,15 +46,21 @@ def main() -> None:
         jax.random.PRNGKey(1), (1, max(batches), 28, 28, 2), jnp.float32
     ) * 1.4
 
-    for backend, path in (("pallas", "pallas_fast_cmt"), ("xla", "xla_reference")):
+    for backend, path, quant in (
+        ("pallas", "pallas_fast_cmt", None),
+        ("pallas", "pallas_fast_cmt_int8", "int8"),
+        ("xla", "xla_reference", None),
+    ):
         cfg = EPSesPlusLinearConfig(
             epses_specs=((4, 4), (3, 6)), image_size=28, q0=2,
             train_backend=backend, eval_backend=backend,
         )
         params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
-        fparams, fwd = _resolve_forward(params, cfg)
-        if backend == "pallas":
+        fparams, fwd = _resolve_forward(params, cfg, quantize=quant)
+        if backend == "pallas" and quant is None:
             assert "epses_cmt" in fparams, "fast layout should be auto-selected"
+        if quant == "int8":
+            assert "epses_q" in fparams
         for bs in batches:
             merge({**latency_stats(fparams, cfg, x, bs, forward_fn=fwd),
                    "path": path})
@@ -88,6 +94,24 @@ def main() -> None:
                                forward_fn=lambda p, xb: call(xb)),
                "path": "exported_artifact",
                "artifact_mb": round(len(serialized[bs]) / 1e6, 2)})
+
+    # the int8 artifact (export --quantize int8): certify exactness vs the
+    # in-process W8A8 forward, then the same latency stats.
+    qparams, qfwd = _resolve_forward(params, cfg, quantize="int8")
+    q_serialized = export_forward(params, cfg, batch_sizes=batches,
+                                  platforms=("tpu",), quantize="int8")
+    for bs in batches:
+        call = jax_export.deserialize(bytearray(q_serialized[bs])).call
+        xb = x[:, :bs]
+        np.testing.assert_allclose(
+            np.asarray(call(xb)),
+            np.asarray(jax.jit(qfwd)(qparams, xb)),
+            rtol=0, atol=0,
+        )
+        merge({**latency_stats({}, cfg, x, bs,
+                               forward_fn=lambda p, xb: call(xb)),
+               "path": "exported_artifact_int8",
+               "artifact_mb": round(len(q_serialized[bs]) / 1e6, 2)})
 
 
 if __name__ == "__main__":
