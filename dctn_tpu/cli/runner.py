@@ -297,6 +297,11 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
                    "entry points per --export-batch-sizes)")
 @click.option("--export-batch-sizes", type=str, default="1,128",
               help="comma-separated serving batch sizes for --export-artifact")
+@click.option("--export-quantize", type=click.Choice(("none", "int8")),
+              default="none",
+              help="bake W8A8 int8 EPS kernels into --export-artifact "
+                   "(pallas/eps_pallas_q8.py; needs the pallas eval backend "
+                   "— ~1.65x serving throughput on v5e, 4x smaller weights)")
 @click.option("--eval-train-subset", type=int, default=None,
               help="score only this many train samples per eval (full set if unset)")
 def main(**kwargs) -> None:
@@ -424,6 +429,15 @@ def run(**kwargs) -> TrainLoopState:
         eval_backend=resolve_backend(kwargs["eval_backend"]),
         train_backend=resolve_backend(kwargs["train_backend"]),
     )
+    if kwargs.get("export_quantize") not in (None, "none"):
+        # fail at startup, not after training: the W8A8 kernels live on the
+        # fast (pallas) pipeline (cli/predict._resolve_forward)
+        if not kwargs["export_artifact"]:
+            raise click.UsageError("--export-quantize needs --export-artifact")
+        if cfg.eval_backend not in ("pallas", "pallas_interpret"):
+            raise click.UsageError(
+                "--export-quantize int8 needs the pallas eval backend"
+            )
 
     # --- model init (new_runner.py:378-431) ---
     key = jax.random.PRNGKey(kwargs["seed"])
@@ -1100,8 +1114,11 @@ def run(**kwargs) -> TrainLoopState:
 
         final = params_view(state.params) if params_view else state.params
         bss = parse_batch_sizes(kwargs["export_batch_sizes"])
+        exp_q = kwargs["export_quantize"]
+        exp_q = None if exp_q in (None, "none") else exp_q
         serialized = export_forward(
-            final, cfg, batch_sizes=bss, channels=int(x_init.shape[0])
+            final, cfg, batch_sizes=bss, channels=int(x_init.shape[0]),
+            quantize=exp_q,
         )
         write_artifact(
             kwargs["export_artifact"], serialized,
@@ -1111,6 +1128,7 @@ def run(**kwargs) -> TrainLoopState:
                 compute_dtype="bfloat16"
                 if cfg.compute_dtype is not None
                 else "float32",
+                quantize=exp_q or "none",
                 epses_specs=[list(s) for s in cfg.epses_specs],
                 q0=cfg.q0, channels=int(x_init.shape[0]),
                 num_classes=cfg.num_classes,

@@ -383,3 +383,122 @@ def test_export_quantized_cli_validation(tmp_path):
             batch_sizes=(2,), backend="xla", quantize="int8",
             out=str(tmp_path / "bad.dctnx"),
         )
+
+def test_export_sharded_forward_int8_8device_mesh(tmp_path):
+    """Multi-chip int8 serving: `--mesh-devices N --quantize int8` compose —
+    the data-sharded entry runs the same W8A8 kernels per shard, and batch
+    sharding is exact (per-pixel dynamic activation quant; batch is the
+    matmul's N dim, never a reduction)."""
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from dctn_tpu.cli.export import export_sharded_forward
+    from dctn_tpu.models.eps_plus_linear import (
+        fast_params_from_reference,
+    )
+    from dctn_tpu.pallas.eps_pallas_q8 import (
+        forward_fast_q8,
+        quantize_fast_params,
+    )
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4),), image_size=6, q0=2,
+        eval_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(30), cfg)
+    blob = export_sharded_forward(
+        params, cfg, global_batch=16, mesh_devices=8, quantize="int8"
+    )
+    path = str(tmp_path / "pod_q8.dctnx")
+    write_artifact(path, {16: blob},
+                   {"mesh_devices": 8, "batch_sizes": [16],
+                    "quantize": "int8"})
+    meta, fns = load_artifact(path)
+    assert meta["quantize"] == "int8"
+    x = _x(16, key=31)
+    got = np.asarray(fns[16](x))
+    fast, plans = fast_params_from_reference(params, cfg)
+    qparams = quantize_fast_params(fast, plans)
+    want = np.asarray(forward_fast_q8(qparams, x, cfg, plans, interpret=True))
+    assert got.shape == (16, 10)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_runner_export_quantized_artifact(tmp_path):
+    """--export-quantize int8: the runner's end-of-training export bakes the
+    W8A8 kernels; the artifact equals the in-process q8 forward of the final
+    params and tracks the f32 logits within the quantization-noise budget."""
+    from dctn_tpu.cli.runner import run as runner_run
+    from dctn_tpu.data import load_dataset
+    from dctn_tpu.models.eps_plus_linear import (
+        fast_params_from_reference,
+        reference_params_from_fast,
+        fast_layer_plans,
+    )
+    from dctn_tpu.pallas.eps_pallas_q8 import (
+        forward_fast_q8,
+        quantize_fast_params,
+    )
+
+    sizes = (128, 64, 64)
+    art = str(tmp_path / "trained_q8.dctnx")
+    state = runner_run(
+        experiments_dir=str(tmp_path / "exp"),
+        ds_type="fashionmnist", ds_path="synthetic",
+        epses_specs=((2, 4),), batch_size=16, optimizer_name="adam",
+        init_epses_composition_unit_theoretical_output_std=True,
+        lr=3e-3, eval_schedule=((None, 10),), max_num_iters=10,
+        keep_last_models=1, synthetic_sizes=sizes, patience=50,
+        reg_coeff=1e-6,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+        export_artifact=art, export_batch_sizes="8",
+        export_quantize="int8",
+    )
+    meta, fns = load_artifact(art)
+    assert meta["quantize"] == "int8" and meta["batch_sizes"] == [8]
+    splits = load_dataset("fashionmnist", "synthetic",
+                          autoscale_kernel_size=2, synthetic_sizes=sizes)
+    x = jnp.asarray(splits.test.x[:, :8]).astype(jnp.float32)
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4),), image_size=x.shape[2], q0=x.shape[-1],
+        eval_backend="pallas_interpret", train_backend="pallas_interpret",
+    )
+    final = state.params
+    if "epses_cmt" in final:
+        final = reference_params_from_fast(
+            final, cfg, fast_layer_plans(cfg, 1)
+        )
+    fast, plans = fast_params_from_reference(final, cfg)
+    qparams = quantize_fast_params(fast, plans)
+    got = np.asarray(fns[8](x))
+    want = np.asarray(forward_fast_q8(qparams, x, cfg, plans, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    f32 = np.asarray(eps_plus_linear_forward(final, x, cfg, training=False))
+    rel = np.linalg.norm(got - f32) / np.linalg.norm(f32)
+    assert rel < 0.05, rel
+
+
+def test_runner_export_quantize_validation(tmp_path):
+    """--export-quantize fails fast (before training) without an artifact
+    path or with a non-pallas eval backend."""
+    import click
+    import pytest as _pytest
+
+    from dctn_tpu.cli.runner import run as runner_run
+
+    common = dict(
+        ds_type="fashionmnist", ds_path="synthetic",
+        epses_specs=((2, 4),), batch_size=16, optimizer_name="adam",
+        init_epses_composition_unit_theoretical_output_std=True,
+        lr=3e-3, eval_schedule=((None, 10),), max_num_iters=10,
+        keep_last_models=1, synthetic_sizes=(64, 32, 32), patience=50,
+    )
+    with _pytest.raises(click.UsageError, match="export-artifact"):
+        runner_run(experiments_dir=str(tmp_path / "e1"),
+                   export_quantize="int8", **common)
+    with _pytest.raises(click.UsageError, match="pallas"):
+        runner_run(experiments_dir=str(tmp_path / "e2"),
+                   export_quantize="int8",
+                   export_artifact=str(tmp_path / "a.dctnx"),
+                   eval_backend="xla", train_backend="xla", **common)
