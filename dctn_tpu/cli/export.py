@@ -325,7 +325,7 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
     if quantize != "none":
         if model_family != "eps":
             raise click.UsageError("--quantize needs --model-family eps")
-        if backend != "pallas":
+        if backend not in ("pallas", "pallas_interpret"):
             raise click.UsageError(
                 "--quantize needs the pallas backend (the W8A8 kernels live "
                 "on the fast pipeline; pass --backend pallas or target tpu)"

@@ -210,7 +210,12 @@ def forward_fast_q8(qparams, x, cfg, plans, *, interpret=False):
         n_k, q_k, n1_k = _kernel_dims(ch, qq, k_, n1, merge_pairs)
         cap = max(128, -(-npix // 128) * 128)
         bn = plan_q8_bn(n_k, n1_k, q_k, out_size, cap)
-        assert bn is not None, (n_k, n1_k, q_k, out_size)
+        if bn is None:  # a real config-dependent failure, not an internal
+            # invariant — raise a catchable error (asserts strip under -O)
+            raise ValueError(
+                "EPS layer does not fit the q8 kernel's VMEM budget: "
+                f"(n={n_k}, n1={n1_k}, q={q_k}, o={out_size})"
+            )
         outT = eps_pallas_apply_t_q8(
             wq, sw, xT, out_size, k_, n1, bn, interpret, merge_pairs
         )

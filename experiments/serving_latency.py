@@ -113,6 +113,23 @@ def main() -> None:
                "path": "exported_artifact_int8",
                "artifact_mb": round(len(q_serialized[bs]) / 1e6, 2)})
 
+    # DCTN_SERVING_DEEP=1: the deep three-EPS config (4,4),(3,12),(2,24) —
+    # shows the fast + int8 serving paths generalize past the flagship
+    # (the reference's three-EPS family, three_epses_on_fashionmnist.py).
+    if os.environ.get("DCTN_SERVING_DEEP"):
+        deep_bs = [b for b in batches if b > 1] or [128]
+        for quant, path in ((None, "deep3_pallas_fast_cmt"),
+                            ("int8", "deep3_pallas_fast_cmt_int8")):
+            cfg = EPSesPlusLinearConfig(
+                epses_specs=((4, 4), (3, 12), (2, 24)), image_size=28, q0=2,
+                train_backend="pallas", eval_backend="pallas",
+            )
+            params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+            fparams, fwd = _resolve_forward(params, cfg, quantize=quant)
+            for bs in deep_bs:
+                merge({**latency_stats(fparams, cfg, x, bs, forward_fn=fwd),
+                       "path": path})
+
 
 if __name__ == "__main__":
     main()

@@ -156,3 +156,47 @@ def test_predict_bad_input_is_400(served):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "error" in json.loads(e.read())
+
+def test_serve_int8_artifact(tmp_path):
+    """The HTTP server serves a --quantize int8 artifact transparently
+    (meta reports the mode; logits equal the in-process W8A8 forward)."""
+    from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
+    from dctn_tpu.pallas.eps_pallas_q8 import (
+        forward_fast_q8,
+        quantize_fast_params,
+    )
+    from dctn_tpu.train import save_pytree as _save
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4),), image_size=6, q0=2,
+        eval_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(40), cfg)
+    ckpt = str(tmp_path / "ckpt.npz")
+    _save(params, ckpt)
+    art = str(tmp_path / "q8.dctnx")
+    export_run(
+        checkpoint=ckpt, epses_specs=((2, 4),), image_size=6, q0=2,
+        batch_sizes=(3,), backend="pallas_interpret", quantize="int8",
+        out=art,
+    )
+    server, model = make_server(art)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        with urllib.request.urlopen(f"{base}/meta") as resp:
+            meta = json.loads(resp.read())
+        assert meta["quantize"] == "int8"
+        x = _x(3, key=41)
+        body, ctype = _post(base, x)
+        got = np.load(io.BytesIO(body))
+        fast, plans = fast_params_from_reference(params, cfg)
+        qparams = quantize_fast_params(fast, plans)
+        want = np.asarray(
+            forward_fast_q8(qparams, jax.numpy.asarray(x), cfg, plans,
+                            interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+    finally:
+        server.shutdown()
