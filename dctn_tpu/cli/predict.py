@@ -221,19 +221,30 @@ def latency_stats(params, cfg, x, batch_size: int, iters: int = 30,
               help="shard batch prediction over a data-parallel mesh of this "
                    "many devices (replicated params, one device-scan per "
                    "shard); latency figures stay single-device")
+@click.option("--quantize", type=click.Choice(("none", "int8")),
+              default="none",
+              help="score through the W8A8 int8 serving forward "
+                   "(pallas/eps_pallas_q8.py; npz checkpoints only — "
+                   "artifacts bake their quantization at export time)")
 def main(checkpoint, ds_type, ds_path, epses_specs, phi_multiplier, split,
-         batch_size, out, latency_bench, mesh_devices):
+         batch_size, out, latency_bench, mesh_devices, quantize):
     run(checkpoint=checkpoint, ds_type=ds_type, ds_path=ds_path,
         epses_specs=epses_specs, phi_multiplier=phi_multiplier, split=split,
         batch_size=batch_size, out=out, latency_bench=latency_bench,
-        mesh_devices=mesh_devices)
+        mesh_devices=mesh_devices, quantize=quantize)
 
 
 def run(*, checkpoint, ds_type, ds_path, epses_specs=None, phi_multiplier=None,
         split="test", batch_size=128, out=None, latency_bench=False,
-        mesh_devices=1, synthetic_sizes=(8192, 2048, 2048)):
+        mesh_devices=1, quantize="none", synthetic_sizes=(8192, 2048, 2048)):
+    q = None if quantize in (None, "none") else quantize
     artifact = _is_artifact(checkpoint)
     if artifact:
+        if q:
+            raise click.UsageError(
+                "--quantize applies to npz checkpoints; artifacts bake their "
+                "quantization at export time (export --quantize int8)"
+            )
         needed = {batch_size} | ({1, batch_size} if latency_bench else set())
         meta, acfg, forward_fn = _artifact_forward(checkpoint, sorted(needed))
         if meta.get("mesh_devices", 1) > 1 and mesh_devices > 1:
@@ -263,14 +274,19 @@ def run(*, checkpoint, ds_type, ds_path, epses_specs=None, phi_multiplier=None,
             )
         cfg, params = acfg, {}
     else:
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        on_tpu = jax.default_backend() == "tpu"
+        # quantized scoring needs the fast pallas pipeline; off-TPU that
+        # means interpret mode (slow but exact — the same kernel math)
+        backend = ("pallas" if on_tpu else "pallas_interpret") if q else (
+            "pallas" if on_tpu else "xla"
+        )
         cfg = EPSesPlusLinearConfig(
             epses_specs=epses_specs, image_size=image_size, q0=q0,
             eval_backend=backend,
         )
         template = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
         params = load_pytree(template, checkpoint)
-        params, forward_fn = _resolve_forward(params, cfg)
+        params, forward_fn = _resolve_forward(params, cfg, quantize=q)
     x = jnp.asarray(sp.x)
     if mesh_devices > 1:
         from ..parallel import make_mesh, make_parallel_predict_fn, shard_split

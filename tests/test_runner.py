@@ -338,6 +338,60 @@ def test_predict_cli(tmp_path):
     np.testing.assert_array_equal(np.load(out_file), preds)
 
 
+def test_predict_cli_quantized(tmp_path):
+    """--quantize int8: predictions come from the W8A8 serving forward
+    (interpret-mode kernels off-TPU), equal to the direct q8 argmax; the
+    flag is rejected for artifacts (quantization bakes at export time)."""
+    import click
+    import pytest as _pytest
+
+    from dctn_tpu.cli.predict import _resolve_forward, run as predict_run
+    from dctn_tpu.models import EPSesPlusLinearConfig, init_eps_plus_linear
+    from dctn_tpu.train import save_pytree
+    from dctn_tpu.data import load_dataset
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sizes = (64, 32, 32)
+    splits = load_dataset("mnist", "synthetic", autoscale_kernel_size=2,
+                          synthetic_sizes=sizes)
+    q0 = splits.test.x.shape[-1]
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4),), image_size=28, q0=q0,
+        eval_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(5), cfg)
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_pytree(params, ckpt)
+    preds = predict_run(
+        checkpoint=ckpt, ds_type="mnist", ds_path="synthetic",
+        epses_specs=((2, 4),), split="test", batch_size=16,
+        quantize="int8", synthetic_sizes=sizes,
+    )
+    qparams, qfwd = _resolve_forward(params, cfg, quantize="int8")
+    want = np.asarray(jnp.argmax(
+        qfwd(qparams, jnp.asarray(splits.test.x)), axis=1
+    ))
+    np.testing.assert_array_equal(preds, want)
+
+    # artifacts refuse --quantize
+    from dctn_tpu.cli.export import export_forward, write_artifact
+
+    art = str(tmp_path / "m.dctnx")
+    write_artifact(
+        art, export_forward(params, cfg, batch_sizes=(16,)),
+        {"batch_sizes": [16], "model_family": "eps", "image_size": 28,
+         "q0": q0, "channels": 1, "epses_specs": [[2, 4]], "mesh_devices": 1},
+    )
+    with _pytest.raises(click.UsageError, match="export time"):
+        predict_run(
+            checkpoint=art, ds_type="mnist", ds_path="synthetic",
+            split="test", batch_size=16, quantize="int8",
+            synthetic_sizes=sizes,
+        )
+
+
 def test_runner_fast_layout_data_parallel(tmp_path):
     """--mesh-devices with the Pallas backends auto-activates the fast (cmt)
     layout INSIDE the DP shard_map (VERDICT r2 next-round #1): training
