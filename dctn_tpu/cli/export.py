@@ -353,7 +353,7 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         params = load_pytree(template, checkpoint)
         splits = None
         if autotune_splits:
-            if backend != "pallas":
+            if backend not in ("pallas", "pallas_interpret"):
                 raise click.UsageError(
                     "--autotune-splits needs the pallas backend (the fast "
                     "layout); it is the only path with tunable splits"
@@ -382,6 +382,7 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
             tune_bs = max(batch_sizes) // max(1, mesh_devices)
             tuned, _report = _tune(
                 tune_cfg, max(1, tune_bs), channels, forward_only=True,
+                quantize=None if quantize == "none" else quantize,
                 log_fn=lambda m: click.echo(m, err=True),
             )
             splits = tuple(p["n1"] for p in tuned)

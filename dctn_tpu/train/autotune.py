@@ -71,11 +71,14 @@ def candidate_splits(
 
 def _measure_candidate(
     c, q, h, w, kernel_size, out_size, n1, batch_size, compute_dtype,
-    interpret, is_first_layer, key, forward_only=False,
+    interpret, is_first_layer, key, forward_only=False, quantize=None,
 ):
     """fwd+bwd (or fwd-only for serving) ms/step of one layer at one split,
     synthetic operands (no data-dependent control flow in the kernels —
-    values cannot change the timing, only shapes do)."""
+    values cannot change the timing, only shapes do). ``quantize="int8"``
+    (with forward_only) times the W8A8 serving kernel instead — the int8
+    MXU halves the matmul time, so the split that balances matmul against
+    the VPU chain work can differ from the f32 pick."""
     from ..pallas.eps_pallas import (
         _kernel_dims,
         eps_pallas_apply_t_cmt,
@@ -94,13 +97,40 @@ def _measure_candidate(
     k1, k2 = jax.random.split(key)
     cmt = jax.random.normal(k1, (z, a), jnp.float32) * a**-0.5
     xT = jax.random.uniform(k2, (c, q, h, w, batch_size), jnp.float32)
-    args = (
-        out_size, kernel_size, n1, bn, interpret, mm_dtype, merge_pairs,
-        is_first_layer,
-    )
 
-    def loss(cmt_, xT_):
-        return jnp.sum(eps_pallas_apply_t_cmt(cmt_, xT_, *args))
+    if quantize == "int8":
+        assert forward_only, "int8 is a serving-only objective"
+        from ..pallas.eps_pallas_q8 import (
+            eps_pallas_apply_t_q8,
+            plan_q8_bn,
+            quantize_cmt,
+        )
+
+        wq, sw = quantize_cmt(cmt)
+        bn_q = plan_q8_bn(
+            n_k, n1_k, q_k, out_size, max(128, -(-npix // 128) * 128)
+        )
+        if bn_q is None:
+            raise ValueError(
+                f"split n1={n1} does not fit the q8 kernel's VMEM budget"
+            )
+
+        def loss(cmt_, xT_):
+            return jnp.sum(
+                eps_pallas_apply_t_q8(
+                    wq, sw, xT_, out_size, kernel_size, n1, bn_q, interpret,
+                    merge_pairs,
+                )
+            )
+
+    else:
+        args = (
+            out_size, kernel_size, n1, bn, interpret, mm_dtype, merge_pairs,
+            is_first_layer,
+        )
+
+        def loss(cmt_, xT_):
+            return jnp.sum(eps_pallas_apply_t_cmt(cmt_, xT_, *args))
 
     if forward_only:  # serving objective: inference has no backward
         fwd = jax.jit(loss)
@@ -201,6 +231,7 @@ def autotune_splits(
     reg_coeff: float = 0.0,
     min_gain: float = 0.02,
     forward_only: bool = False,
+    quantize: Optional[str] = None,
     log_fn: Optional[Callable[[str], None]] = None,
     seed: int = 0,
 ):
@@ -215,6 +246,10 @@ def autotune_splits(
     forward, no backward, no regularizer) — used by the export CLI to pick
     splits for baked artifacts; training and serving can prefer different
     splits since the backward's pass shapes dominate the training pick.
+    ``quantize="int8"`` (serving only) times the W8A8 kernel the artifact
+    will actually run — its int8 MXU matmul is ~2× the f32 rate, which can
+    shift the optimal matmul/VPU-chain balance; a candidate that does not
+    fit the q8 VMEM plan is skipped like any other failed candidate.
 
     When the run trains with the epses_composition regularizer, each
     candidate is charged its marginal regularizer cost too (see
@@ -252,7 +287,7 @@ def autotune_splits(
                 ms = _measure_candidate(
                     c, q, h, w, kernel_size, out_size, n1, batch_size,
                     cfg.compute_dtype, interpret, i == 0, sub,
-                    forward_only=forward_only,
+                    forward_only=forward_only, quantize=quantize,
                 )
                 row = {"n1": n1, "ms": ms}
                 if charge_reg:
@@ -280,7 +315,8 @@ def autotune_splits(
             log(
                 f"autotune L{i} (K={kernel_size}, Q={q}->O={out_size}) "
                 f"n1={n1}: {row['ms']:.3f} ms "
-                + ("fwd" if forward_only else "fwd+bwd")
+                + (("fwd-q8" if quantize == "int8" else "fwd")
+                   if forward_only else "fwd+bwd")
                 + (f" (reg {row['reg_ms']:.3f})" if charge_reg else "")
                 + f" (compile+measure {time.perf_counter() - t0:.0f}s)"
             )

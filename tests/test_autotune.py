@@ -201,3 +201,59 @@ def test_runner_autotune_splits(tmp_path):
 
     records = load_records(os.path.join(out, "log.log"))
     assert records[-1].trmce < records[0].trmce
+
+def test_autotune_q8_serving_objective(tmp_path):
+    """quantize="int8" + forward_only tunes by timing the W8A8 kernel; the
+    export CLI passes its --quantize through, and the tuned int8 artifact
+    still reproduces the in-process q8 forward at the tuned splits."""
+    from dctn_tpu.cli.export import (
+        load_artifact,
+        run as export_run,
+    )
+    from dctn_tpu.pallas.eps_pallas_q8 import (
+        forward_fast_q8,
+        quantize_fast_params,
+    )
+    from dctn_tpu.train import save_pytree
+
+    cfg = _cfg()
+    plans, report = autotune_splits(
+        cfg, 8, max_candidates=2, min_gain=0.0,
+        forward_only=True, quantize="int8",
+    )
+    base = fast_layer_plans(cfg)
+    assert len(plans) == len(base)
+    for p, r in zip(plans, report):
+        n = p["kernel_size"] ** 2 * p["c"]
+        assert p["n1"] in eps_mod.split_candidates(n, p["q"])
+        ok = [row for row in r["candidates"] if "ms" in row]
+        assert ok and r["picked_n1"] == min(ok, key=lambda x: x["ms"])["n1"]
+
+    # export end-to-end: --autotune-splits + --quantize int8
+    params = init_eps_plus_linear(jax.random.PRNGKey(50), cfg)
+    ckpt = str(tmp_path / "m.npz")
+    save_pytree(params, ckpt)
+    art = str(tmp_path / "tuned_q8.dctnx")
+    export_run(
+        checkpoint=ckpt, epses_specs=cfg.epses_specs, image_size=8, q0=2,
+        batch_sizes=(4,), backend="pallas_interpret", quantize="int8",
+        autotune_splits=True, out=art,
+    )
+    meta, fns = load_artifact(art)
+    assert meta["quantize"] == "int8"
+    tuned = tuple(meta["autotuned_splits"])
+    trial_plans = tuple(
+        {**p, "n1": n1} for p, n1 in zip(base, tuned)
+    )
+    fast, trial_plans = fast_params_from_reference(params, cfg, trial_plans)
+    qparams = quantize_fast_params(fast, trial_plans)
+    x = (
+        jax.random.uniform(jax.random.PRNGKey(51), (1, 4, 8, 8, 2))
+        .astype(jnp.float32)
+        * 1.4
+    )
+    got = np.asarray(fns[4](x))
+    want = np.asarray(
+        forward_fast_q8(qparams, x, cfg, trial_plans, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
