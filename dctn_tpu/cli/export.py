@@ -330,6 +330,12 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
                 "--quantize needs the pallas backend (the W8A8 kernels live "
                 "on the fast pipeline; pass --backend pallas or target tpu)"
             )
+        if compute_dtype == "bfloat16":
+            raise click.UsageError(
+                "--quantize int8 and --compute-dtype bfloat16 are mutually "
+                "exclusive: the W8A8 kernels fix their own dtypes (int8 MXU "
+                "accumulating in int32, f32 elsewhere)"
+            )
     if mesh_devices > 1 and model_family != "eps":
         raise click.UsageError("--mesh-devices > 1 needs --model-family eps")
     if mesh_devices > 1:

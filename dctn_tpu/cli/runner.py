@@ -1125,8 +1125,10 @@ def run(**kwargs) -> TrainLoopState:
             build_meta(
                 model_family="eps", image_size=cfg.image_size,
                 batch_sizes=bss, backend=cfg.eval_backend,
+                # a quantized artifact's non-MXU math is f32 regardless of
+                # the TRAINING compute dtype (the q8 kernels fix their own)
                 compute_dtype="bfloat16"
-                if cfg.compute_dtype is not None
+                if cfg.compute_dtype is not None and not exp_q
                 else "float32",
                 quantize=exp_q or "none",
                 epses_specs=[list(s) for s in cfg.epses_specs],

@@ -113,22 +113,41 @@ def main() -> None:
                "path": "exported_artifact_int8",
                "artifact_mb": round(len(q_serialized[bs]) / 1e6, 2)})
 
-    # DCTN_SERVING_DEEP=1: the deep three-EPS config (4,4),(3,12),(2,24) —
-    # shows the fast + int8 serving paths generalize past the flagship
-    # (the reference's three-EPS family, three_epses_on_fashionmnist.py).
+    # DCTN_SERVING_DEEP=1: the deep three-EPS config (4,4),(3,12),(2,24) and
+    # the 3-channel CIFAR-YCbCr K=2 Q=24 config — shows the fast + int8
+    # serving paths generalize past the flagship (the reference's three-EPS
+    # family and its best CIFAR config, README.org:75).
     if os.environ.get("DCTN_SERVING_DEEP"):
         deep_bs = [b for b in batches if b > 1] or [128]
-        for quant, path in ((None, "deep3_pallas_fast_cmt"),
-                            ("int8", "deep3_pallas_fast_cmt_int8")):
-            cfg = EPSesPlusLinearConfig(
-                epses_specs=((4, 4), (3, 12), (2, 24)), image_size=28, q0=2,
-                train_backend="pallas", eval_backend="pallas",
+        for specs, img, ch, tag in (
+            (((4, 4), (3, 12), (2, 24)), 28, 1, "deep3"),
+            (((2, 24),), 32, 3, "cifar_c3_k2q24"),
+        ):
+            xin = x if ch == 1 and img == 28 else (
+                jax.random.uniform(
+                    jax.random.PRNGKey(2), (ch, max(deep_bs), img, img, 2),
+                    jnp.float32,
+                ) * 1.4
             )
-            params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
-            fparams, fwd = _resolve_forward(params, cfg, quantize=quant)
-            for bs in deep_bs:
-                merge({**latency_stats(fparams, cfg, x, bs, forward_fn=fwd),
-                       "path": path})
+            for quant, suffix in ((None, ""), ("int8", "_int8")):
+                cfg = EPSesPlusLinearConfig(
+                    epses_specs=specs, image_size=img, q0=2,
+                    train_backend="pallas", eval_backend="pallas",
+                )
+                # empirical init infers C from the init input (the
+                # theoretical path is single-channel by spec)
+                params = init_eps_plus_linear(
+                    jax.random.PRNGKey(0), cfg,
+                    "unit_empirical_output_std",
+                    init_input=xin[:, :64],
+                ) if ch > 1 else init_eps_plus_linear(
+                    jax.random.PRNGKey(0), cfg
+                )
+                fparams, fwd = _resolve_forward(params, cfg, quantize=quant)
+                for bs in deep_bs:
+                    merge({**latency_stats(fparams, cfg, xin, bs,
+                                           forward_fn=fwd),
+                           "path": f"{tag}_pallas_fast_cmt{suffix}"})
 
 
 if __name__ == "__main__":

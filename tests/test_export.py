@@ -383,6 +383,12 @@ def test_export_quantized_cli_validation(tmp_path):
             batch_sizes=(2,), backend="xla", quantize="int8",
             out=str(tmp_path / "bad.dctnx"),
         )
+    with _pytest.raises(click.UsageError, match="mutually exclusive"):
+        export_run(
+            checkpoint=ckpt, epses_specs=CFG.epses_specs, image_size=6,
+            batch_sizes=(2,), backend="pallas_interpret", quantize="int8",
+            compute_dtype="bfloat16", out=str(tmp_path / "bad2.dctnx"),
+        )
 
 def test_export_sharded_forward_int8_8device_mesh(tmp_path):
     """Multi-chip int8 serving: `--mesh-devices N --quantize int8` compose —
