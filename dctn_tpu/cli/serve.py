@@ -22,9 +22,12 @@ Usage:
 
 from __future__ import annotations
 
+import collections
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -38,20 +41,35 @@ class ArtifactModel:
     """Batch-size routing over an artifact's static entry points: a request
     of any batch size is chunked to the largest exported size and the tail
     padded to the smallest one that fits (padding rows are model re-runs of
-    the last example; they are trimmed before returning)."""
+    the last example; they are trimmed before returning).
 
-    def __init__(self, path: str):
+    ``microbatch_wait_s > 0`` enables CROSS-REQUEST micro-batching: the
+    first request in an idle window waits up to that long for concurrent
+    requests, and same-shaped ones are coalesced into one device call up to
+    the largest exported entry point (exact: the batch dim is never a
+    reduction — each example's logits are unchanged by its neighbors).
+    This turns N concurrent bs-1 clients padding the smallest entry each
+    into one shared call; the trade is up to ``microbatch_wait_s`` of added
+    latency on an idle server."""
+
+    def __init__(self, path: str, microbatch_wait_s: float = 0.0):
         self.meta, self.fns = load_artifact(path)
         self.sizes = sorted(self.fns)
         self.family = self.meta.get("model_family", "eps")
         self.batch_axis = 1 if self.family == "eps" else 0
         self.in_dtype = self.meta.get("in_dtype", "float32")
         self._lock = threading.Lock()  # device calls are serialized
+        self._batcher = (
+            _MicroBatcher(self, microbatch_wait_s)
+            if microbatch_wait_s > 0
+            else None
+        )
 
     def _call(self, bs: int, xb: np.ndarray) -> np.ndarray:
         return np.asarray(self.fns[bs](xb.astype(self.in_dtype)))
 
     def predict(self, x: np.ndarray) -> np.ndarray:
+        """Direct chunk+pad prediction (one request, no coalescing)."""
         ax = self.batch_axis
         n = x.shape[ax]
         if n == 0:
@@ -69,6 +87,102 @@ class ArtifactModel:
                 outs.append(self._call(bs, xb)[:take])
                 start += take
         return np.concatenate(outs)
+
+    def submit(self, x: np.ndarray) -> np.ndarray:
+        """Request entry point: through the micro-batcher when enabled."""
+        if self._batcher is None:
+            return self.predict(x)
+        return self._batcher.submit(x)
+
+    def close(self):
+        if self._batcher is not None:
+            self._batcher.close()
+
+
+class _MicroBatcher:
+    """Coalesce concurrent same-shaped requests into shared device calls.
+
+    One dispatcher thread drains a queue: the first request opens a window
+    of ``wait_s``; further requests whose non-batch dims match join until
+    the window closes or the largest entry point fills. Different-shaped
+    arrivals close the group (they start the next one) so heterogeneous
+    clients never corrupt each other. Exceptions from the shared call
+    propagate to every member of the group."""
+
+    def __init__(self, model: ArtifactModel, wait_s: float):
+        self.model = model
+        self.wait_s = wait_s
+        self.max_batch = model.sizes[-1]
+        self.q: queue.Queue = queue.Queue()
+        self._held = collections.deque()  # different-shape carry-over
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, x: np.ndarray) -> np.ndarray:
+        n = x.shape[self.model.batch_axis]
+        if n == 0:
+            raise ValueError("empty batch")
+        item = {"x": x, "n": n, "evt": threading.Event()}
+        self.q.put(item)
+        item["evt"].wait()
+        if "err" in item:
+            raise item["err"]
+        return item["out"]
+
+    def close(self):
+        self.q.put(None)
+
+    def _shape_key(self, x: np.ndarray):
+        ax = self.model.batch_axis
+        return tuple(d for i, d in enumerate(x.shape) if i != ax) + (
+            x.ndim,
+        )
+
+    def _loop(self):
+        while True:
+            first = self._held.popleft() if self._held else self.q.get()
+            if first is None:
+                return
+            group, total = [first], first["n"]
+            key = self._shape_key(first["x"])
+            deadline = time.monotonic() + self.wait_s
+            while total < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self.q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if item is None:
+                    self.q.put(None)  # re-arm shutdown after this group
+                    break
+                if (
+                    self._shape_key(item["x"]) != key
+                    or total + item["n"] > self.max_batch
+                ):
+                    self._held.append(item)  # opens the next group
+                    break
+                group.append(item)
+                total += item["n"]
+            ax = self.model.batch_axis
+            try:
+                xs = (
+                    group[0]["x"]
+                    if len(group) == 1
+                    else np.concatenate([it["x"] for it in group], axis=ax)
+                )
+                out = self.model.predict(xs)
+            except Exception as e:
+                for it in group:
+                    it["err"] = e
+                    it["evt"].set()
+                continue
+            start = 0
+            for it in group:
+                it["out"] = out[start : start + it["n"]]
+                start += it["n"]
+                it["evt"].set()
 
 
 def _handler_for(model: ArtifactModel):
@@ -111,7 +225,7 @@ def _handler_for(model: ArtifactModel):
             except Exception as e:  # not a .npy body → client error
                 return self._json(400, {"error": str(e)})
             try:
-                logits = model.predict(x)
+                logits = model.submit(x)
             except (ValueError, TypeError, KeyError) as e:
                 # shape/dtype/rank mismatches → client error
                 return self._json(400, {"error": str(e)})
@@ -133,10 +247,11 @@ def _handler_for(model: ArtifactModel):
     return Handler
 
 
-def make_server(artifact: str, host: str = "127.0.0.1", port: int = 0):
+def make_server(artifact: str, host: str = "127.0.0.1", port: int = 0,
+                microbatch_wait_s: float = 0.0):
     """(server, model) — serve with ``server.serve_forever()``; port 0 picks
     an ephemeral one (``server.server_address[1]``)."""
-    model = ArtifactModel(artifact)
+    model = ArtifactModel(artifact, microbatch_wait_s=microbatch_wait_s)
     server = ThreadingHTTPServer((host, port), _handler_for(model))
     return server, model
 
@@ -145,16 +260,29 @@ def make_server(artifact: str, host: str = "127.0.0.1", port: int = 0):
 @click.argument("artifact", type=click.Path(exists=True, dir_okay=False))
 @click.option("--host", default="127.0.0.1")
 @click.option("--port", type=int, default=8000)
-def main(artifact, host, port):
-    server, model = make_server(artifact, host, port)
+@click.option("--microbatch-wait-ms", type=float, default=0.0,
+              help="coalesce concurrent same-shaped requests into shared "
+                   "device calls, waiting up to this long for companions "
+                   "(0 = off). Exact per example; adds up to this much "
+                   "latency on an idle server")
+def main(artifact, host, port, microbatch_wait_ms):
+    server, model = make_server(
+        artifact, host, port, microbatch_wait_s=microbatch_wait_ms / 1e3
+    )
     print(
         f"serving {model.family} artifact on http://{host}:"
-        f"{server.server_address[1]} (entry points: bs {model.sizes})"
+        f"{server.server_address[1]} (entry points: bs {model.sizes}"
+        + (
+            f", micro-batching {microbatch_wait_ms:g} ms)"
+            if microbatch_wait_ms > 0
+            else ")"
+        )
     )
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+        model.close()
 
 
 if __name__ == "__main__":

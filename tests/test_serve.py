@@ -200,3 +200,92 @@ def test_serve_int8_artifact(tmp_path):
         np.testing.assert_array_equal(got, want)
     finally:
         server.shutdown()
+
+def test_serve_microbatching_coalesces(tmp_path):
+    """--microbatch-wait-ms: concurrent bs-1 requests share device calls
+    (fewer calls than requests) and every client still gets ITS example's
+    exact logits."""
+    import concurrent.futures
+
+    params = init_eps_plus_linear(jax.random.PRNGKey(60), CFG)
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_pytree(params, ckpt)
+    art = str(tmp_path / "mb.dctnx")
+    export_run(
+        checkpoint=ckpt, epses_specs=((2, 4),), image_size=6, q0=2,
+        batch_sizes=(1, 8), backend="xla", out=art,
+    )
+    server, model = make_server(art, microbatch_wait_s=0.5)
+    calls = []
+    orig = model._call
+
+    def counting_call(bs, xb):
+        calls.append(bs)
+        return orig(bs, xb)
+
+    model._call = counting_call
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        xs = [_x(1, key=100 + i) for i in range(6)]
+
+        def post_one(x):
+            body, _ = _post(base, x)
+            return np.load(io.BytesIO(body))
+
+        with concurrent.futures.ThreadPoolExecutor(6) as pool:
+            outs = list(pool.map(post_one, xs))
+        for x, got in zip(xs, outs):
+            np.testing.assert_allclose(
+                got, _want(params, x), rtol=0, atol=1e-5
+            )
+        # coalescing happened: 6 concurrent bs-1 requests took < 6 calls
+        assert len(calls) < 6, calls
+    finally:
+        server.shutdown()
+        model.close()
+
+
+def test_serve_microbatching_shape_isolation(tmp_path):
+    """A mis-shaped request under micro-batching errors alone — it cannot
+    join (or corrupt) a group of valid same-shaped requests."""
+    import concurrent.futures
+    import urllib.error
+
+    params = init_eps_plus_linear(jax.random.PRNGKey(61), CFG)
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_pytree(params, ckpt)
+    art = str(tmp_path / "mb2.dctnx")
+    export_run(
+        checkpoint=ckpt, epses_specs=((2, 4),), image_size=6, q0=2,
+        batch_sizes=(1, 4), backend="xla", out=art,
+    )
+    server, model = make_server(art, microbatch_wait_s=0.3)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        good = _x(1, key=200)
+        bad = np.zeros((1, 1, 5, 5, 2), np.float32)  # wrong H, W
+
+        def post_status(x):
+            try:
+                body, _ = _post(base, x)
+                return 200, np.load(io.BytesIO(body))
+            except urllib.error.HTTPError as e:
+                return e.code, None
+
+        with concurrent.futures.ThreadPoolExecutor(2) as pool:
+            f_good = pool.submit(post_status, good)
+            f_bad = pool.submit(post_status, bad)
+            code_g, out_g = f_good.result()
+            code_b, out_b = f_bad.result()
+        assert code_g == 200
+        np.testing.assert_allclose(
+            out_g, _want(params, good), rtol=0, atol=1e-5
+        )
+        assert code_b in (400, 500) and out_b is None
+    finally:
+        server.shutdown()
+        model.close()
