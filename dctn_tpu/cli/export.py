@@ -324,7 +324,12 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         backend = "pallas" if all(t == "tpu" for t in targets) else "xla"
     if quantize != "none":
         if model_family != "eps":
-            raise click.UsageError("--quantize needs --model-family eps")
+            raise click.UsageError(
+                "--quantize needs --model-family eps: int8 W8A8 doubles "
+                "MXU matmul rate, but the ConvSBS kernels are VPU-bound "
+                "bond folds with no MXU matmul to quantize (and KB-scale "
+                "cores) — see docs/deployment.md"
+            )
         if backend not in ("pallas", "pallas_interpret"):
             raise click.UsageError(
                 "--quantize needs the pallas backend (the W8A8 kernels live "

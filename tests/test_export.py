@@ -389,6 +389,14 @@ def test_export_quantized_cli_validation(tmp_path):
             batch_sizes=(2,), backend="pallas_interpret", quantize="int8",
             compute_dtype="bfloat16", out=str(tmp_path / "bad2.dctnx"),
         )
+    # int8 is an MXU-rate play; the ConvSBS family is VPU-bound bond folds
+    # with nothing to quantize (docs/deployment.md) — refused, not silent
+    with _pytest.raises(click.UsageError, match="VPU-bound"):
+        export_run(
+            checkpoint=ckpt, model_family="conv_sbs", image_size=6,
+            batch_sizes=(2,), backend="pallas_interpret", quantize="int8",
+            out=str(tmp_path / "bad3.dctnx"),
+        )
 
 def test_export_sharded_forward_int8_8device_mesh(tmp_path):
     """Multi-chip int8 serving: `--mesh-devices N --quantize int8` compose —
