@@ -304,6 +304,18 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
                    "— ~1.65x serving throughput on v5e, 4x smaller weights)")
 @click.option("--eval-train-subset", type=int, default=None,
               help="score only this many train samples per eval (full set if unset)")
+@click.option("--profile-dir", type=click.Path(file_okay=False), default=None,
+              help="capture a jax.profiler (XProf/TensorBoard) device trace "
+                   "of training iterations into this directory — the "
+                   "'profile, iterate' loop for kernel/step analysis")
+@click.option("--profile-iters", nargs=2, type=int, default=(10, 5),
+              help="START COUNT window for --profile-dir (default: iters "
+                   "10-14, past the first-compile iterations)")
+@click.option("--preempt-save/--no-preempt-save", default=True,
+              help="on SIGTERM (TPU preemption / maintenance): finish the "
+                   "in-flight step, save the full train state, stop cleanly "
+                   "— --resume-from train_state_latest.npz then continues "
+                   "the trajectory exactly (train/preemption.py)")
 def main(**kwargs) -> None:
     run(**kwargs)
 
@@ -939,6 +951,16 @@ def run(**kwargs) -> TrainLoopState:
     else:
         resume_step = 0
 
+    if resume_step:
+        # exact resume: the epoch-shuffled index stream is a seeded host-RNG
+        # chain that would restart at epoch 0 — fast-forward it to the saved
+        # step so the resumed run consumes exactly the batches the
+        # uninterrupted run would have (host-side permutation draws only;
+        # with the restored rng chain + optimizer state this makes resumed
+        # trajectories bit-identical, tests/test_preemption.py)
+        for _ in range(resume_step):
+            next(index_stream)
+
     schedule = every_n_iters_intervals(*kwargs["eval_schedule"])
 
     def evaluate_and_log(state: TrainLoopState) -> None:
@@ -970,16 +992,21 @@ def run(**kwargs) -> TrainLoopState:
 
     writer = AsyncWriter()
 
-    def save_train_state(state: TrainLoopState) -> None:
+    def save_train_state(
+        state: TrainLoopState, completed_offset: int = 0
+    ) -> None:
         """Full-resume checkpoint: params + optimizer state + step + rng.
         ``param_layout`` tags the layout (0 = reference/TP, 1 = fast cmt) so
         a resume under different options fails with a clear message instead
-        of a cryptic missing-leaf error."""
+        of a cryptic missing-leaf error. ``completed_offset`` is 1 when
+        called AFTER a step (the preemption hook): ``state.num_iters_done``
+        then names the just-completed iteration and ``state.rng`` is already
+        the next iteration's carry, so the saved step must point one past."""
         writer.submit(
             {
                 "params": state.params,
                 "opt_state": state.opt_state,
-                "step": state.num_iters_done,
+                "step": state.num_iters_done + completed_offset,
                 "rng": jax.random.key_data(state.rng),
                 "param_layout": np.int32(1 if params_layout_fast else 0),
                 # the cmt shapes depend on each layer's matmul split — tag
@@ -1099,8 +1126,33 @@ def run(**kwargs) -> TrainLoopState:
     )
     state.extras["output_dir"] = output_dir
     state.extras["cfg"] = cfg
-    train(state, step, gather, index_stream,
-          at_iter_start=at_iter_start, after_step=after_step)
+    tracer = None
+    if kwargs["profile_dir"]:
+        from ..utils.profiling import StepTracer
+
+        tracer = StepTracer(kwargs["profile_dir"], *kwargs["profile_iters"])
+        at_iter_start = list(at_iter_start) + [tracer]
+    if kwargs["preempt_save"]:
+        from ..train.preemption import PreemptionHandler
+
+        preempt = PreemptionHandler()
+        # checked every iteration (a Python flag read — free): before the
+        # step with the at-iter-start step semantics, and right after the
+        # step with completed_offset=1 (rng is already the next carry)
+        at_iter_start = [preempt.make_hook(save_train_state)] + list(
+            at_iter_start
+        )
+        after_step = list(after_step) + [
+            preempt.make_hook(lambda st: save_train_state(st, 1))
+        ]
+        with preempt:
+            train(state, step, gather, index_stream,
+                  at_iter_start=at_iter_start, after_step=after_step)
+    else:
+        train(state, step, gather, index_stream,
+              at_iter_start=at_iter_start, after_step=after_step)
+    if tracer is not None:
+        tracer.close()
     writer.wait()
     logger.info("training stopped: %s at %d iters", state.stop_reason,
                 state.num_iters_done)
