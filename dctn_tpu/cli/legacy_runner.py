@@ -55,6 +55,24 @@ def permute_pixels_batch(images: np.ndarray, permutation) -> np.ndarray:
     return images.reshape(n, h * w)[:, permutation].reshape(n, h, w)
 
 
+def _train_state_tree(params, opt_state, epoch: int, step_in_epoch: int,
+                      best_acc: float, bad_epochs: int) -> dict:
+    """The legacy family's full-resume payload: everything the epoch loop
+    needs to continue a trajectory EXACTLY — TT cores, optimizer state (which
+    also carries the warmup-LR step count), the (epoch, step) position, and
+    the best-model/early-stopping bookkeeping. The epoch-shuffle rng is NOT
+    stored: it is a seeded chain of permutation draws, so the runner
+    fast-forwards it deterministically to ``epoch`` on resume."""
+    return {
+        "params": params,
+        "opt_state": opt_state,
+        "epoch": np.int64(epoch),
+        "step_in_epoch": np.int64(step_in_epoch),
+        "best_acc": np.float64(best_acc),
+        "bad_epochs": np.int64(bad_epochs),
+    }
+
+
 @click.command()
 @click.option("--ds-path", type=str, required=True,
               help="MNIST root, or 'synthetic'")
@@ -93,6 +111,23 @@ def permute_pixels_batch(images: np.ndarray, permutation) -> np.ndarray:
                    "jax.export deployment artifact (cli/export.py format)")
 @click.option("--export-batch-sizes", type=str, default="1,100",
               help="comma-separated serving batch sizes for --export-artifact")
+@click.option("--resume-from", type=click.Path(exists=True, dir_okay=False),
+              default=None,
+              help="train_state_latest.npz from a previous (possibly "
+                   "preempted) run — restores params + optimizer + epoch/"
+                   "step + best-model bookkeeping and fast-forwards the "
+                   "epoch-shuffle rng, continuing the trajectory exactly")
+@click.option("--preempt-save/--no-preempt-save", default=True,
+              help="on SIGTERM (TPU preemption / maintenance): finish the "
+                   "in-flight step, save the full train state, stop cleanly "
+                   "— --resume-from train_state_latest.npz then continues "
+                   "the trajectory exactly (train/preemption.py)")
+@click.option("--profile-dir", type=click.Path(file_okay=False), default=None,
+              help="capture a jax.profiler (XProf/TensorBoard) device trace "
+                   "of training iterations into this directory")
+@click.option("--profile-iters", nargs=2, type=int, default=(10, 5),
+              help="START COUNT window for --profile-dir (default: iters "
+                   "10-14, past the first-compile iterations)")
 @click.option("--seed", type=int, default=0)
 @click.option("--synthetic-sizes", nargs=2, type=int, default=(2048, 512))
 @click.option("--tb-log-every-n-epochs", type=int, default=10,
@@ -209,6 +244,26 @@ def run(**kw):
     )
     opt_state = opt.init(params)
 
+    # --- full-resume restore (preemption recovery; no reference analog —
+    # mnist.py can only reload best WEIGHTS by hand and loses the optimizer,
+    # LR-warmup position and early-stopping bookkeeping) ---
+    resume_epoch, resume_step = 0, 0
+    best_acc, best_file, bad_epochs = -1.0, None, 0
+    if kw["resume_from"]:
+        saved = load_pytree(
+            _train_state_tree(params, opt_state, 0, 0, 0.0, 0),
+            kw["resume_from"],
+        )
+        params, opt_state = saved["params"], saved["opt_state"]
+        resume_epoch = int(saved["epoch"])
+        resume_step = int(saved["step_in_epoch"])
+        best_acc = float(saved["best_acc"])
+        bad_epochs = int(saved["bad_epochs"])
+        logger.info(
+            "resumed train state from %s at epoch %d step %d",
+            kw["resume_from"], resume_epoch, resume_step,
+        )
+
     n_mesh = kw["mesh_devices"]
     rng = np.random.default_rng(kw["seed"] + 1)
     if n_mesh > 1:
@@ -248,14 +303,20 @@ def run(**kw):
             n_mesh, per_dev,
         )
 
-        def epoch_batches():
+        def epoch_batches(skip: int = 0):
             orders = [rng.permutation(v) for v in valid_per_shard]
-            for s in range(dp_steps_per_epoch):
+            for s in range(skip, dp_steps_per_epoch):
                 idx = np.stack([
                     orders[d][s * per_dev : (s + 1) * per_dev]
                     for d in range(n_mesh)
                 ]).astype(np.int32)
-                yield jax.device_put(idx, idx_sharding)
+                yield s, jax.device_put(idx, idx_sharding)
+
+        def skip_epoch_rng():
+            for v in valid_per_shard:
+                rng.permutation(v)
+
+        steps_this_epoch = dp_steps_per_epoch
 
         def do_step(p, o, idx):
             return dp_step(p, o, tr_split.x, tr_split.y, idx)
@@ -290,12 +351,17 @@ def run(**kw):
             acc = jnp.mean((jnp.argmax(logits, 1) == y).astype(jnp.float32))
             return ce, acc
 
-        def epoch_batches():
+        def epoch_batches(skip: int = 0):
             order = rng.permutation(len(y_tr_host))
-            for s in range(steps_per_epoch):
-                yield jnp.asarray(
+            for s in range(skip, steps_per_epoch):
+                yield s, jnp.asarray(
                     order[s * kw["batch_size"] : (s + 1) * kw["batch_size"]]
                 )
+
+        def skip_epoch_rng():
+            rng.permutation(len(y_tr_host))
+
+        steps_this_epoch = steps_per_epoch
 
         do_step = step
 
@@ -348,36 +414,92 @@ def run(**kw):
                 it,
             )
 
-    best_acc, best_file, bad_epochs = -1.0, None, 0
-    for epoch in range(kw["epochs"]):
-        for idx in epoch_batches():
-            params, opt_state, loss = do_step(params, opt_state, idx)
-        vce, vacc = do_score(params)
-        vce, vacc = float(vce), float(vacc)
-        logger.info("epoch %d: val ce=%.5f acc=%.2f%%", epoch, vce, vacc * 100)
-        if tb_every and epoch % tb_every == 0:
-            it = (epoch + 1) * steps_per_epoch
-            tb_writer.add_scalar("val/mean_ce", vce, it)
-            tb_writer.add_scalar("val/acc", vacc, it)
-            tb_writer.add_scalar("train/last_batch_loss", float(loss), it)
-            log_tb(params, it)
-        if vacc > best_acc:
-            best_acc, bad_epochs = vacc, 0
-            new_file = os.path.join(
-                kw["models_dir"], f"dctn_epoch={epoch}_vacc={vacc:.4f}.npz"
-            )
-            save_pytree(params, new_file)
-            if best_file and os.path.exists(best_file):
-                os.remove(best_file)
-            best_file = new_file
-        else:
-            bad_epochs += 1
-            if (
-                kw["early_stopping_patience_num_epochs"] is not None
-                and bad_epochs > kw["early_stopping_patience_num_epochs"]
-            ):
-                logger.info("early stopping at epoch %d", epoch)
+    # --- SIGTERM preemption + per-epoch full-state saves + optional step
+    # tracing (the new runner's --preempt-save/--profile-dir surfaces for
+    # the legacy family; train/preemption.py) ---
+    import contextlib
+    from types import SimpleNamespace
+
+    tracer = None
+    if kw["profile_dir"]:
+        from ..utils.profiling import StepTracer
+
+        tracer = StepTracer(kw["profile_dir"], *kw["profile_iters"])
+
+    preempt = None
+    if kw["preempt_save"]:
+        from ..train.preemption import PreemptionHandler
+
+        preempt = PreemptionHandler()
+
+    state_file = os.path.join(kw["models_dir"], "train_state_latest.npz")
+
+    def save_train_state(epoch: int, step_in_epoch: int) -> None:
+        save_pytree(
+            _train_state_tree(params, opt_state, epoch, step_in_epoch,
+                              best_acc, bad_epochs),
+            state_file,
+        )
+
+    # fast-forward the epoch-shuffle rng chain over completed epochs so the
+    # resumed run consumes exactly the batches the uninterrupted one would
+    for _ in range(resume_epoch):
+        skip_epoch_rng()
+
+    loss = float("nan")
+    preempted = False
+    with preempt if preempt is not None else contextlib.nullcontext():
+        for epoch in range(resume_epoch, kw["epochs"]):
+            skip = resume_step if epoch == resume_epoch else 0
+            for s, idx in epoch_batches(skip):
+                if tracer is not None:
+                    tracer(SimpleNamespace(
+                        num_iters_done=epoch * steps_this_epoch + s))
+                params, opt_state, loss = do_step(params, opt_state, idx)
+                if preempt is not None and preempt.fired is not None:
+                    # the in-flight step finished; save mid-epoch so resume
+                    # continues at batch s+1 of this epoch
+                    save_train_state(epoch, s + 1)
+                    logger.info(
+                        "training stopped: preempted (%s) at epoch %d step "
+                        "%d; train state saved for --resume-from",
+                        preempt.fired, epoch, s + 1,
+                    )
+                    preempted = True
+                    break
+            if preempted:
                 break
+            vce, vacc = do_score(params)
+            vce, vacc = float(vce), float(vacc)
+            logger.info("epoch %d: val ce=%.5f acc=%.2f%%", epoch, vce, vacc * 100)
+            if tb_every and epoch % tb_every == 0:
+                it = (epoch + 1) * steps_per_epoch
+                tb_writer.add_scalar("val/mean_ce", vce, it)
+                tb_writer.add_scalar("val/acc", vacc, it)
+                tb_writer.add_scalar("train/last_batch_loss", float(loss), it)
+                log_tb(params, it)
+            if vacc > best_acc:
+                best_acc, bad_epochs = vacc, 0
+                new_file = os.path.join(
+                    kw["models_dir"], f"dctn_epoch={epoch}_vacc={vacc:.4f}.npz"
+                )
+                save_pytree(params, new_file)
+                if best_file and os.path.exists(best_file):
+                    os.remove(best_file)
+                best_file = new_file
+            else:
+                bad_epochs += 1
+                if (
+                    kw["early_stopping_patience_num_epochs"] is not None
+                    and bad_epochs > kw["early_stopping_patience_num_epochs"]
+                ):
+                    logger.info("early stopping at epoch %d", epoch)
+                    break
+            # epoch complete (incl. eval + best bookkeeping): bound the loss
+            # from a hard kill (no grace window) to one epoch
+            save_train_state(epoch + 1, 0)
+    if tracer is not None:
+        tracer.close()
     if kw["export_artifact"]:
         from .export import (
             build_meta,
