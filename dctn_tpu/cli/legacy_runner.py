@@ -34,6 +34,7 @@ from ..models.conv_sbs_model import (
     scale_layers_using_batch,
     calc_std_of_coordinates_of_windows,
     make_warmup_lr_schedule,
+    make_legacy_optimizer,
 )
 from ..ops import sbs
 from ..train.checkpoint import save_pytree, load_pytree
@@ -233,14 +234,9 @@ def run(**kw):
         kw["learning_rate"], kw["warmup_num_epochs"], steps_per_epoch,
         kw["warmup_initial_multiplier"],
     )
-    if kw["optimizer_type"] == "sgd":
-        core = optax.sgd(schedule, momentum=kw["momentum"] or None)
-    else:
-        core = optax.rmsprop(schedule, decay=kw["rmsprop_alpha"])
-    opt = (
-        optax.chain(optax.add_decayed_weights(kw["weight_decay"]), core)
-        if kw["weight_decay"]
-        else core
+    opt = make_legacy_optimizer(
+        kw["optimizer_type"], schedule, momentum=kw["momentum"],
+        rmsprop_alpha=kw["rmsprop_alpha"], weight_decay=kw["weight_decay"],
     )
     opt_state = opt.init(params)
 
@@ -445,6 +441,17 @@ def run(**kw):
     # resumed run consumes exactly the batches the uninterrupted one would
     for _ in range(resume_epoch):
         skip_epoch_rng()
+    if resume_step > steps_this_epoch:
+        # elastic resume onto a smaller mesh / bigger batch: the saved
+        # mid-epoch position doesn't exist under the new step grid — finish
+        # the epoch from its start instead (exactness only holds when the
+        # mesh/batch shape matches; docs/multihost.md)
+        logger.warning(
+            "saved step-in-epoch %d exceeds this configuration's %d steps/"
+            "epoch (mesh or batch size changed) — resuming at the start of "
+            "epoch %d", resume_step, steps_this_epoch, resume_epoch,
+        )
+        resume_step = 0
 
     loss = float("nan")
     preempted = False

@@ -238,8 +238,64 @@ def make_warmup_lr_schedule(
     m⁰ = 1), constant base_lr afterwards. Step-indexed for optax."""
 
     def schedule(step):
-        epoch = step // max(steps_per_epoch, 1)
-        frac = jnp.clip((warmup_num_epochs - epoch) / max(warmup_num_epochs, 1), 0.0, 1.0)
-        return base_lr * warmup_initial_multiplier**frac
+        # optax passes a CONCRETE int32 count under jit: int32/int division
+        # promotes to f32, and the weak-typed m**frac would then compute in
+        # f32 — an lr with ~2e-8 relative error, which RMSprop amplifies
+        # (the division by sqrt(v) ~ |g| turns lr-scale param error into
+        # update-scale error via weight decay). Compute in the default
+        # float dtype (f64 under x64) explicitly.
+        fdt = jnp.result_type(float)
+        epoch = jnp.asarray(step) // max(steps_per_epoch, 1)
+        frac = jnp.clip(
+            (warmup_num_epochs - epoch).astype(fdt) / max(warmup_num_epochs, 1),
+            0.0, 1.0,
+        )
+        return base_lr * jnp.asarray(warmup_initial_multiplier, fdt) ** frac
 
     return schedule
+
+
+def make_legacy_optimizer(
+    optimizer_type: str,
+    learning_rate,
+    momentum: float = 0.0,
+    rmsprop_alpha: float = 0.99,
+    weight_decay: float = 0.0,
+):
+    """The legacy runner's optimizer stack with EXACT torch semantics
+    (mnist.py:464-478: ``torch.optim.SGD``/``RMSprop`` with momentum and
+    weight_decay forwarded to both).
+
+    torch-parity details that matter for trajectory equality
+    (tests/test_reference_parity.py legacy trajectory test):
+
+    - RMSprop's eps sits OUTSIDE the square root in torch
+      (``g / (sqrt(v) + eps)``) — optax defaults to inside
+      (``g / sqrt(v + eps)``), so ``eps_in_sqrt=False``.
+    - torch applies the CURRENT lr to the whole momentum buffer
+      (``buf = mu*buf + g/avg; p -= lr_t * buf``) — but
+      ``optax.rmsprop(momentum=...)`` puts ``trace`` AFTER the lr scaling,
+      accumulating ``lr_s``-scaled terms instead. Identical under a
+      constant lr, DIVERGENT under the legacy warmup schedule — so the
+      rmsprop+momentum chain is composed by hand in torch order
+      (scale_by_rms → trace → scale_by_learning_rate). optax.sgd already
+      orders trace before the lr and needs no such fix.
+    - torch's ``weight_decay`` adds ``wd * p`` to the RAW gradient before
+      any moment accumulation — ``optax.add_decayed_weights`` chained
+      BEFORE the core transform does the same.
+    """
+    import optax
+
+    if optimizer_type == "sgd":
+        core = optax.sgd(learning_rate, momentum=momentum or None)
+    elif optimizer_type == "rmsprop":
+        core = optax.chain(
+            optax.scale_by_rms(decay=rmsprop_alpha, eps_in_sqrt=False),
+            optax.trace(decay=momentum) if momentum else optax.identity(),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    else:
+        raise ValueError(f"unknown optimizer_type: {optimizer_type}")
+    if weight_decay:
+        return optax.chain(optax.add_decayed_weights(weight_decay), core)
+    return core

@@ -985,3 +985,121 @@ def test_empirical_init_in_the_loop_trajectory_parity(monkeypatch):
         (params["epses"][1], te2),
     ):
         np.testing.assert_allclose(np.asarray(got), _np(ref), rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "opt_kind,opt_kw",
+    [
+        ("sgd", dict(momentum=0.9, weight_decay=1e-2)),
+        ("rmsprop", dict(momentum=0.9, rmsprop_alpha=0.95, weight_decay=1e-2)),
+        ("rmsprop", dict(momentum=0.0, rmsprop_alpha=0.99, weight_decay=0.0)),
+    ],
+)
+def test_legacy_optimizer_trajectory_parity(opt_kind, opt_kw):
+    """The legacy family's FULL optimizer stack over a multi-epoch
+    trajectory: torch.optim.SGD/RMSprop with momentum + weight_decay + the
+    exponential epoch warmup (mnist.py:464-499) vs ``make_legacy_optimizer``
+    + ``make_warmup_lr_schedule`` driving the real ConvSBS model, float64.
+
+    Pins the torch semantics the factory replicates: RMSprop's eps OUTSIDE
+    the sqrt, momentum applied to the rms-SCALED step, weight_decay folded
+    into the raw gradient before moment accumulation, and the epoch-indexed
+    lr multiplier m^((W-e)/W)."""
+    import optax
+
+    ref_mnist = _import_reference_mnist()
+    from dctn_tpu.models.conv_sbs_model import (
+        ConvSBSModelConfig,
+        init_conv_sbs_model,
+        conv_sbs_model_forward,
+        make_warmup_lr_schedule,
+        make_legacy_optimizer,
+    )
+
+    cfg = ConvSBSModelConfig(
+        num_sbs_layers=2, bond_dim_size=2, cos_sin_squared=False,
+        input_multiplier=1.0,
+    )
+    params0 = init_conv_sbs_model(jax.random.PRNGKey(7), cfg, dtype=jnp.float64)
+
+    base_lr, warmup_epochs = 3e-3, 2
+    steps_per_epoch, n_epochs, bs = 3, 4, 4
+    rng = np.random.default_rng(92)
+    x_all = rng.uniform(0.0, 1.0, (steps_per_epoch * n_epochs, bs, 7, 7))
+    y_all = rng.integers(0, 10, (steps_per_epoch * n_epochs, bs))
+
+    # --- ours: the runner's exact stack ---
+    schedule = make_warmup_lr_schedule(
+        base_lr, warmup_epochs, steps_per_epoch, 1e-2
+    )
+    opt = make_legacy_optimizer(opt_kind, schedule, **opt_kw)
+    params = params0
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, o, xb, yb):
+        def loss_fn(pp):
+            logits = conv_sbs_model_forward(pp, cfg, xb)
+            lp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(lp, yb[:, None], axis=1))
+
+        grads = jax.grad(loss_fn)(p)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o
+
+    for it in range(steps_per_epoch * n_epochs):
+        params, opt_state = step(
+            params, opt_state, jnp.asarray(x_all[it]), jnp.asarray(y_all[it])
+        )
+
+    # --- reference: torch model + torch optimizer + epoch-start lr set ---
+    mod = ref_mnist.DCTNMnistModel(
+        num_sbs_layers=2,
+        bond_dim_size=2,
+        trace_edge=False,
+        initialization=REF.sbs.DumbNormalInitialization(0.5),
+        cos_sin_squared=False,
+        input_multiplier=1.0,
+    ).double()
+    for layer, many in zip(params0, mod.conv_sbses):
+        for cores, string in zip(layer, many.strings):
+            for c, p in zip(cores, string.cores):
+                p.data = _t(np.asarray(c))
+    if opt_kind == "sgd":
+        optim = torch.optim.SGD(
+            mod.parameters(), lr=base_lr, momentum=opt_kw["momentum"],
+            weight_decay=opt_kw["weight_decay"],
+        )
+    else:
+        optim = torch.optim.RMSprop(
+            mod.parameters(), lr=base_lr, momentum=opt_kw["momentum"],
+            alpha=opt_kw["rmsprop_alpha"], weight_decay=opt_kw["weight_decay"],
+        )
+    for it in range(steps_per_epoch * n_epochs):
+        epoch = it // steps_per_epoch
+        frac = max(0.0, min(1.0, (warmup_epochs - epoch) / warmup_epochs))
+        for g in optim.param_groups:
+            g["lr"] = base_lr * 1e-2**frac
+        logits = mod(_t(x_all[it][:, None]))
+        ce = torch.nn.functional.cross_entropy(
+            logits, torch.from_numpy(np.asarray(y_all[it]))
+        )
+        optim.zero_grad()
+        ce.backward()
+        optim.step()
+
+    got = [
+        np.asarray(c)
+        for layer in params
+        for cores in layer
+        for c in cores
+    ]
+    ref = [
+        _np(p)
+        for many in mod.conv_sbses
+        for string in many.strings
+        for p in string.cores
+    ]
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-11)
