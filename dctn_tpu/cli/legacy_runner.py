@@ -222,7 +222,19 @@ def run(**kw):
         init_kwargs = {"base_std": 1e-3}
     params = init_conv_sbs_model(key, cfg, init_fn, **init_kwargs)
     if kw["init_load_file"]:
-        params = load_pytree(params, kw["init_load_file"])
+        from ..interop import is_torch_checkpoint, load_params_from_torch_checkpoint
+
+        if is_torch_checkpoint(kw["init_load_file"]):
+            # a reference user's torch.save(model.state_dict()) file
+            # (mnist.py:455-456) — convert in place of retraining
+            params = load_params_from_torch_checkpoint(
+                kw["init_load_file"], params, "conv_sbs"
+            )
+            logger.info(
+                "loaded reference torch state_dict from %s", kw["init_load_file"]
+            )
+        else:
+            params = load_pytree(params, kw["init_load_file"])
     if kw["scale_layers_using_batch"]:
         params = scale_layers_using_batch(
             params, cfg, jnp.asarray(x_tr_host[: kw["scale_layers_using_batch"]])

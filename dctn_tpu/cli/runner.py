@@ -484,8 +484,21 @@ def run(**kwargs) -> TrainLoopState:
             linear_weight_init=w_init, linear_bias_init=b_init,
         )
     if kwargs["load_model_state"]:
-        params = load_pytree(params, kwargs["load_model_state"])
-        logger.info("loaded model state from %s", kwargs["load_model_state"])
+        from ..interop import is_torch_checkpoint, load_params_from_torch_checkpoint
+
+        if is_torch_checkpoint(kwargs["load_model_state"]):
+            # a reference user's torch.save(model.state_dict()) file
+            # (new_runner.py:432-433) — convert in place of retraining
+            params = load_params_from_torch_checkpoint(
+                kwargs["load_model_state"], params, "eps_plus_linear"
+            )
+            logger.info(
+                "loaded reference torch state_dict from %s",
+                kwargs["load_model_state"],
+            )
+        else:
+            params = load_pytree(params, kwargs["load_model_state"])
+            logger.info("loaded model state from %s", kwargs["load_model_state"])
     logger.info(
         "inner_product(epses, epses)=%.4e",
         float(composition.inner_product(params["epses"], params["epses"])),
