@@ -384,10 +384,15 @@ def run(**kwargs) -> TrainLoopState:
             "'auto'): per-sample probabilities are not accumulated across "
             "microbatches"
         )
-    if kwargs["space_devices"] > 1 and kwargs["model_devices"] > 1:
+    if (
+        kwargs["space_devices"] > 1
+        and kwargs["model_devices"] > 1
+        and kwargs["tp_shard_all"]
+    ):
         raise click.BadParameter(
-            "--space-devices does not compose with --model-devices (shard "
-            "either the output dim or the height, plus the data axis)"
+            "--tp-shard-all does not compose with --space-devices (its "
+            "inter-layer all_gathers would interleave with the per-layer "
+            "halo exchange; use the default last-core TP layout)"
         )
     if kwargs["space_devices"] > 1 and kwargs["tb_batches"]:
         raise click.BadParameter(
@@ -591,7 +596,62 @@ def run(**kwargs) -> TrainLoopState:
         logger.info(
             "grad-accum-steps auto -> %d", kwargs["grad_accum_steps"]
         )
-    if n_model > 1:
+    if n_model > 1 and n_space > 1:
+        # composed SP x TP path (optionally × data-parallel): image height
+        # sharded over `space` with per-layer halo exchange AND the last
+        # core's output dim + classifier sharded over `model`, on one
+        # ("data", "space", "model") mesh (parallel/sp_tp.py). Params keep
+        # the TP layout; checkpoints merge back to the reference layout.
+        from ..parallel import (
+            make_sp_tp_mesh,
+            make_sp_tp_train_step,
+            make_sp_tp_fast_train_step,
+            make_sp_tp_forward,
+            make_sp_tp_score_fn,
+            make_tp_params,
+            merge_tp_params,
+            make_tp_fast_params,
+            merge_tp_fast_params,
+            sp_check_config,
+            sp_local_rows,
+        )
+
+        assert kwargs["batch_size"] % n_mesh == 0, "batch size must divide data mesh"
+        mesh = make_sp_tp_mesh(n_mesh, n_space, n_model)
+        sp_check_config(cfg, n_space)  # single-hop halo constraint, clear error
+        if use_fast:
+            params = make_tp_fast_params(params_fast, cfg, mesh)
+            step = make_sp_tp_fast_train_step(
+                cfg, optimizer, fast_plans, mesh,
+                kwargs["reg_type"], kwargs["reg_coeff"], donate=True,
+                frozen_eps_indices=kwargs["freeze_eps"],
+                grad_accum_steps=kwargs["grad_accum_steps"],
+            )
+            score = make_sp_tp_score_fn(
+                cfg, mesh, kwargs["batch_size"], params, fast_plans
+            )
+            single_forward = make_sp_tp_forward(cfg, mesh, params, fast_plans)
+            params_view = lambda f3: reference_params_from_fast(  # noqa: E731
+                merge_tp_fast_params(f3, cfg), cfg, fast_plans
+            )
+            logger.info("fast (cmt) parameter layout active")
+        else:
+            params = make_tp_params(params, cfg, mesh)
+            step = make_sp_tp_train_step(
+                cfg, optimizer, mesh, kwargs["reg_type"], kwargs["reg_coeff"],
+                donate=True,
+                frozen_eps_indices=kwargs["freeze_eps"],
+                grad_accum_steps=kwargs["grad_accum_steps"],
+            )
+            score = make_sp_tp_score_fn(cfg, mesh, kwargs["batch_size"], params)
+            single_forward = make_sp_tp_forward(cfg, mesh, params)
+            params_view = lambda p3: merge_tp_params(p3, cfg)  # noqa: E731
+        opt_state = jax.jit(optimizer.init)(params)
+        logger.info(
+            "SP x TP: mesh (data=%d, space=%d, model=%d), %d rows/device",
+            n_mesh, n_space, n_model, sp_local_rows(cfg.image_size, n_space),
+        )
+    elif n_model > 1:
         # tensor-parallel path (optionally × data-parallel): EPS output
         # dim(s) + classifier sharded over the model axis; checkpoints are
         # merged back to the reference layout so every downstream consumer

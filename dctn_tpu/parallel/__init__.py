@@ -22,6 +22,14 @@ from .spatial_parallel import (
     sp_local_rows,
     pad_rows,
 )
+from .sp_tp import (
+    make_sp_tp_mesh,
+    make_sp_tp_train_step,
+    make_sp_tp_fast_train_step,
+    make_sp_tp_forward,
+    make_sp_tp_score_fn,
+    sp_tp_shard_batch,
+)
 from .tensor_parallel import (
     make_tp_mesh,
     make_tp_params,

@@ -691,3 +691,70 @@ def test_runner_spatial_parallel_fast_layout(tmp_path):
     assert ckpts
     with np.load(os.path.join(out, ckpts[0])) as d:
         assert any(k.startswith("epses") and "cmt" not in k for k in d.files)
+
+
+def test_runner_sp_tp_composed_fast_layout(tmp_path):
+    """--space-devices x --model-devices on one (data, space, model) mesh:
+    the composed SP x TP path (parallel/sp_tp.py) through the full CLI on
+    the fast (cmt) Pallas pipeline, checkpoint merged back to the
+    reference layout."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    state = run(
+        experiments_dir=str(tmp_path),
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=16,
+        mesh_devices=2,
+        space_devices=2,
+        model_devices=2,
+        optimizer_name="adam",
+        lr=3e-3,
+        dropout_p=0.9,
+        train_backend="pallas_interpret",
+        eval_backend="pallas_interpret",
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=20,
+        keep_last_models=1,
+        synthetic_sizes=(64, 32, 32),
+        patience=50,
+        reg_coeff=1e-6,
+    )
+    assert state.stop_reason == "max_iters"
+    out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    with open(os.path.join(out, "log.log")) as f:
+        log = f.read()
+    assert "fast (cmt) parameter layout active" in log
+    assert "SP x TP: mesh (data=2, space=2, model=2)" in log
+    records = load_records(os.path.join(out, "log.log"))
+    assert records[-1].trmce < records[0].trmce  # composed training learns
+    ckpts = [f for f in os.listdir(out) if f.startswith("model_nitd")]
+    assert ckpts
+    with np.load(os.path.join(out, ckpts[0])) as d:
+        assert any(k.startswith("epses") and "cmt" not in k for k in d.files)
+
+
+def test_runner_sp_tp_shard_all_refused(tmp_path):
+    import click
+
+    with pytest.raises(Exception, match="tp-shard-all"):
+        run(
+            experiments_dir=str(tmp_path),
+            ds_type="mnist",
+            ds_path="synthetic",
+            epses_specs=((2, 4),),
+            batch_size=16,
+            space_devices=2,
+            model_devices=2,
+            tp_shard_all=True,
+            optimizer_name="adam",
+            lr=3e-3,
+            init_epses_composition_unit_theoretical_output_std=True,
+            eval_schedule=((None, 10),),
+            max_num_iters=5,
+            synthetic_sizes=(64, 32, 32),
+        )
