@@ -44,6 +44,25 @@ from ..train.step import REGULARIZERS, grad_accum_scan, make_fast_reg_fn
 # dataset sharding
 
 
+def _put_global(x, sharding: NamedSharding):
+    """Place a host array onto a (possibly multi-process) mesh.
+
+    Single-process meshes use ``jax.device_put``. When the mesh spans
+    multiple processes (multi-host DCN training brought up by
+    ``mesh.initialize_distributed`` — docs/multihost.md, tested end-to-end
+    cross-process in tests/test_multihost.py), ``device_put`` cannot address
+    remote devices; instead every process calls this with the IDENTICAL
+    full global array and ``jax.make_array_from_callback`` materializes only
+    the shards owned by this process's addressable devices. This keeps the
+    single-host and multi-host call sites byte-for-byte the same — the
+    data-parallel analog of the reference's single-process ``.to(device)``
+    (dctn/dataset_loading.py:323)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 @dataclasses.dataclass
 class ShardedSplit:
     """A split laid out across the mesh: x (C, ndev·n_local, H, W, Q) sharded
@@ -65,15 +84,17 @@ def shard_split(mesh: Mesh, x: np.ndarray, y: np.ndarray) -> ShardedSplit:
     if n_pad:
         x = np.concatenate([x, np.repeat(x[:, :1], n_pad, axis=1)], axis=1)
         y = np.concatenate([y, np.repeat(y[:1], n_pad, axis=0)], axis=0)
-    xs = jax.device_put(x, NamedSharding(mesh, P(None, "data")))
-    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+    xs = _put_global(x, NamedSharding(mesh, P(None, "data")))
+    ys = _put_global(y, NamedSharding(mesh, P("data")))
     return ShardedSplit(xs, ys, n_valid=n, n_local=y.shape[0] // ndev, mesh=mesh)
 
 
 def replicate(mesh: Mesh, tree):
     """Place a pytree replicated on every device of the mesh."""
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(lambda a: _put_global(a, sharding), tree)
 
 
 # ---------------------------------------------------------------------------
@@ -284,8 +305,8 @@ def shard_pixel_split(mesh: Mesh, x: np.ndarray, y: np.ndarray) -> ShardedSplit:
     if n_pad:
         x = np.concatenate([x, np.repeat(x[:1], n_pad, axis=0)], axis=0)
         y = np.concatenate([y, np.repeat(y[:1], n_pad, axis=0)], axis=0)
-    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
-    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+    xs = _put_global(x, NamedSharding(mesh, P("data")))
+    ys = _put_global(y, NamedSharding(mesh, P("data")))
     return ShardedSplit(xs, ys, n_valid=n, n_local=y.shape[0] // ndev, mesh=mesh)
 
 
@@ -359,7 +380,9 @@ def make_parallel_pixel_score_fn(forward_fn, mesh: Mesh, batch_size: int):
         return ce_sum / n, correct.astype(jnp.float32) / n
 
     def score_split(params, split: ShardedSplit):
-        n_valid_arr = jnp.asarray([split.n_valid], jnp.int32)
+        # host numpy, NOT jnp: a locally-committed device array cannot
+        # be auto-replicated onto a multi-process mesh (test_multihost)
+        n_valid_arr = np.asarray([split.n_valid], np.int32)
         return score(params, split.x, split.y, n_valid_arr)
 
     return score_split
@@ -459,7 +482,9 @@ def make_parallel_score_fn(
         return ce_sum / n, correct.astype(jnp.float32) / n
 
     def score_split(params, split: ShardedSplit):
-        n_valid_arr = jnp.asarray([split.n_valid], jnp.int32)
+        # host numpy, NOT jnp: a locally-committed device array cannot
+        # be auto-replicated onto a multi-process mesh (test_multihost)
+        n_valid_arr = np.asarray([split.n_valid], np.int32)
         return score(params, split.x, split.y, n_valid_arr)
 
     return score_split

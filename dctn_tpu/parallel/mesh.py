@@ -42,9 +42,18 @@ def initialize_distributed(
     """Multi-host bring-up over DCN (jax.distributed). No-op on single host.
 
     On TPU pods the arguments are auto-detected from the environment; pass
-    them explicitly elsewhere."""
+    them explicitly elsewhere. On CPU backends (the multi-host test tier:
+    tests/test_multihost.py runs a REAL 2-process DP training job over
+    loopback) cross-process collectives need the gloo implementation —
+    selected here before the backend initializes."""
     if num_processes is not None and num_processes <= 1:
         return
+    try:
+        platforms = jax.config.jax_platforms or ""
+        if platforms.split(",")[0] == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older jax without the knob; TPU pods never take this branch
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
