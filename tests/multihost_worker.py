@@ -97,6 +97,45 @@ def main() -> None:
     digest = hashlib.sha256(b"".join(a.tobytes() for a in host)).hexdigest()
     param_sums = [float(a.sum()) for a in host]
 
+    # Phase 2: the FLAGSHIP fast (cmt) Pallas pipeline cross-process
+    # (interpret-mode kernels on CPU), with parameter dropout — the path a
+    # real multi-host pod would run.
+    import dataclasses
+
+    from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
+    from dctn_tpu.parallel import make_parallel_fast_train_step
+
+    cfg_f = dataclasses.replace(
+        cfg, train_backend="pallas_interpret",
+        eval_backend="pallas_interpret", dropout_p=0.8,
+    )
+    params_f = init_eps_plus_linear(jax.random.PRNGKey(0), cfg_f)
+    fast, plans = fast_params_from_reference(params_f, cfg_f)
+    # replicate BEFORE opt.init so the moments inherit the global sharding
+    # (locally-committed arrays cannot auto-replicate across processes)
+    fast = replicate(mesh, fast)
+    opt_state_f = opt.init(fast)
+    step_f = make_parallel_fast_train_step(
+        cfg_f, opt, plans, mesh, "epswise", 1e-4, donate=False
+    )
+    fast_losses = []
+    for i in range(2):
+        idx = (np.arange(ndev * 4, dtype=np.int32) + 5 * i) % split.n_local
+        local_idx = _put_global(
+            idx.reshape(ndev, 4), NamedSharding(mesh, P("data", None))
+        )
+        fast, opt_state_f, m = step_f(
+            fast, opt_state_f, rng, split.x, split.y, local_idx
+        )
+        fast_losses.append(float(np.asarray(m["loss"].addressable_data(0))))
+    fast_host = [
+        np.asarray(l.addressable_data(0), dtype=np.float64)
+        for l in jax.tree_util.tree_leaves(fast)
+    ]
+    fast_digest = hashlib.sha256(
+        b"".join(a.tobytes() for a in fast_host)
+    ).hexdigest()
+
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -108,6 +147,8 @@ def main() -> None:
                 "val_acc": acc,
                 "param_digest": digest,
                 "param_sums": param_sums,
+                "fast_losses": fast_losses,
+                "fast_digest": fast_digest,
             },
             f,
         )

@@ -82,7 +82,34 @@ def _single_process_reference():
         float(np.asarray(l, dtype=np.float64).sum())
         for l in jax.tree_util.tree_leaves(params)
     ]
-    return losses, float(mce), float(acc), sums
+
+    # the flagship fast (cmt) Pallas phase, single-process (mirrors the
+    # worker's phase 2 exactly)
+    import dataclasses
+
+    from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
+    from dctn_tpu.parallel import make_parallel_fast_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg_f = dataclasses.replace(
+        cfg, train_backend="pallas_interpret",
+        eval_backend="pallas_interpret", dropout_p=0.8,
+    )
+    params_f = init_eps_plus_linear(jax.random.PRNGKey(0), cfg_f)
+    fast, plans = fast_params_from_reference(params_f, cfg_f)
+    fast = replicate(mesh, fast)
+    opt_state_f = opt.init(fast)
+    step_f = make_parallel_fast_train_step(
+        cfg_f, opt, plans, mesh, "epswise", 1e-4, donate=False
+    )
+    fast_losses = []
+    for i in range(2):
+        idx = (np.arange(4 * 4, dtype=np.int32) + 5 * i) % split.n_local
+        fast, opt_state_f, m = step_f(
+            fast, opt_state_f, rng, split.x, split.y, idx.reshape(4, 4)
+        )
+        fast_losses.append(float(m["loss"]))
+    return losses, float(mce), float(acc), sums, fast_losses
 
 
 def test_two_process_dp_training_matches_single_process(tmp_path):
@@ -129,15 +156,21 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
     assert results[0]["param_digest"] == results[1]["param_digest"]
     assert results[0]["losses"] == results[1]["losses"]
     assert results[0]["val_acc"] == results[1]["val_acc"]
+    assert results[0]["fast_digest"] == results[1]["fast_digest"]
+    assert results[0]["fast_losses"] == results[1]["fast_losses"]
 
     # (b) parity with the single-process 4-device mesh. Training computes in
     # f32, and the gloo cross-process all-reduce sums in a different order
     # than XLA's local one — so the contract is f32-rounding-level closeness
     # (measured: 2.4e-7 max over 5 steps), not bitwise.
-    losses, mce, acc, sums = _single_process_reference()
+    losses, mce, acc, sums, fast_losses = _single_process_reference()
     np.testing.assert_allclose(results[0]["losses"], losses, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(results[0]["val_mce"], mce, rtol=1e-5, atol=1e-6)
     # acc is a count ratio over 16 val samples: identical unless a borderline
     # sample flips inside the f32 noise — allow at most that one sample
     assert abs(results[0]["val_acc"] - acc) <= 1.0 / 16 + 1e-12
     np.testing.assert_allclose(results[0]["param_sums"], sums, rtol=1e-4, atol=1e-6)
+    # the flagship fast (cmt) Pallas path, cross-process vs single-process
+    np.testing.assert_allclose(
+        results[0]["fast_losses"], fast_losses, rtol=1e-5, atol=1e-6
+    )

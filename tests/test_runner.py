@@ -758,3 +758,54 @@ def test_runner_sp_tp_shard_all_refused(tmp_path):
             max_num_iters=5,
             synthetic_sizes=(64, 32, 32),
         )
+
+
+def test_runner_spatial_parallel_resume(tmp_path):
+    """--resume-from under --space-devices: the SP train state stores FULL
+    reference-shape params (the height sharding is step-internal), so it
+    resumes exactly on the same space mesh AND elastically — onto a larger
+    space axis or a single device (the SP analog of test_elastic_resume)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    common = dict(
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=16,
+        optimizer_name="adam",
+        lr=3e-3,
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        keep_last_models=1,
+        synthetic_sizes=(64, 32, 32),
+        patience=50,
+        reg_coeff=1e-6,
+    )
+    run(
+        experiments_dir=str(tmp_path / "a"), max_num_iters=20,
+        space_devices=2, **common,
+    )
+    out = os.path.join(str(tmp_path / "a"), os.listdir(str(tmp_path / "a"))[0])
+    state_file = os.path.join(out, "train_state_latest.npz")
+    assert os.path.exists(state_file)
+    with np.load(state_file) as data:
+        assert int(data["step"]) == 20
+    # same space mesh
+    state = run(
+        experiments_dir=str(tmp_path / "b"), max_num_iters=40,
+        space_devices=2, resume_from=state_file, **common,
+    )
+    assert state.num_iters_done == 40
+    # elastic: wider space axis, and back to a single device
+    state = run(
+        experiments_dir=str(tmp_path / "c"), max_num_iters=30,
+        space_devices=4, resume_from=state_file, **common,
+    )
+    assert state.num_iters_done == 30
+    state = run(
+        experiments_dir=str(tmp_path / "d"), max_num_iters=30,
+        resume_from=state_file, **common,
+    )
+    assert state.num_iters_done == 30
