@@ -137,6 +137,12 @@ def _train_state_tree(params, opt_state, epoch: int, step_in_epoch: int,
                    "point fetches several MB of weights/grads/activations — "
                    "through the tunneled-TPU relay (~450 KB/s device→host) "
                    "that is seconds per point, hence the sparse default")
+@click.option("--distributed", default=None,
+              help="multi-host bring-up, same contract as the new runner "
+                   "(docs/multihost.md): 'auto' on TPU pods or "
+                   "'HOST:PORT,NUM_PROCESSES,PROCESS_ID'; run the SAME "
+                   "command on every host, --mesh-devices counts chips "
+                   "across all hosts, process 0 writes checkpoints/states")
 def main(**kw) -> None:
     run(**kw)
 
@@ -148,6 +154,27 @@ def run(**kw):
             if type(default).__name__ == "Sentinel":
                 default = () if param.multiple else None
             kw[param.name] = default
+    # multi-host bring-up MUST precede any backend use (docs/multihost.md)
+    if kw["distributed"]:
+        from ..parallel.mesh import initialize_distributed
+
+        spec = str(kw["distributed"]).strip()
+        if spec.lower() == "auto":
+            initialize_distributed()
+        else:
+            try:
+                addr, nproc_s, pid_s = (s.strip() for s in spec.rsplit(",", 2))
+                nproc, pid = int(nproc_s), int(pid_s)
+            except ValueError:
+                raise click.BadParameter(
+                    "--distributed must be 'auto' or 'HOST:PORT,NPROC,PID'"
+                )
+            initialize_distributed(addr, nproc, pid)
+    is_primary = jax.process_index() == 0
+    if not is_primary:
+        # per-process dirs: logs/provenance are host-local, and a shared
+        # filesystem must not collide with process 0's checkpoints
+        kw["models_dir"] = f"{kw['models_dir']}-proc{jax.process_index()}"
     os.makedirs(kw["models_dir"], exist_ok=True)
     # provenance + log.log shared with the new runner (mnist.py writes these
     # via libcrap's get_now_as_str/save_json setup)
@@ -289,6 +316,7 @@ def run(**kw):
             shard_pixel_split,
             replicate,
         )
+        from ..parallel.data_parallel import _put_global
 
         assert kw["batch_size"] % n_mesh == 0, "batch size must divide mesh"
         per_dev = kw["batch_size"] // n_mesh
@@ -318,7 +346,10 @@ def run(**kw):
                     orders[d][s * per_dev : (s + 1) * per_dev]
                     for d in range(n_mesh)
                 ]).astype(np.int32)
-                yield s, jax.device_put(idx, idx_sharding)
+                # _put_global == device_put single-process; multi-host it
+                # places each controller's addressable shards of the same
+                # (identically-seeded) global index block
+                yield s, _put_global(idx, idx_sharding)
 
         def skip_epoch_rng():
             for v in valid_per_shard:
@@ -443,6 +474,10 @@ def run(**kw):
     state_file = os.path.join(kw["models_dir"], "train_state_latest.npz")
 
     def save_train_state(epoch: int, step_in_epoch: int) -> None:
+        if not is_primary:
+            # multi-host: the replicated state is identical everywhere —
+            # process 0 owns the file; every host resumes from it
+            return
         save_pytree(
             _train_state_tree(params, opt_state, epoch, step_in_epoch,
                               best_acc, bad_epochs),
@@ -499,13 +534,15 @@ def run(**kw):
                 log_tb(params, it)
             if vacc > best_acc:
                 best_acc, bad_epochs = vacc, 0
-                new_file = os.path.join(
-                    kw["models_dir"], f"dctn_epoch={epoch}_vacc={vacc:.4f}.npz"
-                )
-                save_pytree(params, new_file)
-                if best_file and os.path.exists(best_file):
-                    os.remove(best_file)
-                best_file = new_file
+                if is_primary:
+                    new_file = os.path.join(
+                        kw["models_dir"],
+                        f"dctn_epoch={epoch}_vacc={vacc:.4f}.npz",
+                    )
+                    save_pytree(params, new_file)
+                    if best_file and os.path.exists(best_file):
+                        os.remove(best_file)
+                    best_file = new_file
             else:
                 bad_epochs += 1
                 if (
@@ -519,7 +556,7 @@ def run(**kw):
             save_train_state(epoch + 1, 0)
     if tracer is not None:
         tracer.close()
-    if kw["export_artifact"]:
+    if kw["export_artifact"] and is_primary:
         from .export import (
             build_meta,
             export_conv_sbs_forward,

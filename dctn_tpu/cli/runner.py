@@ -316,6 +316,14 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
                    "in-flight step, save the full train state, stop cleanly "
                    "— --resume-from train_state_latest.npz then continues "
                    "the trajectory exactly (train/preemption.py)")
+@click.option("--distributed", default=None,
+              help="multi-host bring-up (docs/multihost.md): 'auto' on TPU "
+                   "pods (jax.distributed auto-detects the coordinator from "
+                   "the pod environment) or explicit "
+                   "'HOST:PORT,NUM_PROCESSES,PROCESS_ID'. Run the SAME "
+                   "command on every host; --mesh-devices counts chips "
+                   "across ALL hosts; checkpoints/train states are written "
+                   "by process 0 only (logs are per-host)")
 def main(**kwargs) -> None:
     run(**kwargs)
 
@@ -334,8 +342,29 @@ def run(**kwargs) -> TrainLoopState:
             ):
                 default = param.type.convert(default, param, None)
             kwargs[param.name] = default
+
+    # --- multi-host bring-up: MUST precede any backend use so jax.devices()
+    # spans the whole job on every controller (docs/multihost.md) ---
+    if kwargs["distributed"]:
+        from ..parallel.mesh import initialize_distributed
+
+        spec = str(kwargs["distributed"]).strip()
+        if spec.lower() == "auto":
+            initialize_distributed()
+        else:
+            try:
+                addr, nproc_s, pid_s = (s.strip() for s in spec.rsplit(",", 2))
+                nproc, pid = int(nproc_s), int(pid_s)
+            except ValueError:
+                raise click.BadParameter(
+                    "--distributed must be 'auto' or 'HOST:PORT,NPROC,PID'"
+                )
+            initialize_distributed(addr, nproc, pid)
+    is_primary = jax.process_index() == 0
+
     ts = time.strftime("%Y-%m-%d-%H-%M-%S")
-    output_dir = os.path.join(kwargs["experiments_dir"], ts)
+    run_name = ts if is_primary else f"{ts}-proc{jax.process_index()}"
+    output_dir = os.path.join(kwargs["experiments_dir"], run_name)
     assert not os.path.exists(output_dir)
     os.makedirs(output_dir)
     kwargs["output_dir"] = output_dir
@@ -398,6 +427,12 @@ def run(**kwargs) -> TrainLoopState:
         raise click.BadParameter(
             "--tb-batches is not supported with --space-devices > 1 "
             "(per-sample probabilities are not plumbed through the SP step)"
+        )
+    if jax.process_count() > 1 and kwargs["tb_batches"]:
+        raise click.BadParameter(
+            "--tb-batches is not supported under --distributed (the "
+            "per-sample probabilities are data-sharded across processes; "
+            "no controller can fetch the full batch)"
         )
     if not auto_accum and kwargs["batch_size"] % (kwargs["mesh_devices"] * ga):
         raise click.BadParameter(
@@ -765,7 +800,10 @@ def run(**kwargs) -> TrainLoopState:
             shard_split,
             replicate,
         )
-        from ..parallel.data_parallel import make_local_index_stream
+        from ..parallel.data_parallel import (
+            _put_global,
+            make_local_index_stream,
+        )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         assert kwargs["batch_size"] % n_mesh == 0, "batch size must divide mesh"
@@ -804,12 +842,27 @@ def run(**kwargs) -> TrainLoopState:
             )
         opt_state = replicate(mesh, optimizer.init(params))
         params = replicate(mesh, params)
+        if jax.process_count() > 1:
+            # multi-host: the loop's rng chain must START as a replicated
+            # GLOBAL array (a locally-committed key cannot be auto-placed
+            # onto remote devices); every later carry comes out of the
+            # jitted step already replicated. Same seed on every
+            # controller → identical chain.
+            k_train = jax.random.wrap_key_data(
+                _put_global(
+                    np.asarray(jax.random.key_data(k_train)),
+                    NamedSharding(mesh, P()),
+                )
+            )
         idx_sharding = NamedSharding(mesh, P("data"))
 
         def step(p, o, rng, xb, yb):  # xb is the (ndev, b) local index array
             return step_sharded(
                 p, o, rng, tr_split.x, tr_split.y,
-                jax.device_put(xb, idx_sharding),
+                # _put_global == device_put single-process; multi-host it
+                # pulls the (tiny) index block to host and re-places the
+                # local shards (CPU-cheap; never on the TPU relay path)
+                _put_global(xb, idx_sharding),
             )
 
         def gather(idx):
@@ -1109,9 +1162,16 @@ def run(**kwargs) -> TrainLoopState:
     es_metrics = tuple(
         (name, low) for name, low in metrics if kwargs[f"es_{name}"]
     )
-    at_iter_start = [schedule(evaluate_and_log), schedule(log_parameters_stats),
-                     schedule(last_ckpt), schedule(save_train_state)] + [
-                     schedule(c) for c in best_ckpts]
+    ckpt_hooks = [schedule(last_ckpt), schedule(save_train_state)] + [
+        schedule(c) for c in best_ckpts
+    ]
+    if not is_primary:
+        # multi-host: the replicated state is identical on every controller —
+        # checkpoints/train states are written ONCE, by process 0; every
+        # host restores the same file on resume (docs/multihost.md)
+        ckpt_hooks = []
+    at_iter_start = [schedule(evaluate_and_log),
+                     schedule(log_parameters_stats)] + ckpt_hooks
     if es_metrics:
         at_iter_start.append(schedule(ValuesNotImprovingEarlyStopper(
             kwargs["patience"], es_metrics)))
@@ -1211,12 +1271,18 @@ def run(**kwargs) -> TrainLoopState:
         preempt = PreemptionHandler()
         # checked every iteration (a Python flag read — free): before the
         # step with the at-iter-start step semantics, and right after the
-        # step with completed_offset=1 (rng is already the next carry)
-        at_iter_start = [preempt.make_hook(save_train_state)] + list(
+        # step with completed_offset=1 (rng is already the next carry).
+        # Non-primary controllers stop cleanly without writing (process 0
+        # owns the state file).
+        preempt_save = (
+            save_train_state if is_primary
+            else lambda st, completed_offset=0: None
+        )
+        at_iter_start = [preempt.make_hook(preempt_save)] + list(
             at_iter_start
         )
         after_step = list(after_step) + [
-            preempt.make_hook(lambda st: save_train_state(st, 1))
+            preempt.make_hook(lambda st: preempt_save(st, 1))
         ]
         with preempt:
             train(state, step, gather, index_stream,
@@ -1229,7 +1295,7 @@ def run(**kwargs) -> TrainLoopState:
     writer.wait()
     logger.info("training stopped: %s at %d iters", state.stop_reason,
                 state.num_iters_done)
-    if kwargs["export_artifact"]:
+    if kwargs["export_artifact"] and is_primary:
         from .export import (
             build_meta,
             export_forward,

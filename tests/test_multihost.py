@@ -174,3 +174,189 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         results[0]["fast_losses"], fast_losses, rtol=1e-5, atol=1e-6
     )
+
+
+RUNNER_CHILD = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+from dctn_tpu.cli.runner import run
+state = run(
+    experiments_dir={outdir!r},
+    distributed="127.0.0.1:{port},2,{rank}",
+    ds_type="mnist", ds_path="synthetic",
+    epses_specs=((2, 4),),
+    batch_size=16,
+    mesh_devices=4,
+    optimizer_name="adam", lr=3e-3,
+    init_epses_composition_unit_theoretical_output_std=True,
+    eval_schedule=((None, 10),),
+    max_num_iters=20,
+    keep_last_models=1,
+    synthetic_sizes=(64, 32, 32),
+    patience=50,
+    reg_coeff=1e-6,
+)
+assert state.stop_reason == "max_iters", state.stop_reason
+"""
+
+
+def test_distributed_runner_cli_two_processes(tmp_path):
+    """--distributed through the FULL runner CLI: two controllers (2 local
+    CPU devices each) train one --mesh-devices 4 job. Process 0 writes
+    checkpoints + train states; process 1 writes none (docs/multihost.md);
+    both log IDENTICAL eval lines (the replicated metrics agree)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = []
+    for rank in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-c",
+                    RUNNER_CHILD.format(
+                        outdir=str(tmp_path / f"r{rank}"), port=port,
+                        rank=rank,
+                    ),
+                ],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    tails = []
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        tails.append(err[-4000:])
+    for p, tail in zip(procs, tails):
+        assert p.returncode == 0, tail
+
+    def run_dir(rank):
+        root = tmp_path / f"r{rank}"
+        (sub,) = os.listdir(root)
+        return os.path.join(root, sub)
+
+    d0, d1 = run_dir(0), run_dir(1)
+    assert os.path.basename(d1).endswith("-proc1")  # no shared-FS collision
+    # only process 0 writes checkpoints / train states
+    assert os.path.exists(os.path.join(d0, "train_state_latest.npz"))
+    assert any(f.startswith("model_nitd") for f in os.listdir(d0))
+    assert not os.path.exists(os.path.join(d1, "train_state_latest.npz"))
+    assert not any(f.startswith("model_nitd") for f in os.listdir(d1))
+
+    # both controllers computed the SAME replicated metrics: the eval lines
+    # (fixed reference format, parsed by viz.log_parsing) match textually
+    def eval_lines(d):
+        with open(os.path.join(d, "log.log")) as f:
+            return [
+                l.split("iters:", 1)[1]
+                for l in f
+                if "After" in l and "iters:" in l
+            ]
+    l0, l1 = eval_lines(d0), eval_lines(d1)
+    assert l0 and l0 == l1
+
+    # the saved state resumes on a SINGLE process/device (elastic, as for DP)
+    from dctn_tpu.cli.runner import run as run_inproc
+
+    state = run_inproc(
+        experiments_dir=str(tmp_path / "resumed"),
+        ds_type="mnist", ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=16,
+        optimizer_name="adam", lr=3e-3,
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=30,
+        keep_last_models=1,
+        synthetic_sizes=(64, 32, 32),
+        patience=50,
+        reg_coeff=1e-6,
+        resume_from=os.path.join(d0, "train_state_latest.npz"),
+    )
+    assert state.num_iters_done == 30
+
+
+LEGACY_CHILD = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+from dctn_tpu.cli.legacy_runner import run
+params, best_acc = run(
+    ds_path="synthetic",
+    models_dir={outdir!r},
+    distributed="127.0.0.1:{port},2,{rank}",
+    mesh_devices=4,
+    num_sbs_layers=2,
+    bond_dim_size=2,
+    initialization="khrulkov-normal",
+    learning_rate=3e-3,
+    optimizer_type="rmsprop",
+    batch_size=16,
+    epochs=2,
+    warmup_num_epochs=1,
+    warmup_initial_multiplier=1e-2,
+    make_input_window_std_one=True,
+    scale_layers_using_batch=32,
+    synthetic_sizes=(64, 32),
+    seed=0,
+    tb_log_every_n_epochs=0,
+)
+assert 0.0 <= best_acc <= 1.0
+"""
+
+
+def test_distributed_legacy_runner_two_processes(tmp_path):
+    """--distributed through the LEGACY ConvSBS runner: both model families
+    train multi-controller. Process 0 writes the best-model checkpoint and
+    the per-epoch train state; process 1 gets a '-proc1' dir with neither;
+    both controllers log identical per-epoch eval lines."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    outdir = str(tmp_path / "m")
+    procs = []
+    for rank in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-c",
+                    LEGACY_CHILD.format(outdir=outdir, port=port, rank=rank),
+                ],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    tails = []
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        tails.append(err[-4000:])
+    for p, tail in zip(procs, tails):
+        assert p.returncode == 0, tail
+
+    d0, d1 = outdir, outdir + "-proc1"
+    assert os.path.isdir(d1)
+    assert os.path.exists(os.path.join(d0, "train_state_latest.npz"))
+    assert any(f.startswith("dctn_epoch=") for f in os.listdir(d0))
+    assert not os.path.exists(os.path.join(d1, "train_state_latest.npz"))
+    assert not any(f.startswith("dctn_epoch=") for f in os.listdir(d1))
+
+    def eval_lines(d):
+        with open(os.path.join(d, "log.log")) as f:
+            return [
+                l.split("epoch", 1)[1] for l in f if "val ce=" in l
+            ]
+    l0, l1 = eval_lines(d0), eval_lines(d1)
+    assert l0 and l0 == l1
