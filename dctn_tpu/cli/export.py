@@ -295,11 +295,16 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
                    "only) at the largest batch size, and bake the fastest "
                    "into the artifact (eps family, pallas backend; exact — "
                    "splits only re-matricize the cores)")
+@click.option("--autotune-cache/--no-autotune-cache", default=True,
+              help="reuse --autotune-splits picks measured earlier for the "
+                   "same architecture/batch/objective/device "
+                   "(train/autotune.default_cache_path, override with "
+                   "DCTN_TPU_AUTOTUNE_CACHE)")
 @click.option("--out", type=click.Path(dir_okay=False), required=True)
 def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
          num_classes, num_sbs_layers, bond_dim, trace_edge, cos_sin_squared,
          input_multiplier, batch_sizes, mesh_devices, platforms, backend,
-         compute_dtype, quantize, autotune_splits, out):
+         compute_dtype, quantize, autotune_splits, autotune_cache, out):
     run(checkpoint=checkpoint, model_family=model_family,
         epses_specs=epses_specs, image_size=image_size, q0=q0,
         channels=channels, num_classes=num_classes,
@@ -308,7 +313,8 @@ def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
         input_multiplier=input_multiplier, batch_sizes=batch_sizes,
         mesh_devices=mesh_devices, platforms=platforms or None,
         backend=backend, compute_dtype=compute_dtype, quantize=quantize,
-        autotune_splits=autotune_splits, out=out)
+        autotune_splits=autotune_splits, autotune_cache=autotune_cache,
+        out=out)
 
 
 def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
@@ -316,7 +322,7 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         trace_edge=False, cos_sin_squared=False, input_multiplier=1.0,
         batch_sizes=(1, 128), mesh_devices=1, platforms=None, backend="auto",
         compute_dtype="float32", quantize="none", autotune_splits=False,
-        out=None):
+        autotune_cache=True, out=None):
     targets = tuple(platforms) if platforms else (jax.default_backend(),)
     if backend == "auto":
         # Mosaic custom calls only lower for TPU — a multi-platform artifact
@@ -391,10 +397,13 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
                 compute_dtype=cfg.compute_dtype,
             )
             tune_bs = max(batch_sizes) // max(1, mesh_devices)
+            from ..train.autotune import default_cache_path
+
             tuned, _report = _tune(
                 tune_cfg, max(1, tune_bs), channels, forward_only=True,
                 quantize=None if quantize == "none" else quantize,
                 log_fn=lambda m: click.echo(m, err=True),
+                cache_path=default_cache_path() if autotune_cache else None,
             )
             splits = tuple(p["n1"] for p in tuned)
         q = None if quantize == "none" else quantize

@@ -284,6 +284,12 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
                    "fastest instead of the analytic cost model's pick "
                    "(train/autotune.py; exact — splits only re-matricize "
                    "the same cores, and resume auto-converts)")
+@click.option("--autotune-cache/--no-autotune-cache", default=True,
+              help="reuse --autotune-splits picks measured earlier for the "
+                   "same architecture/microbatch/objective/device "
+                   "(train/autotune.default_cache_path, override with "
+                   "DCTN_TPU_AUTOTUNE_CACHE; exact — a stale entry can only "
+                   "cost performance, delete the file to re-measure)")
 @click.option("--resume-from", type=click.Path(exists=True, dir_okay=False),
               default=None,
               help="resume params+optimizer+step from a train_state .npz "
@@ -610,10 +616,15 @@ def run(**kwargs) -> TrainLoopState:
             )
         k0 = cfg.epses_specs[0][0]
         in_ch = (params["epses"][0].ndim - 1) // (k0 * k0)
+        from ..train.autotune import default_cache_path
+
         tuned_plans, autotune_report = autotune_splits(
             cfg, micro_bs, in_ch,
             reg_type=kwargs["reg_type"], reg_coeff=kwargs["reg_coeff"],
             log_fn=logger.info, seed=kwargs["seed"],
+            cache_path=(
+                default_cache_path() if kwargs["autotune_cache"] else None
+            ),
         )
         if tuple(p["n1"] for p in tuned_plans) != tuple(
             p["n1"] for p in fast_plans

@@ -30,6 +30,8 @@ chosen (XLA's own autotuner does the same for GEMM tilings).
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from typing import Callable, Optional
 
@@ -38,6 +40,84 @@ import jax.numpy as jnp
 
 from ..ops import eps as eps_mod
 from ..utils.benchmark import _timed_window
+
+# Bump when a kernel/planner change invalidates previously measured
+# rankings (cached entries with another schema are ignored, not errors).
+_CACHE_SCHEMA = 1
+
+
+def default_cache_path() -> str:
+    """Where measured picks persist across runs: the env override, else
+    ``~/.cache/dctn_tpu/autotune.json``. Sweep workers tuning the same
+    architecture (cli/sweep.py fans out one process per config) hit the
+    cache after the first worker pays the compile+measure cost."""
+    env = os.environ.get("DCTN_TPU_AUTOTUNE_CACHE")
+    if env:
+        return env
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "dctn_tpu", "autotune.json"
+    )
+
+
+def _cache_key(
+    cfg, batch_size, in_channels, *, max_candidates, charge_reg, reg_type,
+    min_gain, forward_only, quantize, interpret,
+) -> str:
+    """Everything that can change a measured ranking or the pick rule:
+    the layer-shape chain, the microbatch (pixel count sets bn and the
+    saved-t decision), the objective, the device kind, and the VMEM/saved-t
+    planning env knobs."""
+    device = "interpret" if interpret else jax.devices()[0].device_kind
+    key = {
+        "schema": _CACHE_SCHEMA,
+        "device_kind": device,
+        "epses_specs": [list(s) for s in cfg.epses_specs],
+        "image_size": cfg.image_size,
+        "q0": cfg.q0,
+        "in_channels": in_channels,
+        "batch_size": batch_size,
+        "compute_dtype": (
+            None
+            if cfg.compute_dtype is None
+            else jnp.dtype(cfg.compute_dtype).name
+        ),
+        "objective": (
+            f"serve-{quantize or 'f32'}" if forward_only else "train"
+        ),
+        "reg": reg_type if charge_reg else None,
+        "max_candidates": max_candidates,
+        "min_gain": min_gain,
+        "vmem_budget_mb": os.environ.get("DCTN_TPU_VMEM_BUDGET_MB", "56"),
+        "save_t_min_a": os.environ.get("DCTN_TPU_SAVE_T_MIN_A", "512"),
+        "save_t_max_bytes": os.environ.get(
+            "DCTN_TPU_SAVE_T_MAX_BYTES", str(4 << 30)
+        ),
+    }
+    return json.dumps(key, sort_keys=True)
+
+
+def _cache_load(path: str) -> dict:
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}  # absent or corrupted: a miss, never an error
+
+
+def _cache_store(path: str, key: str, entry: dict) -> None:
+    """Read-merge-replace so concurrent sweep workers at worst lose one
+    entry, never corrupt the file (os.replace is atomic)."""
+    try:
+        data = _cache_load(path)
+        data[key] = entry
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # read-only cache dir etc. — caching is best-effort
 
 
 def _layer_dims(cfg, in_channels: int = 1):
@@ -234,6 +314,7 @@ def autotune_splits(
     quantize: Optional[str] = None,
     log_fn: Optional[Callable[[str], None]] = None,
     seed: int = 0,
+    cache_path: Optional[str] = None,
 ):
     """Measure-and-pick n1 per EPS layer. Returns (plans, report): ``plans``
     in the ``fast_layer_plans`` format with each layer's n1 replaced by the
@@ -256,6 +337,14 @@ def autotune_splits(
     ``_measure_reg_marginal`` — the split-coupled kron sizes there can
     dwarf a kernel-side win).
 
+    ``cache_path``: persist measured picks to this JSON file and reuse them
+    when the SAME tuning problem recurs (key: ``_cache_key`` — layer-shape
+    chain, microbatch, objective, device kind, planning env knobs). Splits
+    are exact either way, so a stale entry can only cost performance, never
+    correctness; delete the file (or bump ``_CACHE_SCHEMA``) to re-measure.
+    ``default_cache_path()`` gives the conventional location (the runner and
+    export CLIs pass it unless ``--no-autotune-cache``).
+
     Raises FastLayoutUnavailable (from fast_layer_plans) if the model has no
     fast layout to tune.
     """
@@ -271,6 +360,44 @@ def autotune_splits(
         and reg_coeff != 0.0
         and not forward_only  # serving has no regularizer
     )
+    ckey = None
+    if cache_path:
+        ckey = _cache_key(
+            cfg, batch_size, in_channels, max_candidates=max_candidates,
+            charge_reg=charge_reg, reg_type=reg_type, min_gain=min_gain,
+            forward_only=forward_only, quantize=quantize,
+            interpret=interpret,
+        )
+        hit = _cache_load(cache_path).get(ckey)
+        if hit is not None:
+            picks = hit.get("picks", [])
+            legal = len(picks) == len(base_plans) and all(
+                n1
+                in candidate_splits(
+                    p["kernel_size"] ** 2 * p["c"], p["q"], p["out_size"],
+                    mm_bytes, max_candidates,
+                )
+                for n1, p in zip(picks, base_plans)
+            )
+            if legal:
+                log(
+                    f"autotune cache hit ({cache_path}): splits "
+                    f"{tuple(picks)} reused without re-measuring"
+                )
+                report = [
+                    {**r, "cached": True} for r in hit.get("report", [])
+                ]
+                return (
+                    tuple(
+                        {**p, "n1": n1}
+                        for p, n1 in zip(base_plans, picks)
+                    ),
+                    report,
+                )
+            log(
+                f"autotune cache entry at {cache_path} no longer legal "
+                "(planner change?) — re-measuring"
+            )
     key = jax.random.PRNGKey(seed)
     plans, report = [], []
     for i, ((c, q, h, w, kernel_size, out_size), base) in enumerate(
@@ -358,5 +485,15 @@ def autotune_splits(
                 "picked_n1": winner["n1"],
                 "model_n1": base["n1"],
             }
+        )
+    if cache_path:
+        _cache_store(
+            cache_path,
+            ckey,
+            {
+                "picks": [p["n1"] for p in plans],
+                "report": report,
+                "saved_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            },
         )
     return tuple(plans), report

@@ -5,8 +5,15 @@ Must configure jax before any backend is initialized, hence module level.
 """
 
 import os
+import tempfile
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hermetic autotune cache: runner tests default --autotune-cache on; a
+# per-session empty file keeps them from reading (or polluting) the user's
+# ~/.cache picks across test runs.
+os.environ["DCTN_TPU_AUTOTUNE_CACHE"] = os.path.join(
+    tempfile.mkdtemp(prefix="dctn_tpu_test_"), "autotune.json"
+)
 
 import jax
 

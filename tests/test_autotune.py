@@ -120,6 +120,72 @@ def test_autotune_skips_failing_candidates(monkeypatch):
         autotune_splits(cfg, 8, max_candidates=2)
 
 
+def test_autotune_cache_roundtrip(tmp_path, monkeypatch):
+    """A second identical tuning problem is a pure cache hit (zero new
+    measurements, identical picks, rows marked cached); a different
+    microbatch is a different key; a corrupted cache file and an
+    out-of-date entry (illegal picks) degrade to re-measuring."""
+    import dctn_tpu.train.autotune as at
+
+    cfg = _cfg()
+    cache = str(tmp_path / "tune.json")
+    calls = []
+    real = at._measure_candidate
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(at, "_measure_candidate", counting)
+
+    plans1, report1 = autotune_splits(
+        cfg, 8, max_candidates=2, min_gain=0.0, cache_path=cache
+    )
+    n_measured = len(calls)
+    assert n_measured > 0 and os.path.exists(cache)
+
+    plans2, report2 = autotune_splits(
+        cfg, 8, max_candidates=2, min_gain=0.0, cache_path=cache
+    )
+    assert len(calls) == n_measured  # pure hit: nothing re-measured
+    assert tuple(p["n1"] for p in plans2) == tuple(p["n1"] for p in plans1)
+    assert report2 and all(r.get("cached") for r in report2)
+    assert [r["picked_n1"] for r in report2] == [
+        r["picked_n1"] for r in report1
+    ]
+
+    # a different microbatch changes bn / the saved-t decision -> new key
+    autotune_splits(cfg, 4, max_candidates=2, min_gain=0.0, cache_path=cache)
+    assert len(calls) > n_measured
+
+    # an entry whose picks are no longer legal (planner change) re-measures
+    with open(cache) as f:
+        data = json.load(f)
+    key8 = next(
+        k for k in data if json.loads(k)["batch_size"] == 8
+    )
+    data[key8]["picks"] = [999] * len(data[key8]["picks"])
+    with open(cache, "w") as f:
+        json.dump(data, f)
+    calls.clear()
+    plans4, report4 = autotune_splits(
+        cfg, 8, max_candidates=2, min_gain=0.0, cache_path=cache
+    )
+    assert calls and not any(r.get("cached") for r in report4)
+    for p in plans4:
+        n = p["kernel_size"] ** 2 * p["c"]
+        assert p["n1"] in eps_mod.split_candidates(n, p["q"])
+
+    # corrupted cache file: treated as a miss, never an error
+    with open(cache, "w") as f:
+        f.write("{not json")
+    calls.clear()
+    autotune_splits(cfg, 8, max_candidates=2, min_gain=0.0, cache_path=cache)
+    assert calls
+    with open(cache) as f:
+        assert json.load(f)  # rewritten as valid JSON
+
+
 def test_nondefault_split_trajectory_matches_default():
     """A tuned (non-default) split re-matricizes the same cores — the
     training trajectory must match the default-split fast step (and hence
