@@ -377,31 +377,66 @@ def run(**kwargs) -> TrainLoopState:
 
     # --- flag-interaction validation (new_runner.py:289-321) ---
     specs = kwargs["epses_specs"]
+    # (the reference enforces these with bare asserts; a CLI should say
+    # WHICH flags conflict — and click.BadParameter survives python -O)
     chosen_individual: List[bool] = [False] * len(specs)
     for eps_index, _ in list(kwargs["init_eps_zero_centered_normal_std"]) + list(
         kwargs["init_eps_from_file"]
     ):
-        assert not chosen_individual[eps_index]
+        if chosen_individual[eps_index]:
+            raise click.BadParameter(
+                f"EPS {eps_index} was given more than one per-tensor init "
+                "(--init-eps-zero-centered-normal-std / --init-eps-from-file "
+                "may each name an eps index at most once, and not both)"
+            )
         chosen_individual[eps_index] = True
     per_param = all(chosen_individual) if chosen_individual else False
-    assert all(chosen_individual) or not any(chosen_individual)
-    assert implies(
-        kwargs["init_linear_weight_zero_centered_uniform"] is not None, per_param
-    )
-    assert per_param == xor(
-        kwargs["init_linear_weight_zero_centered_uniform"] is not None,
-        kwargs["init_linear_weight_zero_centered_normal_std"] is not None,
-    ) == (kwargs["init_linear_bias_zero_centered_uniform"] is not None)
-    assert exactly_one_true(
+    if any(chosen_individual) and not per_param:
+        missing = [i for i, c in enumerate(chosen_individual) if not c]
+        raise click.BadParameter(
+            "per-tensor EPS inits must cover EVERY eps or none — missing "
+            f"inits for eps indices {missing}"
+        )
+    w_uni = kwargs["init_linear_weight_zero_centered_uniform"] is not None
+    w_std = kwargs["init_linear_weight_zero_centered_normal_std"] is not None
+    b_uni = kwargs["init_linear_bias_zero_centered_uniform"] is not None
+    if not (per_param == xor(w_uni, w_std) == b_uni):
+        raise click.BadParameter(
+            "the manual (per-tensor) init family needs the full set "
+            "together: per-eps inits for every eps, exactly one of "
+            "--init-linear-weight-zero-centered-uniform / "
+            "--init-linear-weight-zero-centered-normal-std, and "
+            "--init-linear-bias-zero-centered-uniform — and none of them "
+            "with the composition init families"
+        )
+    if not exactly_one_true(
         kwargs["init_epses_composition_unit_theoretical_output_std"],
         kwargs["init_epses_composition_unit_empirical_output_std"],
         per_param,
-    )
+    ):
+        raise click.BadParameter(
+            "choose exactly one initialization family: "
+            "--init-epses-composition-unit-theoretical-output-std, "
+            "--init-epses-composition-unit-empirical-output-std, or a "
+            "full per-tensor manual init"
+        )
     colored = kwargs["ds_type"] in ("cifar10_rgb", "cifar10_YCbCr")
-    assert implies(kwargs["center_and_normalize_each_channel"], colored)
-    assert implies(bool(kwargs["nu_per_channel"]), colored)
-    assert implies(kwargs["phi_multiplier"] is not None, not colored)
-    assert implies(kwargs["add_constant_channel"] is not None, colored)
+    for flag, name, want_colored in (
+        (kwargs["center_and_normalize_each_channel"],
+         "--center-and-normalize-each-channel", True),
+        (bool(kwargs["nu_per_channel"]), "--nu-per-channel", True),
+        (kwargs["add_constant_channel"] is not None,
+         "--add-constant-channel", True),
+        (kwargs["phi_multiplier"] is not None, "--phi-multiplier", False),
+    ):
+        if not implies(flag, colored == want_colored):
+            raise click.BadParameter(
+                f"{name} applies to "
+                + ("colored CIFAR datasets only (--ds-type cifar10_rgb / "
+                   "cifar10_YCbCr)" if want_colored
+                   else "grayscale datasets only (colored datasets scale "
+                        "per channel via --nu-per-channel)")
+            )
     # normalize --grad-accum-steps: an int, or the string 'auto' (kept as-is
     # through provenance; resolved once the fast-layout plans are known, in
     # the training assembly below)

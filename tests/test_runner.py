@@ -18,6 +18,50 @@ def test_parse_epses_specs():
         parse_epses_specs("4,4")
 
 
+def test_flag_validation_messages(tmp_path):
+    """The reference enforced flag interactions with bare asserts
+    (new_runner.py:289-321); this runner must NAME the conflicting flags
+    (and the checks must survive python -O, hence click.BadParameter)."""
+    import click
+
+    def base(sub):
+        # per-case experiments dir: the run dir is timestamped to the
+        # second, and these calls all abort within one
+        return dict(
+            experiments_dir=str(tmp_path / sub),
+            ds_type="mnist",
+            ds_path="synthetic",
+            epses_specs=((2, 4),),
+            batch_size=8,
+            optimizer_name="adam",
+            lr=1e-3,
+            max_num_iters=1,
+            synthetic_sizes=(32, 16, 16),
+        )
+
+    with pytest.raises(
+        click.BadParameter, match="exactly one initialization family"
+    ):
+        run(**base("a"))  # no init family chosen
+    with pytest.raises(click.BadParameter, match="colored CIFAR"):
+        run(
+            **base("b"),
+            init_epses_composition_unit_theoretical_output_std=True,
+            nu_per_channel=(0.5, 0.5, 0.5),
+        )
+    with pytest.raises(click.BadParameter, match="grayscale"):
+        run(
+            **{**base("c"), "ds_type": "cifar10_rgb"},
+            init_epses_composition_unit_theoretical_output_std=True,
+            phi_multiplier=0.5,
+        )
+    with pytest.raises(click.BadParameter, match="cover EVERY eps"):
+        run(
+            **{**base("d"), "epses_specs": ((2, 4), (2, 4))},
+            init_eps_zero_centered_normal_std=((0, 0.1),),
+        )
+
+
 def test_runner_end_to_end(tmp_path):
     state = run(
         experiments_dir=str(tmp_path),
