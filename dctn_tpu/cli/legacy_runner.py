@@ -181,7 +181,12 @@ def run(**kw):
     from .runner import setup_run_provenance
 
     setup_run_provenance(kw["models_dir"], kw)
-    assert not (kw["make_input_window_std_one"] and kw["input_multiplier"] is not None)
+    if kw["make_input_window_std_one"] and kw["input_multiplier"] is not None:
+        raise click.BadParameter(
+            "--make-input-window-std-one computes the input scaling from "
+            "the data — it conflicts with an explicit --input-multiplier; "
+            "pass one or the other"
+        )
     if kw["export_artifact"] and kw["shuffle_pixels"]:
         # the artifact bakes cfg (quantum map, multiplier) but NOT the
         # host-side pixel permutation — a shuffled-pixels model would
@@ -318,7 +323,12 @@ def run(**kw):
         )
         from ..parallel.data_parallel import _put_global
 
-        assert kw["batch_size"] % n_mesh == 0, "batch size must divide mesh"
+        if kw["batch_size"] % n_mesh:
+            raise click.BadParameter(
+                f"--batch-size {kw['batch_size']} must be divisible by "
+                f"--mesh-devices {n_mesh} (each device takes an equal "
+                "sub-batch)"
+            )
         per_dev = kw["batch_size"] // n_mesh
         mesh = make_mesh(n_mesh)
         tr_split = shard_pixel_split(mesh, x_tr_host, y_tr_host)
