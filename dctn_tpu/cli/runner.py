@@ -481,6 +481,13 @@ def run(**kwargs) -> TrainLoopState:
             "--grad-accum-steps (each device's sub-batch is microbatched "
             "into equal accumulation slices)"
         )
+    if auto_accum and kwargs["batch_size"] % kwargs["mesh_devices"]:
+        # the non-auto case is subsumed by the check above
+        raise click.BadParameter(
+            f"--batch-size {kwargs['batch_size']} must be divisible by "
+            f"--mesh-devices {kwargs['mesh_devices']} (each device takes "
+            "an equal sub-batch)"
+        )
 
     # --- provenance + logging (new_runner.py:326-341) ---
     setup_run_provenance(output_dir, kwargs, kwargs["verbosity"])
