@@ -660,14 +660,51 @@ def run(**kwargs) -> TrainLoopState:
         in_ch = (params["epses"][0].ndim - 1) // (k0 * k0)
         from ..train.autotune import default_cache_path
 
-        tuned_plans, autotune_report = autotune_splits(
-            cfg, micro_bs, in_ch,
-            reg_type=kwargs["reg_type"], reg_coeff=kwargs["reg_coeff"],
-            log_fn=logger.info, seed=kwargs["seed"],
-            cache_path=(
-                default_cache_path() if kwargs["autotune_cache"] else None
-            ),
-        )
+        def _tune_here():
+            return autotune_splits(
+                cfg, micro_bs, in_ch,
+                reg_type=kwargs["reg_type"], reg_coeff=kwargs["reg_coeff"],
+                log_fn=logger.info, seed=kwargs["seed"],
+                cache_path=(
+                    default_cache_path() if kwargs["autotune_cache"] else None
+                ),
+            )
+
+        if jax.process_count() > 1:
+            # Multi-controller: process 0 measures, everyone else receives.
+            # Per-process measurement would be wasted work AND a correctness
+            # hazard — timing noise could pick DIFFERENT splits on different
+            # controllers, and the cmt parameter SHAPES depend on the split,
+            # so the replicated layout must agree globally.
+            from jax.experimental import multihost_utils
+
+            if is_primary:
+                tuned_plans, autotune_report = _tune_here()
+                picks = np.array(
+                    [p["n1"] for p in tuned_plans], dtype=np.int32
+                )
+            else:
+                picks = np.zeros(len(fast_plans), dtype=np.int32)
+            picks = np.asarray(multihost_utils.broadcast_one_to_all(picks))
+            if not is_primary:
+                tuned_plans = tuple(
+                    {**p, "n1": int(v)} for p, v in zip(fast_plans, picks)
+                )
+                autotune_report = [
+                    {
+                        "layer": i,
+                        "picked_n1": int(v),
+                        "model_n1": p["n1"],
+                        "broadcast_from_process_0": True,
+                    }
+                    for i, (p, v) in enumerate(zip(fast_plans, picks))
+                ]
+                logger.info(
+                    "autotune splits broadcast from process 0: %s",
+                    tuple(int(v) for v in picks),
+                )
+        else:
+            tuned_plans, autotune_report = _tune_here()
         if tuple(p["n1"] for p in tuned_plans) != tuple(
             p["n1"] for p in fast_plans
         ):

@@ -283,6 +283,103 @@ def test_distributed_runner_cli_two_processes(tmp_path):
     assert state.num_iters_done == 30
 
 
+AUTOTUNE_CHILD = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+from dctn_tpu.cli.runner import run
+state = run(
+    experiments_dir={outdir!r},
+    distributed="127.0.0.1:{port},2,{rank}",
+    ds_type="mnist", ds_path="synthetic",
+    epses_specs=((2, 4), (2, 4)),
+    batch_size=16,
+    mesh_devices=4,
+    optimizer_name="adam", lr=3e-3,
+    train_backend="pallas_interpret", eval_backend="pallas_interpret",
+    autotune_splits=True,
+    autotune_cache=False,
+    init_epses_composition_unit_theoretical_output_std=True,
+    eval_schedule=((None, 10),),
+    max_num_iters=20,
+    keep_last_models=1,
+    synthetic_sizes=(64, 32, 32),
+    patience=50,
+    reg_coeff=1e-6,
+)
+assert state.stop_reason == "max_iters", state.stop_reason
+"""
+
+
+def test_distributed_autotune_broadcasts_picks(tmp_path):
+    """--autotune-splits under --distributed: ONLY process 0 measures; the
+    picks are broadcast so every controller matricizes the SAME cmt shapes
+    (per-process measurement could pick different splits from timing noise —
+    the replicated layout must agree globally). Both controllers train to
+    completion and log identical eval lines."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = []
+    for rank in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-c",
+                    AUTOTUNE_CHILD.format(
+                        outdir=str(tmp_path / f"r{rank}"), port=port,
+                        rank=rank,
+                    ),
+                ],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    tails = []
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        tails.append(err[-4000:])
+    for p, tail in zip(procs, tails):
+        assert p.returncode == 0, tail
+
+    def run_dir(rank):
+        root = tmp_path / f"r{rank}"
+        (sub,) = os.listdir(root)
+        return os.path.join(root, sub)
+
+    d0, d1 = run_dir(0), run_dir(1)
+    log0 = open(os.path.join(d0, "log.log")).read()
+    log1 = open(os.path.join(d1, "log.log")).read()
+    # process 0 measured; process 1 received without measuring
+    assert "picked n1=" in log0
+    assert "broadcast from process 0" in log1
+    assert "picked n1=" not in log1
+    # both controllers hold the same replicated state: identical eval lines
+    def eval_lines(s):
+        return [
+            l.split("iters:", 1)[1]
+            for l in s.splitlines()
+            if "After" in l and "iters:" in l
+        ]
+    l0, l1 = eval_lines(log0), eval_lines(log1)
+    assert l0 and l0 == l1
+    # both reports record the same picks
+    rep0 = json.loads(
+        open(os.path.join(d0, "autotune_report.json")).read()
+    )
+    rep1 = json.loads(
+        open(os.path.join(d1, "autotune_report.json")).read()
+    )
+    assert [r["picked_n1"] for r in rep0] == [r["picked_n1"] for r in rep1]
+    assert all(r.get("broadcast_from_process_0") for r in rep1)
+
+
 LEGACY_CHILD = """
 import jax
 jax.config.update("jax_platforms", "cpu")
