@@ -118,6 +118,11 @@ def _train_state_tree(params, opt_state, epoch: int, step_in_epoch: int,
                    "preempted) run — restores params + optimizer + epoch/"
                    "step + best-model bookkeeping and fast-forwards the "
                    "epoch-shuffle rng, continuing the trajectory exactly")
+@click.option("--preempt-sync-steps", type=int, default=16,
+              help="under --distributed, controllers agree on a preemption "
+                   "stop every this many steps so they all stop at the SAME "
+                   "step (an immediate stop would strand peers in the next "
+                   "collective)")
 @click.option("--preempt-save/--no-preempt-save", default=True,
               help="on SIGTERM (TPU preemption / maintenance): finish the "
                    "in-flight step, save the full train state, stop cleanly "
@@ -481,6 +486,26 @@ def run(**kw):
 
         preempt = PreemptionHandler()
 
+    # Multi-controller: a local signal must not stop this process alone —
+    # peers would strand in the next step's collectives. Controllers agree
+    # every --preempt-sync-steps steps and stop together at the same step
+    # (mirrors the main runner / train/preemption.make_synced_hook).
+    preempt_sync = (
+        max(1, kw["preempt_sync_steps"]) if jax.process_count() > 1 else None
+    )
+
+    def preempt_fired_now(global_step: int) -> bool:
+        if preempt is None:
+            return False
+        if preempt_sync is None:
+            return preempt.fired is not None
+        if global_step % preempt_sync:
+            return False
+        from jax.experimental import multihost_utils
+
+        fired = np.array([0 if preempt.fired is None else 1], np.int32)
+        return int(multihost_utils.process_allgather(fired).sum()) > 0
+
     state_file = os.path.join(kw["models_dir"], "train_state_latest.npz")
 
     def save_train_state(epoch: int, step_in_epoch: int) -> None:
@@ -520,14 +545,14 @@ def run(**kw):
                     tracer(SimpleNamespace(
                         num_iters_done=epoch * steps_this_epoch + s))
                 params, opt_state, loss = do_step(params, opt_state, idx)
-                if preempt is not None and preempt.fired is not None:
+                if preempt_fired_now(epoch * steps_this_epoch + s + 1):
                     # the in-flight step finished; save mid-epoch so resume
                     # continues at batch s+1 of this epoch
                     save_train_state(epoch, s + 1)
                     logger.info(
                         "training stopped: preempted (%s) at epoch %d step "
                         "%d; train state saved for --resume-from",
-                        preempt.fired, epoch, s + 1,
+                        preempt.fired or "peer signal", epoch, s + 1,
                     )
                     preempted = True
                     break

@@ -322,6 +322,12 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
                    "in-flight step, save the full train state, stop cleanly "
                    "— --resume-from train_state_latest.npz then continues "
                    "the trajectory exactly (train/preemption.py)")
+@click.option("--preempt-sync-steps", type=int, default=16,
+              help="under --distributed, controllers agree on a preemption "
+                   "stop every this many steps so they all stop at the SAME "
+                   "step (an immediate stop would strand peers in the next "
+                   "collective); bounds signal-to-stop latency at this many "
+                   "steps — keep it well inside the preemption grace window")
 @click.option("--distributed", default=None,
               help="multi-host bring-up (docs/multihost.md): 'auto' on TPU "
                    "pods (jax.distributed auto-detects the coordinator from "
@@ -1368,12 +1374,23 @@ def run(**kwargs) -> TrainLoopState:
             save_train_state if is_primary
             else lambda st, completed_offset=0: None
         )
-        at_iter_start = [preempt.make_hook(preempt_save)] + list(
-            at_iter_start
-        )
-        after_step = list(after_step) + [
-            preempt.make_hook(lambda st: preempt_save(st, 1))
-        ]
+        if jax.process_count() > 1:
+            # Multi-controller: an immediate per-process stop would strand
+            # the other controllers in the next step's collectives, so the
+            # stop is AGREED every --preempt-sync-steps iterations and lands
+            # on the same step everywhere (train/preemption.py).
+            at_iter_start = [
+                preempt.make_synced_hook(
+                    preempt_save, kwargs["preempt_sync_steps"]
+                )
+            ] + list(at_iter_start)
+        else:
+            at_iter_start = [preempt.make_hook(preempt_save)] + list(
+                at_iter_start
+            )
+            after_step = list(after_step) + [
+                preempt.make_hook(lambda st: preempt_save(st, 1))
+            ]
         with preempt:
             train(state, step, gather, index_stream,
                   at_iter_start=at_iter_start, after_step=after_step)

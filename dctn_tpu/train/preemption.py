@@ -82,3 +82,35 @@ class PreemptionHandler:
                 )
 
         return hook
+
+    def make_synced_hook(self, save_fn: Callable, sync_every: int) -> Callable:
+        """Multi-controller variant (at-iter-start only): local signals do
+        NOT stop the loop directly — every ``sync_every`` iterations all
+        processes agree on whether ANY of them was signaled, and if so they
+        all stop at that SAME iteration. An immediate per-process stop would
+        strand the other controllers in the next step's collectives (their
+        psum participants include this process's devices); deferring to a
+        shared boundary keeps every dispatched step complete and the saved
+        state identical on all ranks. Worst case adds ``sync_every`` steps
+        between the signal and the stop — pick it so that fits the
+        preemption grace window (the runner default, 16, is ~70 ms at the
+        flagship step time vs a ~30 s TPU maintenance grace)."""
+        assert sync_every >= 1
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        def hook(state) -> None:
+            if state.stop or state.num_iters_done % sync_every:
+                return
+            fired = np.array([0 if self.fired is None else 1], np.int32)
+            total = int(multihost_utils.process_allgather(fired).sum())
+            if total:
+                save_fn(state)
+                state.stop = True
+                state.stop_reason = (
+                    f"preempted (signal on {total} process(es); all "
+                    "controllers stopped at the same step); train state "
+                    "saved for --resume-from"
+                )
+
+        return hook

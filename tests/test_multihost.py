@@ -380,6 +380,110 @@ def test_distributed_autotune_broadcasts_picks(tmp_path):
     assert all(r.get("broadcast_from_process_0") for r in rep1)
 
 
+PREEMPT_CHILD = """
+import jax, json
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+from dctn_tpu.cli.runner import run
+state = run(
+    experiments_dir={outdir!r},
+    distributed="127.0.0.1:{port},2,{rank}",
+    ds_type="mnist", ds_path="synthetic",
+    epses_specs=((2, 4),),
+    batch_size=16,
+    mesh_devices=4,
+    optimizer_name="adam", lr=3e-3,
+    init_epses_composition_unit_theoretical_output_std=True,
+    eval_schedule=((None, 40),),
+    max_num_iters=10**6,
+    keep_last_models=1,
+    synthetic_sizes=(64, 32, 32),
+    patience=10**6,
+    reg_coeff=1e-6,
+    preempt_sync_steps=8,
+)
+json.dump(
+    {{"reason": state.stop_reason, "iters": state.num_iters_done}},
+    open({result!r}, "w"),
+)
+"""
+
+
+def test_distributed_preemption_stops_all_controllers_together(tmp_path):
+    """SIGTERM delivered to ONE controller of a 2-process job: an immediate
+    local stop would strand the peer in the next step's collectives forever.
+    The synced stop (--preempt-sync-steps) must bring BOTH processes down
+    cleanly, at the SAME step, with process 0 saving the train state."""
+    import signal
+    import time as _time
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs, results = [], []
+    for rank in range(2):
+        res = tmp_path / f"result{rank}.json"
+        results.append(res)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-c",
+                    PREEMPT_CHILD.format(
+                        outdir=str(tmp_path / f"r{rank}"), port=port,
+                        rank=rank, result=str(res),
+                    ),
+                ],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+
+    # wait until training is demonstrably under way (the scheduled saver
+    # writes the train state at eval points), then signal ONLY process 0
+    def rank0_state_file():
+        root = tmp_path / "r0"
+        if not root.exists() or not os.listdir(root):
+            return None
+        (sub,) = os.listdir(root)
+        p = os.path.join(root, sub, "train_state_latest.npz")
+        return p if os.path.exists(p) else None
+
+    deadline = _time.monotonic() + 600
+    while rank0_state_file() is None:
+        assert _time.monotonic() < deadline, "training never started"
+        for p in procs:
+            assert p.poll() is None, p.communicate()[1][-4000:]
+        _time.sleep(1.0)
+    procs[0].send_signal(signal.SIGTERM)
+
+    tails = []
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError(
+                "a controller hung after a single-process SIGTERM — the "
+                "synced preemption stop did not propagate"
+            )
+        tails.append(err[-4000:])
+    for p, tail in zip(procs, tails):
+        assert p.returncode == 0, tail
+
+    r0, r1 = (json.loads(r.read_text()) for r in results)
+    assert r0["reason"].startswith("preempted"), r0
+    assert r1["reason"].startswith("preempted"), r1
+    assert r0["iters"] == r1["iters"]  # the agreed stop step
+    assert rank0_state_file() is not None
+    # process 1 never writes a train state
+    (sub1,) = os.listdir(tmp_path / "r1")
+    assert not os.path.exists(
+        os.path.join(tmp_path / "r1", sub1, "train_state_latest.npz")
+    )
+
+
 LEGACY_CHILD = """
 import jax
 jax.config.update("jax_platforms", "cpu")
