@@ -478,7 +478,11 @@ def run(**kw):
     if kw["profile_dir"]:
         from ..utils.profiling import StepTracer
 
-        tracer = StepTracer(kw["profile_dir"], *kw["profile_iters"])
+        prof_dir = kw["profile_dir"]
+        if not is_primary:
+            # per-process trace dirs (matches the main runner)
+            prof_dir = f"{prof_dir}-proc{jax.process_index()}"
+        tracer = StepTracer(prof_dir, *kw["profile_iters"])
 
     preempt = None
     if kw["preempt_save"]:

@@ -1359,7 +1359,12 @@ def run(**kwargs) -> TrainLoopState:
     if kwargs["profile_dir"]:
         from ..utils.profiling import StepTracer
 
-        tracer = StepTracer(kwargs["profile_dir"], *kwargs["profile_iters"])
+        prof_dir = kwargs["profile_dir"]
+        if not is_primary:
+            # per-process trace dirs: controllers sharing a filesystem (or a
+            # hostname, e.g. loopback tests) would interleave xplane files
+            prof_dir = f"{prof_dir}-proc{jax.process_index()}"
+        tracer = StepTracer(prof_dir, *kwargs["profile_iters"])
         at_iter_start = list(at_iter_start) + [tracer]
     if kwargs["preempt_save"]:
         from ..train.preemption import PreemptionHandler
