@@ -247,12 +247,24 @@ def _handler_for(model: ArtifactModel):
     return Handler
 
 
+class _DrainingHTTPServer(ThreadingHTTPServer):
+    """Graceful shutdown: ``shutdown()`` stops accepting, then
+    ``server_close()`` BLOCKS until in-flight request threads finish —
+    no client holding an open /predict gets its connection cut. (The stock
+    ThreadingHTTPServer marks handler threads daemon, so close would drop
+    them mid-response.)"""
+
+    daemon_threads = False
+    block_on_close = True
+
+
 def make_server(artifact: str, host: str = "127.0.0.1", port: int = 0,
                 microbatch_wait_s: float = 0.0):
     """(server, model) — serve with ``server.serve_forever()``; port 0 picks
-    an ephemeral one (``server.server_address[1]``)."""
+    an ephemeral one (``server.server_address[1]``). ``server.shutdown()``
+    followed by ``server.server_close()`` drains in-flight requests."""
     model = ArtifactModel(artifact, microbatch_wait_s=microbatch_wait_s)
-    server = ThreadingHTTPServer((host, port), _handler_for(model))
+    server = _DrainingHTTPServer((host, port), _handler_for(model))
     return server, model
 
 
@@ -278,11 +290,22 @@ def main(artifact, host, port, microbatch_wait_ms):
             else ")"
         )
     )
+    import signal as _signal
+
+    def _terminate(signum, frame):
+        # stop accepting from another thread (shutdown() blocks until the
+        # serve loop exits — calling it on the signal frame would deadlock)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    _signal.signal(_signal.SIGTERM, _terminate)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        server.shutdown()
-        model.close()
+        pass
+    server.shutdown()
+    server.server_close()  # drains in-flight requests (_DrainingHTTPServer)
+    model.close()
+    print("serve: drained in-flight requests and stopped")
 
 
 if __name__ == "__main__":

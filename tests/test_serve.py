@@ -289,3 +289,49 @@ def test_serve_microbatching_shape_isolation(tmp_path):
     finally:
         server.shutdown()
         model.close()
+
+
+def test_graceful_shutdown_drains_inflight(tmp_path):
+    """shutdown() + server_close() (the SIGTERM path in main) must let an
+    in-flight /predict finish with its full 200 response — never cut the
+    connection — and refuse connections afterwards."""
+    import concurrent.futures
+    import time
+    import urllib.error
+
+    params = init_eps_plus_linear(jax.random.PRNGKey(70), CFG)
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_pytree(params, ckpt)
+    art = str(tmp_path / "g.dctnx")
+    export_run(
+        checkpoint=ckpt, epses_specs=((2, 4),), image_size=6, q0=2,
+        batch_sizes=(2,), backend="xla", out=art,
+    )
+    server, model = make_server(art)
+    entered = threading.Event()
+    orig = model._call
+
+    def slow_call(bs, xb):
+        entered.set()
+        time.sleep(0.8)  # hold the request past the shutdown below
+        return orig(bs, xb)
+
+    model._call = slow_call
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    x = _x(2, key=200)
+
+    with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        fut = pool.submit(_post, base, x)
+        assert entered.wait(10), "request never reached the model"
+        server.shutdown()     # stop accepting (what the SIGTERM handler does)
+        server.server_close()  # drain: blocks until the handler thread ends
+        body, _ = fut.result(timeout=10)  # the in-flight response completed
+        np.testing.assert_allclose(
+            np.load(io.BytesIO(body)), _want(params, x), rtol=0, atol=1e-5
+        )
+    model.close()
+    # new connections are refused after the drain
+    with pytest.raises(urllib.error.URLError):
+        _post(base, x)
