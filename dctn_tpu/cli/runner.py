@@ -308,6 +308,15 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
               help="bake W8A8 int8 EPS kernels into --export-artifact "
                    "(pallas/eps_pallas_q8.py; needs the pallas eval backend "
                    "— ~1.65x serving throughput on v5e, 4x smaller weights)")
+@click.option("--qat", type=click.Choice(("none", "int8")), default="none",
+              help="quantization-aware training: every EPS layer's forward "
+                   "matmul runs W8A8 int8 with straight-through gradients, "
+                   "and evals score the SAME quantized forward — so training "
+                   "selects a model by its int8-deployment accuracy "
+                   "(pallas/eps_pallas_q8.forward_fast_q8train; needs the "
+                   "pallas backends; single-chip and --mesh-devices DP "
+                   "paths; pair with --export-artifact --export-quantize "
+                   "int8 to ship the model the metrics measured)")
 @click.option("--eval-train-subset", type=int, default=None,
               help="score only this many train samples per eval (full set if unset)")
 @click.option("--profile-dir", type=click.Path(file_okay=False), default=None,
@@ -544,6 +553,32 @@ def run(**kwargs) -> TrainLoopState:
             raise click.UsageError(
                 "--export-quantize int8 needs the pallas eval backend"
             )
+    qat = None if kwargs.get("qat") in (None, "none") else kwargs["qat"]
+    if qat is not None:
+        # QAT rides the fast (cmt) Pallas pipeline end to end — refuse any
+        # combination that would silently train full-precision instead
+        if cfg.train_backend not in ("pallas", "pallas_interpret") or (
+            cfg.eval_backend != cfg.train_backend
+        ):
+            raise click.BadParameter(
+                "--qat int8 runs on the fast (cmt) Pallas pipeline: "
+                "--train-backend and --eval-backend must both be pallas"
+            )
+        if kwargs["model_devices"] > 1 or kwargs["space_devices"] > 1:
+            raise click.BadParameter(
+                "--qat int8 is not plumbed through --model-devices / "
+                "--space-devices (supported: single-chip and "
+                "--mesh-devices data parallelism)"
+            )
+        if (
+            kwargs["export_artifact"]
+            and kwargs.get("export_quantize") in (None, "none")
+        ):
+            logger.warning(
+                "--qat int8 without --export-quantize int8: the exported "
+                "artifact will serve f32 kernels, not the quantized "
+                "forward the training metrics measured"
+            )
 
     # --- model init (new_runner.py:378-431) ---
     key = jax.random.PRNGKey(kwargs["seed"])
@@ -633,6 +668,12 @@ def run(**kwargs) -> TrainLoopState:
         try:
             params_fast, fast_plans = fast_params_from_reference(params, cfg)
         except FastLayoutUnavailable as e:
+            if qat is not None:
+                # no silent f32 fallback when the user asked for QAT
+                raise click.UsageError(
+                    f"--qat int8 needs the fast (cmt) layout, which is "
+                    f"unavailable for this model: {e}"
+                )
             use_fast = False  # a layer exceeds the Pallas VMEM plan
             logger.warning(
                 "fast (cmt) parameter layout unavailable (%s); using the "
@@ -645,6 +686,13 @@ def run(**kwargs) -> TrainLoopState:
         )
     if use_fast and kwargs["autotune_splits"]:
         from ..train.autotune import autotune_splits
+
+        if qat is not None:
+            logger.warning(
+                "--autotune-splits measures the f32 training step; under "
+                "--qat int8 the forward runs the q8 kernels, so treat the "
+                "picks as approximate"
+            )
 
         # per-device microbatch — the pixel count sets bn / saved-t, which
         # can flip which split measures fastest. 'auto' accumulation is
@@ -918,13 +966,25 @@ def run(**kwargs) -> TrainLoopState:
                 frozen_eps_indices=kwargs["freeze_eps"],
                 with_probs=kwargs["tb_batches"],
                 grad_accum_steps=kwargs["grad_accum_steps"],
+                qat=qat,
             )
             _hint_saved_t_recipe(
                 cfg, fast_plans, per_dev, kwargs["grad_accum_steps"]
             )
-            dp_forward = lambda f, xb: eps_plus_linear_forward_fast(  # noqa: E731
-                f, xb, cfg, fast_plans, training=False
-            )
+            if qat == "int8":
+                from ..pallas.eps_pallas_q8 import forward_fast_q8train
+
+                dp_forward = lambda f, xb: forward_fast_q8train(  # noqa: E731
+                    f, xb, cfg, fast_plans, training=False
+                )
+                logger.info(
+                    "QAT int8 active: W8A8 forward with straight-through "
+                    "gradients; evals score the quantized forward"
+                )
+            else:
+                dp_forward = lambda f, xb: eps_plus_linear_forward_fast(  # noqa: E731
+                    f, xb, cfg, fast_plans, training=False
+                )
             params_view = lambda f: reference_params_from_fast(  # noqa: E731
                 f, cfg, fast_plans
             )
@@ -982,6 +1042,7 @@ def run(**kwargs) -> TrainLoopState:
                 frozen_eps_indices=kwargs["freeze_eps"],
                 with_probs=kwargs["tb_batches"],
                 grad_accum_steps=kwargs["grad_accum_steps"],
+                qat=qat,
             )
             _hint_saved_t_recipe(
                 cfg, fast_plans, kwargs["batch_size"],
@@ -991,10 +1052,26 @@ def run(**kwargs) -> TrainLoopState:
                 f, cfg, fast_plans
             )
 
-            def _fast_forward(f, xb):
-                return eps_plus_linear_forward_fast(
-                    f, xb, cfg, fast_plans, training=False
+            if qat == "int8":
+                # evals score the SAME quantized forward the step trains, so
+                # early stopping / best-model selection track the accuracy an
+                # int8 deployment will actually serve
+                from ..pallas.eps_pallas_q8 import forward_fast_q8train
+
+                def _fast_forward(f, xb):
+                    return forward_fast_q8train(
+                        f, xb, cfg, fast_plans, training=False
+                    )
+
+                logger.info(
+                    "QAT int8 active: W8A8 forward with straight-through "
+                    "gradients; evals score the quantized forward"
                 )
+            else:
+                def _fast_forward(f, xb):
+                    return eps_plus_linear_forward_fast(
+                        f, xb, cfg, fast_plans, training=False
+                    )
 
             score = make_score_fn(
                 cfg, kwargs["batch_size"], forward_fn=_fast_forward

@@ -95,12 +95,17 @@ def plan_q8_bn(n, n1, q, o, npix_cap):
     )
 
 
-def _fwd_q8_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
+def _fwd_q8_kernel_factory(
+    n: int, n1: int, q: int, o: int, bn: int, save_t=False, t_dtype=None
+):
     n2 = n - n1
 
-    def kernel(views_ref, wq_ref, sw_ref, out_ref):
+    def kernel(views_ref, wq_ref, sw_ref, out_ref, *t_refs):
         # views_ref: (n, q, bn) f32; wq_ref: (Z, A) int8 o-major rows;
-        # sw_ref: (Z, 1) f32; out_ref: (o, bn) f32.
+        # sw_ref: (Z, 1) f32; out_ref: (o, bn) f32; t_refs: ((Z, bn)
+        # storage-dtype,) when save_t — the DEQUANTIZED t persisted for the
+        # QAT saved-t backward (so activation cotangents flow through the
+        # values the quantized forward actually produced).
         u = _suffix_chain(views_ref, 0, n1)[0]  # (A, bn) f32
         uq, su = _quantize_columns(u)
         t_i32 = jax.lax.dot_general(
@@ -108,6 +113,8 @@ def _fwd_q8_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
             preferred_element_type=jnp.int32,
         )
         t = t_i32.astype(jnp.float32) * sw_ref[:] * su  # (Z, bn)
+        if save_t:
+            t_refs[0][:] = t.astype(t_refs[0].dtype)
         if n2 > 0:
             v = _suffix_chain(views_ref, n1, n)[0]  # (q^n2, bn)
             t3 = t.reshape(o, q**n2, bn)
@@ -122,12 +129,28 @@ def _fwd_q8_kernel_factory(n: int, n1: int, q: int, o: int, bn: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("n1", "out_size", "bn", "interpret"))
-def _run_fwd_q8(views_t, wq, sw, n1, out_size, bn, interpret):
+@partial(
+    jax.jit,
+    static_argnames=("n1", "out_size", "bn", "interpret", "save_t", "t_dtype"),
+)
+def _run_fwd_q8(
+    views_t, wq, sw, n1, out_size, bn, interpret, save_t=False, t_dtype=None
+):
     n, q, npad = views_t.shape
+    z = wq.shape[0]
+    out_shape = jax.ShapeDtypeStruct((out_size, npad), jnp.float32)
+    out_spec = pl.BlockSpec(
+        (out_size, bn), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    if save_t:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((z, npad), t_dtype))
+        out_spec = (
+            out_spec,
+            pl.BlockSpec((z, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )
     return pl.pallas_call(
-        _fwd_q8_kernel_factory(n, n1, q, out_size, bn),
-        out_shape=jax.ShapeDtypeStruct((out_size, npad), jnp.float32),
+        _fwd_q8_kernel_factory(n, n1, q, out_size, bn, save_t, t_dtype),
+        out_shape=out_shape,
         grid=(npad // bn,),
         in_specs=[
             pl.BlockSpec((n, q, bn), lambda i: (0, 0, i),
@@ -135,8 +158,7 @@ def _run_fwd_q8(views_t, wq, sw, n1, out_size, bn, interpret):
             pl.BlockSpec(wq.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(sw.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((out_size, bn), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         interpret=interpret,
         **_compiler_kwargs(interpret),
     )(views_t, wq, sw)
@@ -182,6 +204,165 @@ def quantize_reference_params(params, cfg, plans=None, in_channels=1):
 
     fast, plans = fast_params_from_reference(params, cfg, plans)
     return quantize_fast_params(fast, plans), plans
+
+
+# ---------------------------------------------------------------------------
+# QAT: the int8 forward used for TRAINING, with straight-through gradients
+
+
+def _fwd_q8t_bytes(n, n1, q, o, bn, t_bytes):
+    """Q8 forward + a double-buffered (Z, bn) saved-t output block."""
+    a, z = _ab(n, n1, q, o)
+    return _fwd_q8_bytes(n, n1, q, o, bn) + 2 * t_bytes * z * bn
+
+
+def plan_q8_train_bn(n, n1, q, o, npix_cap, save_t, t_bytes):
+    """Largest q8 forward tile when the kernel also persists t."""
+    if not save_t:
+        return plan_q8_bn(n, n1, q, o, npix_cap)
+    return _largest_bn(
+        lambda bn: _fwd_q8t_bytes(n, n1, q, o, bn, t_bytes), cap=npix_cap
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def eps_pallas_apply_t_cmt_q8train(
+    cmt32, xT, out_size, kernel_size, n1, bn, bn_q8, interpret, mm_dtype,
+    merge_pairs, force_two_pass,
+):
+    """int8 (W8A8) forward for TRAINING with straight-through gradients:
+    the forward runs the quantized kernel (weights re-quantized from the
+    live f32 cmt every step — per-row scales are cheap jnp ops that XLA
+    fuses), the backward is the f32/bf16 kernel family's, treating both
+    quantizers as identity (STE). Where the saved-t plan fires, the
+    backward's activation cotangent flows through the DEQUANTIZED t the
+    quantized forward actually produced (the forward persists it); below
+    the saved-t threshold the backward recomputes t at full precision —
+    a documented STE variant (the d_v half then sees unquantized t).
+
+    ``bn`` is the f32 plan's tile (drives the backward tile ladder and the
+    saved-t decision exactly like ``eps_pallas_apply_t_cmt``); ``bn_q8`` is
+    the quantized forward's own tile. Views are padded to the larger of the
+    two so both grids divide the pixel axis (the tile ladder is mutually
+    divisible)."""
+    out, _ = _q8train_fwd(
+        cmt32, xT, out_size, kernel_size, n1, bn, bn_q8, interpret,
+        mm_dtype, merge_pairs, force_two_pass,
+    )
+    return out
+
+
+def _q8train_fwd(
+    cmt32, xT, out_size, kernel_size, n1, bn, bn_q8, interpret, mm_dtype,
+    merge_pairs, force_two_pass,
+):
+    from .eps_pallas import _save_t_plan
+
+    c, q, h, w, b = xT.shape
+    hp, wp = h - kernel_size + 1, w - kernel_size + 1
+    n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
+    views_t, npix = _stack_views_from_xT(
+        xT, kernel_size, max(bn, bn_q8), merge_pairs
+    )
+    wq, sw = quantize_cmt(cmt32)
+    save = _save_t_plan(
+        n_k, n1_k, q_k, out_size, bn, mm_dtype, views_t.shape[-1],
+        force_two_pass,
+    )
+    if save is not None:
+        out_t, t = _run_fwd_q8(
+            views_t, wq, sw, n1_k, out_size, bn_q8, interpret,
+            save_t=True, t_dtype=jnp.dtype(mm_dtype),
+        )
+    else:
+        out_t, t = (
+            _run_fwd_q8(views_t, wq, sw, n1_k, out_size, bn_q8, interpret),
+            None,
+        )
+    outT = out_t[:, :npix].reshape(out_size, hp, wp, b)
+    return outT, (cmt32, xT, views_t, npix, t)
+
+
+def _q8train_bwd(
+    out_size, kernel_size, n1, bn, bn_q8, interpret, mm_dtype, merge_pairs,
+    force_two_pass, res, g,
+):
+    from .eps_pallas import _bwd_dispatch, _dxT_from_dviews_t
+
+    cmt32, xT, views_t, npix, t = res
+    n1_k = n1 // 2 if merge_pairs else n1  # _kernel_dims' n1 rule
+    dviews_t, d_cmt = _bwd_dispatch(
+        views_t, cmt32.astype(mm_dtype), g, npix, n1_k, out_size, bn,
+        interpret, mm_dtype, force_two_pass, t=t,
+    )
+    d_xT = _dxT_from_dviews_t(dviews_t, xT, kernel_size, npix, merge_pairs)
+    return d_cmt, d_xT
+
+
+eps_pallas_apply_t_cmt_q8train.defvjp(_q8train_fwd, _q8train_bwd)
+
+
+def forward_fast_q8train(fast, x, cfg, plans, *, training=False, rng=None):
+    """``eps_plus_linear_forward_fast`` with every EPS layer's forward
+    matmul running W8A8 int8 (STE backward) — the QAT training pipeline
+    behind the runner's ``--qat int8``. Dropout composes: masks multiply
+    the f32 cmt BEFORE quantization (the quantizers see the dropped
+    weights, gradients flow through the mask by the chain rule outside the
+    custom_vjp). The classifier stays f32."""
+    from ..models.eps_plus_linear import (
+        _dropout_cmts,
+        _transposed_classifier,
+    )
+    from .eps_pallas import plan_pallas_call
+
+    cmts = fast["epses_cmt"]
+    if cfg.dropout_p < 1.0 and training:
+        assert rng is not None, "dropout needs an rng key in training mode"
+        cmts = _dropout_cmts(cmts, plans, cfg.dropout_p, rng)
+    backend = cfg.train_backend if training else cfg.eval_backend
+    assert backend in ("pallas", "pallas_interpret"), (
+        "fast params run only on the Pallas pipeline"
+    )
+    interpret = backend == "pallas_interpret"
+    c0, b, h, w, q0 = x.shape
+    xT = jnp.transpose(x, (0, 4, 2, 3, 1))
+    ch, qq, hh, ww = c0, q0, h, w
+    outT = None
+    for i, (cmt, p) in enumerate(zip(cmts, plans)):
+        from .eps_pallas import _save_t_plan
+
+        k_, out_size = p["kernel_size"], p["out_size"]
+        hp, wp = hh - k_ + 1, ww - k_ + 1
+        npix = b * hp * wp
+        n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
+            ch, qq, k_, p["n1"], out_size, npix, cfg.compute_dtype, interpret
+        )
+        assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
+        n_k, q_k, n1_k = _kernel_dims(ch, qq, k_, n1, merge_pairs)
+        cap = max(128, -(-npix // 128) * 128)
+        npad_probe = -(-npix // max(bn, 128)) * max(bn, 128)
+        will_save = (
+            _save_t_plan(
+                n_k, n1_k, q_k, out_size, bn, mm_dtype, npad_probe, i == 0
+            )
+            is not None
+        )
+        bn_q8 = plan_q8_train_bn(
+            n_k, n1_k, q_k, out_size, cap, will_save,
+            jnp.dtype(mm_dtype).itemsize,
+        )
+        if bn_q8 is None:
+            raise ValueError(
+                "EPS layer does not fit the q8 training kernel's VMEM "
+                f"budget: (n={n_k}, n1={n1_k}, q={q_k}, o={out_size})"
+            )
+        outT = eps_pallas_apply_t_cmt_q8train(
+            cmt, xT, out_size, k_, n1, bn, bn_q8, interpret, mm_dtype,
+            merge_pairs, i == 0,
+        )
+        xT = outT[None]
+        ch, qq, hh, ww = 1, out_size, hp, wp
+    return _transposed_classifier(outT, fast["linear"])
 
 
 def forward_fast_q8(qparams, x, cfg, plans, *, interpret=False):

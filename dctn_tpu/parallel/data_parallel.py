@@ -235,6 +235,7 @@ def make_parallel_fast_train_step(
     donate: bool = True,
     with_probs: bool = False,
     grad_accum_steps: int = 1,
+    qat=None,
 ):
     """The DP step over the FAST (cmt) parameter layout — the flagship
     single-chip path (19.75k img/s, cores stored matricized) running
@@ -242,11 +243,26 @@ def make_parallel_fast_train_step(
     pipeline, one pmean gradient all-reduce. The per-step plans are static,
     the replicated dropout key draws the same reference-order mask
     everywhere, and trajectories match the single-device fast step up to
-    the CE-mean summation order (tests/test_parallel.py)."""
+    the CE-mean summation order (tests/test_parallel.py).
+
+    ``qat="int8"`` swaps each shard's forward for the W8A8 int8 kernel with
+    straight-through gradients (pallas/eps_pallas_q8.forward_fast_q8train);
+    the STE backward and the pmean all-reduce compose unchanged — quantizers
+    are per-shard-local (per weight row / per pixel column), so the averaged
+    gradient equals the single-device QAT step's on the concatenated batch
+    whenever both sides land on the same saved-t arm (that plan keys on the
+    per-shard pixel count, like any batch-size change)."""
     from ..models.eps_plus_linear import eps_plus_linear_forward_fast
 
+    if qat not in (None, "int8"):
+        raise ValueError(f"unsupported qat mode {qat!r}")
+    if qat == "int8":
+        from ..pallas.eps_pallas_q8 import forward_fast_q8train as _fwd
+    else:
+        _fwd = eps_plus_linear_forward_fast
+
     return _make_parallel_step_from_fns(
-        lambda f, xb, rng: eps_plus_linear_forward_fast(
+        lambda f, xb, rng: _fwd(
             f, xb, cfg, plans, training=True, rng=rng
         ),
         make_fast_reg_fn(cfg, plans, reg_type),

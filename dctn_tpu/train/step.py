@@ -10,7 +10,7 @@ all fused on device. Batches are gathered on device from the resident split
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -164,6 +164,7 @@ def make_fast_train_step(
     frozen_eps_indices: Sequence[int] = (),
     with_probs: bool = False,
     grad_accum_steps: int = 1,
+    qat: Optional[str] = None,
 ):
     """Training step over the FAST (cmt) parameter layout
     (models/eps_plus_linear.fast_params_from_reference): the Pallas pipeline
@@ -179,8 +180,22 @@ def make_fast_train_step(
     and permuted — _dropout_cmts) — elementwise optimizers commute with the
     layout permutation; see tests/test_fast_layout.py. ``frozen_eps_indices``
     / ``with_probs`` / ``grad_accum_steps`` mirror make_train_step so the
-    runner's full option surface stays on the fast path."""
+    runner's full option surface stays on the fast path.
+
+    ``qat="int8"`` swaps each EPS layer's forward matmul for the W8A8
+    int8 kernel with straight-through gradients
+    (pallas/eps_pallas_q8.forward_fast_q8train): training numerics then
+    match an ``export --quantize int8`` deployment, and the forward runs at
+    the int8 MXU rate. NOT trajectory-equal to the reference — an explicit
+    opt-in (`--qat int8`)."""
     from ..models.eps_plus_linear import eps_plus_linear_forward_fast
+
+    if qat not in (None, "int8"):
+        raise ValueError(f"unsupported qat mode {qat!r}")
+    if qat == "int8":
+        from ..pallas.eps_pallas_q8 import forward_fast_q8train as _fwd
+    else:
+        _fwd = eps_plus_linear_forward_fast
 
     frozen = frozenset(frozen_eps_indices)
     assert not (with_probs and grad_accum_steps > 1), (
@@ -189,7 +204,7 @@ def make_fast_train_step(
     reg_fn = make_fast_reg_fn(cfg, plans, reg_type)
 
     def loss_fn(fast, xb, yb, rng):
-        logits = eps_plus_linear_forward_fast(
+        logits = _fwd(
             fast, xb, cfg, plans, training=True, rng=rng
         )
         logp = jax.nn.log_softmax(logits, axis=-1)

@@ -231,6 +231,80 @@ def test_parallel_fast_layout_step_matches_single_device(problem):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs the virtual mesh")
+def test_parallel_qat_step_matches_single_device(problem):
+    """QAT int8 inside the DP shard_map: the W8A8 STE step with replicated
+    cmt params must match the single-device make_fast_train_step(qat="int8")
+    on the same global batch — the quantizers are per weight row / per pixel
+    column, so sharding the batch changes nothing (both sides run the
+    no-saved-t arm at this tiny a). Sharded eval over the quantized forward
+    must match too (the runner's eval path under --qat)."""
+    from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
+    from dctn_tpu.pallas.eps_pallas_q8 import forward_fast_q8train
+    from dctn_tpu.parallel import make_parallel_fast_train_step
+    from dctn_tpu.train.step import make_fast_train_step
+
+    splits, _, _ = problem
+    x = np.asarray(splits.train.x)[:, :16]
+    y = np.asarray(splits.train.y)[:16]
+    mesh = make_mesh(4)
+    split = shard_split(mesh, x, y)
+    idx = jax.device_put(
+        np.tile(np.arange(4, dtype=np.int32), (4, 1)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+    )
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=x.shape[2], q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+        dropout_p=0.8,
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    fast, plans = fast_params_from_reference(params, cfg)
+    opt = make_optimizer("adam", 1e-2)
+    rng = jax.random.PRNGKey(7)
+
+    sel = np.concatenate([np.arange(d * split.n_local, d * split.n_local + 4)
+                          for d in range(4)])
+    step1 = make_fast_train_step(
+        cfg, opt, plans, "epswise", 1e-4, donate=False, qat="int8"
+    )
+    f1, o1 = fast, opt.init(fast)
+    for i in range(2):
+        f1, o1, m1 = step1(
+            f1, o1, jax.random.fold_in(rng, i),
+            jnp.asarray(x[:, sel]), jnp.asarray(y[sel]),
+        )
+
+    stepN = make_parallel_fast_train_step(
+        cfg, opt, plans, mesh, "epswise", 1e-4, donate=False, qat="int8"
+    )
+    fN = replicate(mesh, fast)
+    oN = replicate(mesh, opt.init(fast))
+    for i in range(2):
+        fN, oN, mN = stepN(
+            fN, oN, jax.random.fold_in(rng, i), split.x, split.y, idx
+        )
+    np.testing.assert_allclose(float(m1["ce"]), float(mN["ce"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(f1), jax.tree_util.tree_leaves(fN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
+
+    # sharded eval over the QUANTIZED forward (what the runner scores)
+    fwd = lambda f, xb: forward_fast_q8train(  # noqa: E731
+        f, xb, cfg, plans, training=False
+    )
+    score1 = make_score_fn(cfg, batch_size=8, forward_fn=fwd)
+    mce1, acc1 = score1(f1, jnp.asarray(x), jnp.asarray(y))
+    scoreN = make_parallel_score_fn(cfg, mesh, batch_size=4, forward_fn=fwd)
+    mceN, accN = scoreN(fN, split)
+    np.testing.assert_allclose(float(mce1), float(mceN), rtol=2e-4)
+    np.testing.assert_allclose(float(acc1), float(accN), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="unsupported qat"):
+        make_parallel_fast_train_step(
+            cfg, opt, plans, mesh, "epswise", 1e-4, qat="int4"
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs the virtual mesh")
 def test_parallel_step_with_pallas_backend(problem):
     """The production pod configuration: the fused Pallas kernels INSIDE the
     shard_map DP step (the runner resolves train_backend=auto → pallas on

@@ -169,3 +169,217 @@ def test_q8_plan_exists_for_recorded_configs():
             n_k, q_k, n1_k = _kernel_dims(ch, q, k, n1, merge_pairs)
             assert plan_q8_bn(n_k, n1_k, q_k, o, 4096) is not None, (specs, k, o)
             ch, q = 1, o
+
+
+# ---------------------------------------------------------------------------
+# QAT: int8 forward for TRAINING with straight-through gradients
+
+
+def _q8train_plan(C, K, Q, O, H, W, B):
+    from dctn_tpu.ops import eps as E
+    from dctn_tpu.pallas.eps_pallas import _save_t_plan, plan_pallas_call
+    from dctn_tpu.pallas.eps_pallas_q8 import plan_q8_train_bn
+
+    hp, wp = H - K + 1, W - K + 1
+    npix = B * hp * wp
+    n = K * K * C
+    n1 = E._balanced_split(n, Q, O)
+    n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
+        C, Q, K, n1, O, npix, None, True
+    )
+    n_k, q_k, n1_k = _kernel_dims(C, Q, K, n1, merge_pairs)
+    npad = -(-npix // bn) * bn
+    save = _save_t_plan(n_k, n1_k, q_k, O, bn, mm_dtype, npad, False)
+    bn_q8 = plan_q8_train_bn(
+        n_k, n1_k, q_k, O, max(128, -(-npix // 128) * 128),
+        save is not None, jnp.dtype(mm_dtype).itemsize,
+    )
+    return n1, bn, bn_q8, merge_pairs, mm_dtype, n_k, q_k, n1_k, npix, save
+
+
+def test_q8train_forward_matches_serving_kernel(rng):
+    """The QAT op's forward IS the W8A8 serving math: bit-identical to the
+    serving kernel run on quantize_cmt of the same live f32 cmt (the
+    per-column activation quantizer is tile-size-invariant)."""
+    from dctn_tpu.ops import eps as E
+    from dctn_tpu.pallas.eps_pallas import _core_to_cmt_k
+    from dctn_tpu.pallas.eps_pallas_q8 import eps_pallas_apply_t_cmt_q8train
+
+    C, K, Q, O, H, W, B = 1, 2, 3, 5, 5, 5, 2
+    k1, k2 = jax.random.split(rng)
+    core = jax.random.normal(k1, E.eps_shape(K, C, Q, O), jnp.float32)
+    x = jax.random.normal(k2, (C, B, H, W, Q), jnp.float32)
+    xT = jnp.transpose(x, (0, 4, 2, 3, 1))
+    n1, bn, bn_q8, merge_pairs, mm_dtype, n_k, q_k, n1_k, npix, _s = (
+        _q8train_plan(C, K, Q, O, H, W, B)
+    )
+    cmt = _core_to_cmt_k(core, n1_k, q_k)
+    got = eps_pallas_apply_t_cmt_q8train(
+        cmt, xT, O, K, n1, bn, bn_q8, True, mm_dtype, merge_pairs, False
+    )
+    wq, sw = quantize_cmt(cmt)
+    want = eps_pallas_apply_t_q8(
+        wq, sw, xT, O, K, n1, bn_q8, True, merge_pairs
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_q8train_ste_gradients_match_f32_backward(rng):
+    """Straight-through: with the same upstream cotangent, the QAT op's
+    gradients equal the f32 op's exactly when no saved-t plan fires (tiny
+    a) — the backward literally runs the same f32 kernels on the same
+    residuals, blind to the quantization."""
+    from dctn_tpu.ops import eps as E
+    from dctn_tpu.pallas.eps_pallas import (
+        _core_to_cmt_k,
+        eps_pallas_apply_t_cmt,
+    )
+    from dctn_tpu.pallas.eps_pallas_q8 import eps_pallas_apply_t_cmt_q8train
+
+    C, K, Q, O, H, W, B = 1, 2, 3, 5, 5, 5, 2
+    k1, k2, k3 = jax.random.split(rng, 3)
+    core = jax.random.normal(k1, E.eps_shape(K, C, Q, O), jnp.float32)
+    x = jax.random.normal(k2, (C, B, H, W, Q), jnp.float32)
+    xT = jnp.transpose(x, (0, 4, 2, 3, 1))
+    n1, bn, bn_q8, merge_pairs, mm_dtype, n_k, q_k, n1_k, npix, save = (
+        _q8train_plan(C, K, Q, O, H, W, B)
+    )
+    assert save is None  # tiny a: the no-saved-t arm
+    cmt = _core_to_cmt_k(core, n1_k, q_k)
+    hp, wp = H - K + 1, W - K + 1
+    wgt = jax.random.normal(k3, (O, hp, wp, B), jnp.float32)
+
+    def loss_q(c, xt):
+        out = eps_pallas_apply_t_cmt_q8train(
+            c, xt, O, K, n1, bn, bn_q8, True, mm_dtype, merge_pairs, False
+        )
+        return jnp.sum(out * wgt)
+
+    def loss_f(c, xt):
+        out = eps_pallas_apply_t_cmt(
+            c, xt, O, K, n1, bn, True, mm_dtype, merge_pairs, False
+        )
+        return jnp.sum(out * wgt)
+
+    gq = jax.grad(loss_q, argnums=(0, 1))(cmt, xT)
+    gf = jax.grad(loss_f, argnums=(0, 1))(cmt, xT)
+    for a, b in zip(gq, gf):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_q8train_saved_t_gradients_match_ste_oracle(rng, monkeypatch):
+    """Force the saved-t plan at tiny a (SAVE_T_MIN_A=1): the activation
+    cotangent's v-half flows through the QUANTIZED t the forward produced.
+    Oracle: jax.grad of contract(t_f32, sg(v)) + contract(sg(t_q), v) with
+    the views built by the same (differentiable) jnp stacking."""
+    import dctn_tpu.pallas.eps_pallas as ep
+    from dctn_tpu.ops import eps as E
+    from dctn_tpu.pallas.eps_pallas import _core_to_cmt_k
+    from dctn_tpu.pallas.eps_pallas_q8 import eps_pallas_apply_t_cmt_q8train
+
+    monkeypatch.setenv("DCTN_TPU_SAVE_T_MIN_A", "1")
+    C, K, Q, O, H, W, B = 1, 2, 3, 5, 5, 5, 2
+    k1, k2, k3 = jax.random.split(rng, 3)
+    core = jax.random.normal(k1, E.eps_shape(K, C, Q, O), jnp.float32)
+    x = jax.random.normal(k2, (C, B, H, W, Q), jnp.float32)
+    xT = jnp.transpose(x, (0, 4, 2, 3, 1))
+    n1, bn, bn_q8, merge_pairs, mm_dtype, n_k, q_k, n1_k, npix, save = (
+        _q8train_plan(C, K, Q, O, H, W, B)
+    )
+    assert save is not None  # the saved-t arm is what we're testing
+    cmt = _core_to_cmt_k(core, n1_k, q_k)
+    hp, wp = H - K + 1, W - K + 1
+    wgt = jax.random.normal(k3, (O, hp, wp, B), jnp.float32)
+
+    def loss_q(c, xt):
+        out = eps_pallas_apply_t_cmt_q8train(
+            c, xt, O, K, n1, bn, bn_q8, True, mm_dtype, merge_pairs, False
+        )
+        return jnp.sum(out * wgt)
+
+    def loss_oracle(c, xt):
+        views, npix2 = _stack_views_from_xT(xt, K, bn, merge_pairs)
+        u = _suffix_chain(views, 0, n1_k)[0]
+        v = _suffix_chain(views, n1_k, n_k)[0]
+        t_f = jax.lax.dot_general(
+            c, u, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        wq, sw = quantize_cmt(c)
+        uq, su = _quantize_columns(u)
+        t_q = jax.lax.stop_gradient(
+            jax.lax.dot_general(
+                wq, uq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            * sw
+            * su
+        )
+        n2 = n_k - n1_k
+        npad = views.shape[-1]
+
+        def contract(t, vv):
+            t3 = t.reshape(O, q_k**n2, npad)
+            return jnp.einsum("oan,an->on", t3, vv)
+
+        out = contract(t_f, jax.lax.stop_gradient(v)) + contract(t_q, v)
+        out = out[:, :npix2].reshape(O, hp, wp, B)
+        return jnp.sum(out * wgt)
+
+    gq = jax.grad(loss_q, argnums=(0, 1))(cmt, xT)
+    go = jax.grad(loss_oracle, argnums=(0, 1))(cmt, xT)
+    for a, b in zip(gq, go):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_fast_train_step_qat_learns():
+    """make_fast_train_step(qat="int8") end to end: the quantized-forward
+    step trains (loss decreases) and composes with parameter dropout."""
+    from dctn_tpu.train import make_optimizer
+    from dctn_tpu.train.step import make_fast_train_step
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4), (2, 4)),
+        image_size=8,
+        q0=2,
+        train_backend="pallas_interpret",
+        eval_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(3), cfg)
+    fast, plans = fast_params_from_reference(params, cfg)
+    opt = make_optimizer("adam", 3e-3)
+    step = make_fast_train_step(
+        cfg, opt, plans, "epswise", 1e-6, donate=False, qat="int8"
+    )
+    opt_state = opt.init(fast)
+    x = (
+        jax.random.uniform(jax.random.PRNGKey(4), (1, 32, 8, 8, 2))
+        .astype(jnp.float32)
+        * 1.4
+    )
+    y = jnp.asarray(np.arange(32) % 10)
+    losses = []
+    for i in range(25):
+        fast, opt_state, m = step(
+            fast, opt_state, jax.random.PRNGKey(100 + i), x, y
+        )
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+
+    # dropout composes (p < 1 draws masks before quantization)
+    import dataclasses
+
+    cfg_d = dataclasses.replace(cfg, dropout_p=0.8)
+    step_d = make_fast_train_step(
+        cfg_d, opt, plans, "epswise", 1e-6, donate=False, qat="int8"
+    )
+    fast2, _ = fast_params_from_reference(params, cfg_d)
+    f3, os3, m3 = step_d(
+        fast2, opt.init(fast2), jax.random.PRNGKey(9), x, y
+    )
+    assert np.isfinite(float(m3["loss"]))
+
+    with pytest.raises(ValueError, match="unsupported qat"):
+        make_fast_train_step(cfg, opt, plans, qat="int4")

@@ -247,6 +247,68 @@ def test_runner_fast_layout(tmp_path):
     )
 
 
+def test_runner_qat_int8(tmp_path):
+    """--qat int8 end to end: the W8A8 STE step trains, the log announces
+    the quantized eval forward, and checkpoints stay reference-layout f32
+    (quantization is a forward-pass property; the master weights are f32)."""
+    state = run(
+        experiments_dir=str(tmp_path),
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4), (2, 4)),
+        batch_size=32,
+        optimizer_name="adam",
+        lr=3e-3,
+        train_backend="pallas_interpret",
+        eval_backend="pallas_interpret",
+        qat="int8",
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=30,
+        keep_last_models=1,
+        synthetic_sizes=(128, 64, 64),
+        patience=50,
+        reg_coeff=1e-6,
+    )
+    assert state.stop_reason == "max_iters"
+    out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    log = open(os.path.join(out, "log.log")).read()
+    assert "QAT int8 active" in log
+    assert "fast (cmt) parameter layout active" in log
+    records = load_records(os.path.join(out, "log.log"))
+    assert records[-1].trmce < records[0].trmce  # QAT training learns
+
+
+def test_runner_qat_flag_validation(tmp_path):
+    """--qat refuses configurations that would silently train
+    full-precision: non-pallas backends and the unplumbed TP/SP paths."""
+    import click
+
+    def base(sub, **kw):
+        return dict(
+            experiments_dir=str(tmp_path / sub),
+            ds_type="mnist",
+            ds_path="synthetic",
+            epses_specs=((2, 4),),
+            batch_size=8,
+            optimizer_name="adam",
+            lr=1e-3,
+            max_num_iters=1,
+            synthetic_sizes=(32, 16, 16),
+            init_epses_composition_unit_theoretical_output_std=True,
+            qat="int8",
+            **kw,
+        )
+
+    with pytest.raises(click.BadParameter, match="must both be pallas"):
+        run(**base("a", train_backend="xla", eval_backend="xla"))
+    with pytest.raises(click.BadParameter, match="model-devices"):
+        run(**base(
+            "b", train_backend="pallas_interpret",
+            eval_backend="pallas_interpret", model_devices=2,
+        ))
+
+
 def test_runner_tensor_parallel_resume(tmp_path):
     """--resume-from in TP mode: the full train state (params3 layout +
     optimizer state + step + rng) round-trips."""
