@@ -314,9 +314,11 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
                    "and evals score the SAME quantized forward — so training "
                    "selects a model by its int8-deployment accuracy "
                    "(pallas/eps_pallas_q8.forward_fast_q8train; needs the "
-                   "pallas backends; single-chip and --mesh-devices DP "
-                   "paths; pair with --export-artifact --export-quantize "
-                   "int8 to ship the model the metrics measured)")
+                   "pallas backends; composes with --mesh-devices DP, "
+                   "--model-devices last-core TP and --space-devices SP — "
+                   "the quantizers are shard-local; pair with "
+                   "--export-artifact --export-quantize int8 to ship the "
+                   "model the metrics measured)")
 @click.option("--eval-train-subset", type=int, default=None,
               help="score only this many train samples per eval (full set if unset)")
 @click.option("--profile-dir", type=click.Path(file_okay=False), default=None,
@@ -564,11 +566,11 @@ def run(**kwargs) -> TrainLoopState:
                 "--qat int8 runs on the fast (cmt) Pallas pipeline: "
                 "--train-backend and --eval-backend must both be pallas"
             )
-        if kwargs["model_devices"] > 1 or kwargs["space_devices"] > 1:
+        if kwargs["model_devices"] > 1 and kwargs["tp_shard_all"]:
             raise click.BadParameter(
-                "--qat int8 is not plumbed through --model-devices / "
-                "--space-devices (supported: single-chip and "
-                "--mesh-devices data parallelism)"
+                "--qat int8 with --tp-shard-all: shard_all has no fast "
+                "(cmt) layout analog and QAT runs only on the fast "
+                "pipeline (use the default last-core TP layout)"
             )
         if (
             kwargs["export_artifact"]
@@ -805,11 +807,20 @@ def run(**kwargs) -> TrainLoopState:
                 kwargs["reg_type"], kwargs["reg_coeff"], donate=True,
                 frozen_eps_indices=kwargs["freeze_eps"],
                 grad_accum_steps=kwargs["grad_accum_steps"],
+                qat=qat,
             )
             score = make_sp_tp_score_fn(
-                cfg, mesh, kwargs["batch_size"], params, fast_plans
+                cfg, mesh, kwargs["batch_size"], params, fast_plans, qat=qat
             )
-            single_forward = make_sp_tp_forward(cfg, mesh, params, fast_plans)
+            single_forward = make_sp_tp_forward(
+                cfg, mesh, params, fast_plans, qat=qat
+            )
+            if qat == "int8":
+                logger.info(
+                    "QAT int8 active on the SP x TP mesh: W8A8 forward with "
+                    "straight-through gradients; evals score the quantized "
+                    "forward"
+                )
             params_view = lambda f3: reference_params_from_fast(  # noqa: E731
                 merge_tp_fast_params(f3, cfg), cfg, fast_plans
             )
@@ -861,10 +872,17 @@ def run(**kwargs) -> TrainLoopState:
                 frozen_eps_indices=kwargs["freeze_eps"],
                 grad_accum_steps=kwargs["grad_accum_steps"],
                 with_probs=kwargs["tb_batches"],
+                qat=qat,
             )
             score = make_tp_fast_score_fn(
-                cfg, fast_plans, mesh, kwargs["batch_size"]
+                cfg, fast_plans, mesh, kwargs["batch_size"], qat=qat
             )
+            if qat == "int8":
+                logger.info(
+                    "QAT int8 active on the TP mesh: W8A8 forward with "
+                    "straight-through gradients; evals score the quantized "
+                    "forward"
+                )
             params_view = lambda f3: reference_params_from_fast(  # noqa: E731
                 merge_tp_fast_params(f3, cfg), cfg, fast_plans
             )
@@ -913,9 +931,18 @@ def run(**kwargs) -> TrainLoopState:
                 kwargs["reg_type"], kwargs["reg_coeff"],
                 frozen_eps_indices=kwargs["freeze_eps"], donate=True,
                 grad_accum_steps=kwargs["grad_accum_steps"],
+                qat=qat,
             )
-            score = make_sp_score_fn(cfg, mesh, kwargs["batch_size"], fast_plans)
-            single_forward = make_sp_forward(cfg, mesh, fast_plans)
+            score = make_sp_score_fn(
+                cfg, mesh, kwargs["batch_size"], fast_plans, qat=qat
+            )
+            single_forward = make_sp_forward(cfg, mesh, fast_plans, qat=qat)
+            if qat == "int8":
+                logger.info(
+                    "QAT int8 active on the SP mesh: W8A8 forward with "
+                    "straight-through gradients; evals score the quantized "
+                    "forward"
+                )
             params_view = lambda f: reference_params_from_fast(  # noqa: E731
                 f, cfg, fast_plans
             )

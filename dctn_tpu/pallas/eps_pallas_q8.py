@@ -302,6 +302,55 @@ def _q8train_bwd(
 eps_pallas_apply_t_cmt_q8train.defvjp(_q8train_fwd, _q8train_bwd)
 
 
+def apply_q8train_layer(
+    cmt, xT, plan, compute_dtype, interpret, first, out_size=None
+):
+    """One EPS layer of the QAT (W8A8, STE) pipeline over the transposed
+    batch-minor activations: xT (C, Q, H, W, B) → outT (O, H', W', B).
+
+    ``out_size`` overrides ``plan["out_size"]`` when the caller runs a
+    contiguous cmt ROW BLOCK instead of the full core (tensor-parallel
+    shards, parallel/tensor_parallel.py): weight quantization is per-ROW, so
+    quantizing the sliced rows equals slicing the full core's quantization —
+    and activation quantization is per-PIXEL-column, so spatial-parallel
+    row shards (whose pixel sets are local) likewise reproduce the
+    single-device QAT numerics exactly. This is what makes --qat int8
+    composable with --model-devices / --space-devices."""
+    from .eps_pallas import _save_t_plan, plan_pallas_call
+
+    ch, qq, h, w, b = xT.shape
+    k_ = plan["kernel_size"]
+    out_size = plan["out_size"] if out_size is None else out_size
+    hp, wp = h - k_ + 1, w - k_ + 1
+    npix = b * hp * wp
+    n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
+        ch, qq, k_, plan["n1"], out_size, npix, compute_dtype, interpret
+    )
+    assert n1 == plan["n1"] and merge_pairs == plan["merge_pairs"]
+    n_k, q_k, n1_k = _kernel_dims(ch, qq, k_, n1, merge_pairs)
+    cap = max(128, -(-npix // 128) * 128)
+    npad_probe = -(-npix // max(bn, 128)) * max(bn, 128)
+    will_save = (
+        _save_t_plan(
+            n_k, n1_k, q_k, out_size, bn, mm_dtype, npad_probe, first
+        )
+        is not None
+    )
+    bn_q8 = plan_q8_train_bn(
+        n_k, n1_k, q_k, out_size, cap, will_save,
+        jnp.dtype(mm_dtype).itemsize,
+    )
+    if bn_q8 is None:
+        raise ValueError(
+            "EPS layer does not fit the q8 training kernel's VMEM "
+            f"budget: (n={n_k}, n1={n1_k}, q={q_k}, o={out_size})"
+        )
+    return eps_pallas_apply_t_cmt_q8train(
+        cmt, xT, out_size, k_, n1, bn, bn_q8, interpret, mm_dtype,
+        merge_pairs, first,
+    )
+
+
 def forward_fast_q8train(fast, x, cfg, plans, *, training=False, rng=None):
     """``eps_plus_linear_forward_fast`` with every EPS layer's forward
     matmul running W8A8 int8 (STE backward) — the QAT training pipeline
@@ -313,7 +362,6 @@ def forward_fast_q8train(fast, x, cfg, plans, *, training=False, rng=None):
         _dropout_cmts,
         _transposed_classifier,
     )
-    from .eps_pallas import plan_pallas_call
 
     cmts = fast["epses_cmt"]
     if cfg.dropout_p < 1.0 and training:
@@ -324,44 +372,13 @@ def forward_fast_q8train(fast, x, cfg, plans, *, training=False, rng=None):
         "fast params run only on the Pallas pipeline"
     )
     interpret = backend == "pallas_interpret"
-    c0, b, h, w, q0 = x.shape
     xT = jnp.transpose(x, (0, 4, 2, 3, 1))
-    ch, qq, hh, ww = c0, q0, h, w
     outT = None
     for i, (cmt, p) in enumerate(zip(cmts, plans)):
-        from .eps_pallas import _save_t_plan
-
-        k_, out_size = p["kernel_size"], p["out_size"]
-        hp, wp = hh - k_ + 1, ww - k_ + 1
-        npix = b * hp * wp
-        n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
-            ch, qq, k_, p["n1"], out_size, npix, cfg.compute_dtype, interpret
-        )
-        assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
-        n_k, q_k, n1_k = _kernel_dims(ch, qq, k_, n1, merge_pairs)
-        cap = max(128, -(-npix // 128) * 128)
-        npad_probe = -(-npix // max(bn, 128)) * max(bn, 128)
-        will_save = (
-            _save_t_plan(
-                n_k, n1_k, q_k, out_size, bn, mm_dtype, npad_probe, i == 0
-            )
-            is not None
-        )
-        bn_q8 = plan_q8_train_bn(
-            n_k, n1_k, q_k, out_size, cap, will_save,
-            jnp.dtype(mm_dtype).itemsize,
-        )
-        if bn_q8 is None:
-            raise ValueError(
-                "EPS layer does not fit the q8 training kernel's VMEM "
-                f"budget: (n={n_k}, n1={n1_k}, q={q_k}, o={out_size})"
-            )
-        outT = eps_pallas_apply_t_cmt_q8train(
-            cmt, xT, out_size, k_, n1, bn, bn_q8, interpret, mm_dtype,
-            merge_pairs, i == 0,
+        outT = apply_q8train_layer(
+            cmt, xT, p, cfg.compute_dtype, interpret, i == 0
         )
         xT = outT[None]
-        ch, qq, hh, ww = 1, out_size, hp, wp
     return _transposed_classifier(outT, fast["linear"])
 
 

@@ -259,12 +259,16 @@ def make_sp_tp_train_step(
 
 def _sp_tp_fast_forward_local(
     fast3, xb, cfg: EPSesPlusLinearConfig, plans, training, rng, n_space, hl,
-    n_model,
+    n_model, qat=None,
 ):
     """Transposed batch-minor pipeline per device: halo on the middle row
     dim (spatial_parallel), last layer at out_size = O/n_model on its
     contiguous cmt row block (tensor_parallel), classifier sliced on BOTH
-    h (space) and O (model)."""
+    h (space) and O (model). ``qat="int8"`` runs every layer through the
+    W8A8 STE forward — both quantizers are shard-local on this mesh (weights
+    per-row over the O-block, activations per-pixel-column over the local
+    h-range), so composed SP×TP QAT reproduces single-device QAT numerics
+    (see apply_q8train_layer's docstring)."""
     from ..models.eps_plus_linear import _dropout_cmts
     from ..pallas.eps_pallas import (
         _core_to_cmt_k,
@@ -309,15 +313,23 @@ def _sp_tp_fast_forward_local(
         o_i = out_full // n_model if i == n_eps - 1 else out_full
         xT = _with_halo(xT, k_, n_space, row_axis=2)
         wp = ww - k_ + 1
-        n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
-            ch, qq, k_, p["n1"], o_i, b * hl * wp, cfg.compute_dtype,
-            interpret,
-        )
-        assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
-        outT = eps_pallas_apply_t_cmt(
-            cmt, xT, o_i, k_, n1, bn, interpret, mm_dtype, merge_pairs,
-            i == 0,
-        )
+        if qat == "int8":
+            from ..pallas.eps_pallas_q8 import apply_q8train_layer
+
+            outT = apply_q8train_layer(
+                cmt, xT, p, cfg.compute_dtype, interpret, i == 0,
+                out_size=o_i,
+            )
+        else:
+            n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
+                ch, qq, k_, p["n1"], o_i, b * hl * wp, cfg.compute_dtype,
+                interpret,
+            )
+            assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
+            outT = eps_pallas_apply_t_cmt(
+                cmt, xT, o_i, k_, n1, bn, interpret, mm_dtype, merge_pairs,
+                i == 0,
+            )
         xT = outT[None]
         ch, qq, ww = 1, o_i if i == n_eps - 1 else out_full, wp
     o_loc, _, wl, b2 = outT.shape
@@ -347,10 +359,14 @@ def make_sp_tp_fast_train_step(
     frozen_eps_indices: Sequence[int] = (),
     donate: bool = False,
     grad_accum_steps: int = 1,
+    qat=None,
 ):
     """The composed step over the fast (cmt) layout (make_tp_fast_params on
     this mesh): the production Pallas kernel path sharded on all three
-    axes."""
+    axes. ``qat="int8"`` swaps each shard's forward for the W8A8 STE kernel
+    (shard-local quantizers — see _sp_tp_fast_forward_local)."""
+    if qat not in (None, "int8"):
+        raise ValueError(f"unsupported qat mode {qat!r}")
     n_space = mesh.shape["space"]
     n_model = mesh.shape["model"]
     hl = sp_check_config(cfg, n_space)
@@ -359,7 +375,7 @@ def make_sp_tp_fast_train_step(
     def per_shard(fast3, rng, xb, yb):
         def local_loss(f3, xs, ys, r):
             logits = _sp_tp_fast_forward_local(
-                f3, xs, cfg, plans, True, r, n_space, hl, n_model
+                f3, xs, cfg, plans, True, r, n_space, hl, n_model, qat=qat
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
             ce = -jnp.mean(jnp.take_along_axis(logp, ys[:, None], axis=1))
@@ -410,9 +426,11 @@ def make_sp_tp_fast_train_step(
 
 
 def make_sp_tp_forward(
-    cfg: EPSesPlusLinearConfig, mesh: Mesh, params3, fast_plans=None
+    cfg: EPSesPlusLinearConfig, mesh: Mesh, params3, fast_plans=None,
+    qat=None,
 ):
-    """Jitted inference forward: (params3, x_rowsharded) → logits."""
+    """Jitted inference forward: (params3, x_rowsharded) → logits.
+    ``qat="int8"`` (fast layout only) runs the quantized forward."""
     n_space = mesh.shape["space"]
     n_model = mesh.shape["model"]
     hl = sp_check_config(cfg, n_space)
@@ -425,7 +443,8 @@ def make_sp_tp_forward(
     def local(p3, xb):
         if fast_plans is not None:
             return _sp_tp_fast_forward_local(
-                p3, xb, cfg, fast_plans, False, None, n_space, hl, n_model
+                p3, xb, cfg, fast_plans, False, None, n_space, hl, n_model,
+                qat=qat,
             )
         return _sp_tp_forward_local(
             p3, xb, cfg, False, None, n_space, hl, n_model
@@ -450,10 +469,12 @@ def make_sp_tp_score_fn(
     batch_size: int,
     params3,
     fast_plans=None,
+    qat=None,
 ):
     """score(params3, x_rowsharded, y) → (mean_ce, accuracy): per-data-shard
     padded-batch scan with the (space, model) logits psum inside, one psum
-    over ``data`` at the end."""
+    over ``data`` at the end. Under ``qat="int8"`` evals score the
+    quantized forward."""
     from ..train.evaluation import masked_ce_acc_scan, padded_batch_ids
 
     n_space = mesh.shape["space"]
@@ -486,7 +507,7 @@ def make_sp_tp_score_fn(
                 if fast_plans is not None:
                     return _sp_tp_fast_forward_local(
                         pp, xb, cfg, fast_plans, False, None, n_space, hl,
-                        n_model,
+                        n_model, qat=qat,
                     )
                 return _sp_tp_forward_local(
                     pp, xb, cfg, False, None, n_space, hl, n_model

@@ -311,7 +311,15 @@ def _sp_fast_forward_local(
     rng,
     n_space: int,
     hl: int,
+    qat=None,
 ):
+    """``qat="int8"``: each row shard runs the W8A8 STE forward
+    (pallas/eps_pallas_q8.apply_q8train_layer). Activation quantization is
+    per-pixel-COLUMN and this shard's pixel columns (its h-range plus the
+    halo rows) carry the same values as single-device QAT, so SP-QAT is
+    numerically identical to the single-device quantized forward on every
+    valid pixel; garbage bottom rows quantize shard-locally and stay masked
+    by the zero-padded classifier rows exactly as in f32 SP."""
     from ..models.eps_plus_linear import _dropout_cmts
     from ..pallas.eps_pallas import eps_pallas_apply_t_cmt, plan_pallas_call
 
@@ -331,15 +339,22 @@ def _sp_fast_forward_local(
         k_, out_size = p["kernel_size"], p["out_size"]
         xT = _with_halo(xT, k_, n_space, row_axis=2)
         wp = ww - k_ + 1
-        n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
-            ch, qq, k_, p["n1"], out_size, b * hl * wp,
-            cfg.compute_dtype, interpret,
-        )
-        assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
-        outT = eps_pallas_apply_t_cmt(
-            cmt, xT, out_size, k_, n1, bn, interpret, mm_dtype, merge_pairs,
-            i == 0,
-        )
+        if qat == "int8":
+            from ..pallas.eps_pallas_q8 import apply_q8train_layer
+
+            outT = apply_q8train_layer(
+                cmt, xT, p, cfg.compute_dtype, interpret, i == 0
+            )
+        else:
+            n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
+                ch, qq, k_, p["n1"], out_size, b * hl * wp,
+                cfg.compute_dtype, interpret,
+            )
+            assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
+            outT = eps_pallas_apply_t_cmt(
+                cmt, xT, out_size, k_, n1, bn, interpret, mm_dtype,
+                merge_pairs, i == 0,
+            )
         xT = outT[None]
         ch, qq, ww = 1, out_size, wp
     # transposed classifier over this device's h-slice of the weight
@@ -367,11 +382,16 @@ def make_sp_fast_train_step(
     frozen_eps_indices: Sequence[int] = (),
     donate: bool = False,
     grad_accum_steps: int = 1,
+    qat=None,
 ):
     """The SP train step over the fast (cmt) parameter layout — the flagship
     kernel path row-sharded over ``space`` (and batch-sharded over ``data``).
     Gradient reduction mirrors make_sp_train_step: cmt cores + w psum over
-    space, bias full, then pmean over data; optimizer outside under GSPMD."""
+    space, bias full, then pmean over data; optimizer outside under GSPMD.
+    ``qat="int8"`` swaps each shard's forward for the W8A8 STE kernel
+    (shard-local quantizers — see _sp_fast_forward_local)."""
+    if qat not in (None, "int8"):
+        raise ValueError(f"unsupported qat mode {qat!r}")
     n_space = mesh.shape["space"]
     hl = sp_check_config(cfg, n_space)
     frozen = frozenset(frozen_eps_indices)
@@ -380,7 +400,7 @@ def make_sp_fast_train_step(
     def per_shard(fast, rng, xb, yb):
         def local_loss(f, xs, ys, r):
             logits = _sp_fast_forward_local(
-                f, xs, cfg, plans, True, r, n_space, hl
+                f, xs, cfg, plans, True, r, n_space, hl, qat=qat
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
             ce = -jnp.mean(jnp.take_along_axis(logp, ys[:, None], axis=1))
@@ -438,17 +458,20 @@ def make_sp_fast_train_step(
 # evaluation / inference
 
 
-def make_sp_forward(cfg: EPSesPlusLinearConfig, mesh: Mesh, fast_plans=None):
+def make_sp_forward(
+    cfg: EPSesPlusLinearConfig, mesh: Mesh, fast_plans=None, qat=None
+):
     """Jitted SP inference forward: (params, x_rowsharded) → logits. Pass
     ``fast_plans`` to run the fast (cmt) layout instead of the reference
-    one."""
+    one; ``qat="int8"`` (fast layout only) runs the quantized forward."""
     n_space = mesh.shape["space"]
     hl = sp_check_config(cfg, n_space)
 
     def local(params, xb):
         if fast_plans is not None:
             return _sp_fast_forward_local(
-                params, xb, cfg, fast_plans, False, None, n_space, hl
+                params, xb, cfg, fast_plans, False, None, n_space, hl,
+                qat=qat,
             )
         return _sp_forward_local(params, xb, cfg, False, None, n_space, hl)
 
@@ -466,11 +489,13 @@ def make_sp_forward(cfg: EPSesPlusLinearConfig, mesh: Mesh, fast_plans=None):
 
 
 def make_sp_score_fn(
-    cfg: EPSesPlusLinearConfig, mesh: Mesh, batch_size: int, fast_plans=None
+    cfg: EPSesPlusLinearConfig, mesh: Mesh, batch_size: int, fast_plans=None,
+    qat=None,
 ):
     """score(params, x_rowsharded, y) → (mean_ce, accuracy): per-data-shard
     padded-batch scan with the per-batch logits psum over ``space`` inside,
-    one psum over ``data`` at the end (mirrors make_tp_score_fn)."""
+    one psum over ``data`` at the end (mirrors make_tp_score_fn). Under
+    ``qat="int8"`` evals score the quantized forward."""
     from ..train.evaluation import masked_ce_acc_scan, padded_batch_ids
 
     n_space = mesh.shape["space"]
@@ -494,7 +519,8 @@ def make_sp_score_fn(
             def fwd(xb):
                 if fast_plans is not None:
                     return _sp_fast_forward_local(
-                        p, xb, cfg, fast_plans, False, None, n_space, hl
+                        p, xb, cfg, fast_plans, False, None, n_space, hl,
+                        qat=qat,
                     )
                 return _sp_forward_local(p, xb, cfg, False, None, n_space, hl)
 

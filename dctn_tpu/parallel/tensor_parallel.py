@@ -388,14 +388,21 @@ def merge_tp_fast_params(fast3, cfg: EPSesPlusLinearConfig):
 
 
 def _tp_fast_forward_local(
-    fast3, xb, cfg: EPSesPlusLinearConfig, plans, training, rng, n_model
+    fast3, xb, cfg: EPSesPlusLinearConfig, plans, training, rng, n_model,
+    qat=None,
 ):
     """Per-shard fast-pipeline forward: replicated early cmts run full
     layers; the last layer runs with out_size = O/n_model on its contiguous
     cmt row block; partial logits from the local w3 slice are psum'd over
     ``model``. Dropout draws the reference-order full-shape mask, permutes
     it to cmt, and slices the local rows — one consistent realization, so
-    TP-fast training at p<1 stays bit-identical to single-device."""
+    TP-fast training at p<1 stays bit-identical to single-device.
+
+    ``qat="int8"`` runs every layer through the W8A8 STE forward
+    (pallas/eps_pallas_q8.apply_q8train_layer): weight quantization is
+    per-row, so the last layer's sliced row block quantizes exactly like
+    the corresponding rows of the full core — TP-QAT shards reproduce
+    single-device QAT numerics."""
     from ..pallas.eps_pallas import (
         _core_to_cmt_k,
         _kernel_dims,
@@ -434,13 +441,23 @@ def _tp_fast_forward_local(
         k_, out_full = p["kernel_size"], p["out_size"]
         o_i = out_full // n_model if i == n_eps - 1 else out_full
         hp, wp = hh - k_ + 1, ww - k_ + 1
-        n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
-            ch, qq, k_, p["n1"], o_i, b * hp * wp, cfg.compute_dtype, interpret
-        )
-        assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
-        outT = eps_pallas_apply_t_cmt(
-            cmt, xT, o_i, k_, n1, bn, interpret, mm_dtype, merge_pairs, i == 0
-        )
+        if qat == "int8":
+            from ..pallas.eps_pallas_q8 import apply_q8train_layer
+
+            outT = apply_q8train_layer(
+                cmt, xT, p, cfg.compute_dtype, interpret, i == 0,
+                out_size=o_i,
+            )
+        else:
+            n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
+                ch, qq, k_, p["n1"], o_i, b * hp * wp, cfg.compute_dtype,
+                interpret,
+            )
+            assert n1 == p["n1"] and merge_pairs == p["merge_pairs"]
+            outT = eps_pallas_apply_t_cmt(
+                cmt, xT, o_i, k_, n1, bn, interpret, mm_dtype, merge_pairs,
+                i == 0,
+            )
         xT = outT[None]
         ch, qq, hh, ww = 1, out_full, hp, wp
     o_loc, hp2, wp2, b2 = outT.shape
@@ -493,13 +510,21 @@ def make_tp_fast_train_step(
     frozen_eps_indices=(),
     grad_accum_steps: int = 1,
     with_probs: bool = False,
+    qat=None,
 ):
     """The fast (cmt) layout's TP train step (last-core layout): the
     flagship Pallas pipeline runs per shard with its contiguous cmt row
     block; gradient reduction mirrors make_tp_train_step (replicated early
     cmts psum over ``model``; sharded last cmt / w3 exact locally; bias
     full after the logits psum), then pmean over ``data``; the optimizer
-    update runs outside shard_map under GSPMD."""
+    update runs outside shard_map under GSPMD.
+
+    ``qat="int8"`` swaps each shard's forward for the W8A8 STE kernel
+    (per-row weight scales are row-block-local, so the sharded last core
+    quantizes exactly like single-device QAT — see
+    _tp_fast_forward_local)."""
+    if qat not in (None, "int8"):
+        raise ValueError(f"unsupported qat mode {qat!r}")
     n_model = mesh.shape["model"]
     n_eps = len(plans)
     frozen = frozenset(frozen_eps_indices)
@@ -509,7 +534,9 @@ def make_tp_fast_train_step(
 
     def per_shard(fast3, rng, xb, yb):
         def local_loss(f3, xs, ys, r):
-            logits = _tp_fast_forward_local(f3, xs, cfg, plans, True, r, n_model)
+            logits = _tp_fast_forward_local(
+                f3, xs, cfg, plans, True, r, n_model, qat=qat
+            )
             logp = jax.nn.log_softmax(logits, axis=-1)
             per_sample = jnp.take_along_axis(logp, ys[:, None], axis=1)[:, 0]
             ce = -jnp.mean(per_sample)
@@ -568,11 +595,15 @@ def make_tp_fast_train_step(
 
 
 def make_tp_fast_score_fn(
-    cfg: EPSesPlusLinearConfig, plans, mesh: Mesh, batch_size: int
+    cfg: EPSesPlusLinearConfig, plans, mesh: Mesh, batch_size: int, qat=None
 ):
     """score(fast3, x, y) → (mean_ce, accuracy) over the TP-fast layout —
     data-sharded scan with the per-batch logits psum over ``model`` as the
-    only inner collective (mirrors make_tp_score_fn)."""
+    only inner collective (mirrors make_tp_score_fn). Under ``qat="int8"``
+    evals score the quantized forward, so early stopping tracks the
+    int8-deployment accuracy."""
+    if qat not in (None, "int8"):
+        raise ValueError(f"unsupported qat mode {qat!r}")
     n_model = mesh.shape["model"]
     p_specs = _tp_fast_specs(len(plans))
     ndata = mesh.shape["data"]
@@ -594,7 +625,7 @@ def make_tp_fast_score_fn(
             valid = in_range & (base + ids < n)
             ce_sum, correct = masked_ce_acc_scan(
                 lambda xb: _tp_fast_forward_local(
-                    f3, xb, cfg, plans, False, None, n_model
+                    f3, xb, cfg, plans, False, None, n_model, qat=qat
                 ),
                 xx, yy, ids, valid,
             )

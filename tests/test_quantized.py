@@ -383,3 +383,222 @@ def test_fast_train_step_qat_learns():
 
     with pytest.raises(ValueError, match="unsupported qat"):
         make_fast_train_step(cfg, opt, plans, qat="int4")
+
+
+# ---------------------------------------------------------------------------
+# QAT × model parallelism: the W8A8 quantizers are shard-local (weights
+# per-ROW — a TP shard's contiguous cmt row block quantizes exactly like the
+# corresponding rows of the full core; activations per-pixel-COLUMN — an SP
+# shard's local pixel columns carry single-device values), so QAT composes
+# with --model-devices / --space-devices without changing numerics.
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs the virtual mesh")
+def test_tp_fast_qat_matches_single_device():
+    """make_tp_fast_train_step(qat="int8") on a (2 data, 2 model) mesh:
+    2 Adam steps WITH dropout and the quantized-forward score must match the
+    single-device QAT step (per-row weight quantization makes the sharded
+    last core's row block exact)."""
+    from dctn_tpu.parallel import (
+        make_tp_fast_params,
+        make_tp_fast_score_fn,
+        make_tp_fast_train_step,
+        make_tp_mesh,
+        merge_tp_fast_params,
+    )
+    from dctn_tpu.pallas.eps_pallas_q8 import forward_fast_q8train
+    from dctn_tpu.train import make_optimizer, make_score_fn
+    from dctn_tpu.train.step import make_fast_train_step
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=6, q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+        dropout_p=0.8, dtype=jnp.float32,
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 6, 6, 2), jnp.float32)
+    y = jnp.asarray(np.arange(8) % 10)
+    fast, plans = fast_params_from_reference(params, cfg)
+
+    opt = make_optimizer("adam", 1e-2)
+    step1 = make_fast_train_step(
+        cfg, opt, plans, "epswise", 1e-4, donate=False, qat="int8"
+    )
+    f1, o1 = fast, opt.init(fast)
+    for i in range(2):
+        f1, o1, m1 = step1(
+            f1, o1, jax.random.fold_in(jax.random.PRNGKey(7), i), x, y
+        )
+
+    mesh = make_tp_mesh(2, 2)
+    fast3 = make_tp_fast_params(fast, cfg, mesh)
+    opt3 = make_optimizer("adam", 1e-2)
+    step3 = make_tp_fast_train_step(
+        cfg, opt3, plans, mesh, "epswise", 1e-4, qat="int8"
+    )
+    f3, o3 = fast3, jax.jit(opt3.init)(fast3)
+    for i in range(2):
+        f3, o3, m3 = step3(
+            f3, o3, jax.random.fold_in(jax.random.PRNGKey(7), i), x, y
+        )
+    np.testing.assert_allclose(float(m1["ce"]), float(m3["ce"]), rtol=1e-5)
+    merged = merge_tp_fast_params(f3, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(f1), jax.tree_util.tree_leaves(merged)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+        )
+
+    # TP eval through the QUANTIZED forward (the runner's eval under --qat)
+    fwd = lambda f, xb: forward_fast_q8train(  # noqa: E731
+        f, xb, cfg, plans, training=False
+    )
+    score1 = make_score_fn(cfg, batch_size=4, forward_fn=fwd)
+    mce1, acc1 = score1(f1, x, y)
+    score3 = make_tp_fast_score_fn(cfg, plans, mesh, batch_size=2, qat="int8")
+    mce3, acc3 = score3(f3, x, y)
+    np.testing.assert_allclose(float(mce1), float(mce3), rtol=2e-4)
+    np.testing.assert_allclose(float(acc1), float(acc3), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="unsupported qat"):
+        make_tp_fast_train_step(cfg, opt3, plans, mesh, qat="int4")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the virtual mesh")
+def test_sp_fast_qat_matches_single_device():
+    """make_sp_fast_train_step(qat="int8") on a (2 data, 4 space) mesh:
+    2 SGD steps + the quantized-forward score vs single-device QAT
+    (per-pixel-column activation quantization is local to each row shard)."""
+    from dctn_tpu.parallel import (
+        make_sp_fast_train_step,
+        make_sp_mesh,
+        make_sp_score_fn,
+        pad_rows,
+        sp_shard_batch,
+    )
+    from dctn_tpu.pallas.eps_pallas_q8 import forward_fast_q8train
+    from dctn_tpu.train import make_optimizer, make_score_fn
+    from dctn_tpu.train.step import make_fast_train_step
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=6, q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+        dtype=jnp.float32,
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 6, 6, 2), jnp.float32)
+    y = jnp.asarray(np.arange(8) % 10)
+    fast, plans = fast_params_from_reference(params, cfg)
+
+    opt = make_optimizer("sgd", 0.05)
+    step1 = make_fast_train_step(
+        cfg, opt, plans, "epswise", 1e-3, donate=False, qat="int8"
+    )
+    f1, o1 = fast, opt.init(fast)
+    rng = jax.random.PRNGKey(4)
+    for _ in range(2):
+        f1, o1, m1 = step1(f1, o1, rng, x, y)
+
+    mesh = make_sp_mesh(2, 4)
+    opt_sp = make_optimizer("sgd", 0.05)
+    sp_step = make_sp_fast_train_step(
+        cfg, opt_sp, plans, mesh, "epswise", 1e-3, qat="int8"
+    )
+    f_sp, o_sp = fast, jax.jit(opt_sp.init)(fast)
+    xs, ys = sp_shard_batch(mesh, x, y)
+    for _ in range(2):
+        f_sp, o_sp, m_sp = sp_step(f_sp, o_sp, rng, xs, ys)
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m1["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(f1), jax.tree_util.tree_leaves(f_sp)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+        )
+
+    fwd = lambda f, xb: forward_fast_q8train(  # noqa: E731
+        f, xb, cfg, plans, training=False
+    )
+    mce1, acc1 = make_score_fn(cfg, batch_size=4, forward_fn=fwd)(f1, x, y)
+    score_sp = make_sp_score_fn(cfg, mesh, 4, plans, qat="int8")
+    mce_sp, acc_sp = score_sp(
+        f_sp, jax.device_put(pad_rows(np.asarray(x), 4)), y
+    )
+    np.testing.assert_allclose(float(mce_sp), float(mce1), rtol=2e-4)
+    np.testing.assert_allclose(float(acc_sp), float(acc1), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="unsupported qat"):
+        make_sp_fast_train_step(cfg, opt_sp, plans, mesh, qat="int4")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the virtual mesh")
+def test_sp_tp_fast_qat_matches_single_device():
+    """QAT on the full composed (2 data, 2 space, 2 model) mesh: 2 Adam
+    steps WITH dropout + the quantized score vs single-device QAT — every
+    mesh axis the EPS family supports runs the W8A8 STE pipeline."""
+    from dctn_tpu.parallel import (
+        make_sp_tp_fast_train_step,
+        make_sp_tp_mesh,
+        make_sp_tp_score_fn,
+        make_tp_fast_params,
+        merge_tp_fast_params,
+        sp_tp_shard_batch,
+    )
+    from dctn_tpu.pallas.eps_pallas_q8 import forward_fast_q8train
+    from dctn_tpu.train import make_optimizer, make_score_fn
+    from dctn_tpu.train.step import make_fast_train_step
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=6, q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+        dropout_p=0.8, dtype=jnp.float32,
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 6, 6, 2), jnp.float32)
+    y = jnp.asarray(np.arange(8) % 10)
+    fast, plans = fast_params_from_reference(params, cfg)
+
+    opt = make_optimizer("adam", 1e-2)
+    step1 = make_fast_train_step(
+        cfg, opt, plans, "epswise", 1e-4, donate=False, qat="int8"
+    )
+    f1, o1 = fast, opt.init(fast)
+    for i in range(2):
+        f1, o1, m1 = step1(
+            f1, o1, jax.random.fold_in(jax.random.PRNGKey(7), i), x, y
+        )
+
+    mesh = make_sp_tp_mesh(2, 2, 2)
+    fast3 = make_tp_fast_params(fast, cfg, mesh)
+    opt3 = make_optimizer("adam", 1e-2)
+    step3 = make_sp_tp_fast_train_step(
+        cfg, opt3, plans, mesh, "epswise", 1e-4, qat="int8"
+    )
+    f3, o3 = fast3, jax.jit(opt3.init)(fast3)
+    xs, ys = sp_tp_shard_batch(mesh, x, y)
+    for i in range(2):
+        f3, o3, m3 = step3(
+            f3, o3, jax.random.fold_in(jax.random.PRNGKey(7), i), xs, ys
+        )
+    np.testing.assert_allclose(float(m1["ce"]), float(m3["ce"]), rtol=1e-5)
+    merged = merge_tp_fast_params(f3, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(f1), jax.tree_util.tree_leaves(merged)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+        )
+
+    fwd = lambda f, xb: forward_fast_q8train(  # noqa: E731
+        f, xb, cfg, plans, training=False
+    )
+    mce1, acc1 = make_score_fn(cfg, batch_size=4, forward_fn=fwd)(f1, x, y)
+    score3 = make_sp_tp_score_fn(
+        cfg, mesh, batch_size=2, params3=f3, fast_plans=plans, qat="int8"
+    )
+    mce3, acc3 = score3(f3, sp_tp_shard_batch(mesh, x), y)
+    np.testing.assert_allclose(float(mce1), float(mce3), rtol=2e-4)
+    np.testing.assert_allclose(float(acc1), float(acc3), rtol=1e-6)

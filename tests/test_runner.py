@@ -4,6 +4,7 @@ parse the produced log.log back (the round-trip contract with viz)."""
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -281,7 +282,9 @@ def test_runner_qat_int8(tmp_path):
 
 def test_runner_qat_flag_validation(tmp_path):
     """--qat refuses configurations that would silently train
-    full-precision: non-pallas backends and the unplumbed TP/SP paths."""
+    full-precision: non-pallas backends and shard_all TP (which has no
+    fast-layout analog). Last-core TP / SP compose — see
+    test_runner_qat_model_devices and tests/test_quantized.py."""
     import click
 
     def base(sub, **kw):
@@ -302,11 +305,46 @@ def test_runner_qat_flag_validation(tmp_path):
 
     with pytest.raises(click.BadParameter, match="must both be pallas"):
         run(**base("a", train_backend="xla", eval_backend="xla"))
-    with pytest.raises(click.BadParameter, match="model-devices"):
+    with pytest.raises(click.BadParameter, match="shard-all"):
         run(**base(
             "b", train_backend="pallas_interpret",
             eval_backend="pallas_interpret", model_devices=2,
+            tp_shard_all=True,
         ))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs the virtual mesh")
+def test_runner_qat_model_devices(tmp_path):
+    """--qat int8 × --model-devices 2 end to end: the W8A8 STE step runs on
+    the TP mesh (shard-local per-row weight quantizers), the quantized eval
+    forward scores, and checkpoints merge back to reference-layout f32."""
+    state = run(
+        experiments_dir=str(tmp_path),
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4), (2, 4)),
+        batch_size=32,
+        optimizer_name="adam",
+        lr=3e-3,
+        train_backend="pallas_interpret",
+        eval_backend="pallas_interpret",
+        qat="int8",
+        model_devices=2,
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=20,
+        keep_last_models=1,
+        synthetic_sizes=(128, 64, 64),
+        patience=50,
+        reg_coeff=1e-6,
+    )
+    assert state.stop_reason == "max_iters"
+    out = os.path.join(str(tmp_path), os.listdir(str(tmp_path))[0])
+    log = open(os.path.join(out, "log.log")).read()
+    assert "QAT int8 active on the TP mesh" in log
+    assert "fast (cmt) parameter layout active" in log
+    records = load_records(os.path.join(out, "log.log"))
+    assert records[-1].trmce < records[0].trmce
 
 
 def test_runner_tensor_parallel_resume(tmp_path):
