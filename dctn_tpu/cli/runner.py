@@ -689,13 +689,6 @@ def run(**kwargs) -> TrainLoopState:
     if use_fast and kwargs["autotune_splits"]:
         from ..train.autotune import autotune_splits
 
-        if qat is not None:
-            logger.warning(
-                "--autotune-splits measures the f32 training step; under "
-                "--qat int8 the forward runs the q8 kernels, so treat the "
-                "picks as approximate"
-            )
-
         # per-device microbatch — the pixel count sets bn / saved-t, which
         # can flip which split measures fastest. 'auto' accumulation is
         # pre-resolved here against the DEFAULT plans (and re-resolved
@@ -717,9 +710,14 @@ def run(**kwargs) -> TrainLoopState:
         from ..train.autotune import default_cache_path
 
         def _tune_here():
+            # under --qat int8 the QAT training objective times the W8A8
+            # STE step the run actually executes (int8-vs-f32 kernels can
+            # prefer different splits — measured for serving: (8,5) vs
+            # (10,6) on the flagship)
             return autotune_splits(
                 cfg, micro_bs, in_ch,
                 reg_type=kwargs["reg_type"], reg_coeff=kwargs["reg_coeff"],
+                quantize=qat,
                 log_fn=logger.info, seed=kwargs["seed"],
                 cache_path=(
                     default_cache_path() if kwargs["autotune_cache"] else None

@@ -82,7 +82,10 @@ def _cache_key(
             else jnp.dtype(cfg.compute_dtype).name
         ),
         "objective": (
-            f"serve-{quantize or 'f32'}" if forward_only else "train"
+            f"serve-{quantize or 'f32'}"
+            if forward_only
+            # "train" (not "train-f32") keeps pre-QAT cache entries valid
+            else ("train" if quantize is None else f"train-{quantize}")
         ),
         "reg": reg_type if charge_reg else None,
         "max_candidates": max_candidates,
@@ -156,9 +159,10 @@ def _measure_candidate(
     """fwd+bwd (or fwd-only for serving) ms/step of one layer at one split,
     synthetic operands (no data-dependent control flow in the kernels —
     values cannot change the timing, only shapes do). ``quantize="int8"``
-    (with forward_only) times the W8A8 serving kernel instead — the int8
-    MXU halves the matmul time, so the split that balances matmul against
-    the VPU chain work can differ from the f32 pick."""
+    times the W8A8 kernels instead: the serving kernel with
+    ``forward_only``, the QAT (STE) training step without — the int8 MXU
+    halves the matmul time, so the split that balances matmul against the
+    VPU chain work can differ from the f32 pick."""
     from ..pallas.eps_pallas import (
         _kernel_dims,
         eps_pallas_apply_t_cmt,
@@ -178,8 +182,7 @@ def _measure_candidate(
     cmt = jax.random.normal(k1, (z, a), jnp.float32) * a**-0.5
     xT = jax.random.uniform(k2, (c, q, h, w, batch_size), jnp.float32)
 
-    if quantize == "int8":
-        assert forward_only, "int8 is a serving-only objective"
+    if quantize == "int8" and forward_only:
         from ..pallas.eps_pallas_q8 import (
             eps_pallas_apply_t_q8,
             plan_q8_bn,
@@ -200,6 +203,44 @@ def _measure_candidate(
                 eps_pallas_apply_t_q8(
                     wq, sw, xT_, out_size, kernel_size, n1, bn_q, interpret,
                     merge_pairs,
+                )
+            )
+
+    elif quantize == "int8":
+        # QAT TRAINING objective (--qat int8 --autotune-splits): time the
+        # W8A8 STE step — the quantized forward plus the f32/bf16 backward
+        # — so the pick optimizes the kernels the run actually executes
+        # (same bn/bn_q8/saved-t planning as apply_q8train_layer)
+        from ..pallas.eps_pallas import _save_t_plan
+        from ..pallas.eps_pallas_q8 import (
+            eps_pallas_apply_t_cmt_q8train,
+            plan_q8_train_bn,
+        )
+
+        cap = max(128, -(-npix // 128) * 128)
+        npad_probe = -(-npix // max(bn, 128)) * max(bn, 128)
+        will_save = (
+            _save_t_plan(
+                n_k, n1_k, q_k, out_size, bn, mm_dtype, npad_probe,
+                is_first_layer,
+            )
+            is not None
+        )
+        bn_q8 = plan_q8_train_bn(
+            n_k, n1_k, q_k, out_size, cap, will_save,
+            jnp.dtype(mm_dtype).itemsize,
+        )
+        if bn_q8 is None:
+            raise ValueError(
+                f"split n1={n1} does not fit the q8 training kernel's "
+                "VMEM budget"
+            )
+
+        def loss(cmt_, xT_):
+            return jnp.sum(
+                eps_pallas_apply_t_cmt_q8train(
+                    cmt_, xT_, out_size, kernel_size, n1, bn, bn_q8,
+                    interpret, mm_dtype, merge_pairs, is_first_layer,
                 )
             )
 
@@ -327,10 +368,14 @@ def autotune_splits(
     forward, no backward, no regularizer) — used by the export CLI to pick
     splits for baked artifacts; training and serving can prefer different
     splits since the backward's pass shapes dominate the training pick.
-    ``quantize="int8"`` (serving only) times the W8A8 kernel the artifact
-    will actually run — its int8 MXU matmul is ~2× the f32 rate, which can
-    shift the optimal matmul/VPU-chain balance; a candidate that does not
-    fit the q8 VMEM plan is skipped like any other failed candidate.
+    ``quantize="int8"`` times the W8A8 kernels instead of the f32 ones —
+    with ``forward_only`` the serving kernel the artifact will run, without
+    it the QAT (STE) training step behind the runner's ``--qat int8``. The
+    int8 MXU matmul is ~2× the f32 rate, which can shift the optimal
+    matmul/VPU-chain balance (measured for serving: the flagship's f32 pick
+    is (10, 6) but its int8 kernels are fastest at (8, 5)); a candidate
+    that does not fit the q8 VMEM plan is skipped like any other failed
+    candidate.
 
     When the run trains with the epses_composition regularizer, each
     candidate is charged its marginal regularizer cost too (see

@@ -26,7 +26,7 @@ RESULTS = os.environ.get(
 
 def measure(
     batch_size: int, compute_dtype: str, steps: int, grad_accum: int = 1,
-    splits=None,
+    splits=None, qat=None,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -54,7 +54,8 @@ def measure(
         )
     opt = make_optimizer("adam", 3e-3)
     step = make_fast_train_step(
-        cfg, opt, plans, "epswise", 1e-6, donate=True, grad_accum_steps=grad_accum
+        cfg, opt, plans, "epswise", 1e-6, donate=True,
+        grad_accum_steps=grad_accum, qat=qat,
     )
     opt_state = opt.init(params)
     x = jax.random.uniform(key, (1, batch_size, 28, 28, 2), jnp.float32) * 1.4
@@ -82,6 +83,9 @@ def measure(
     if splits is not None:
         row["splits"] = list(splits)
         row["path"] = "pallas_fast_cmt_tuned_splits"
+    if qat is not None:
+        row["qat"] = qat
+        row["path"] += "_qat_" + qat
     return row
 
 
@@ -94,23 +98,25 @@ def main() -> None:
     # SWEEP_SPLITS="10,6": per-layer autotuned n1 picks (default: cost model)
     splits_env = os.environ.get("SWEEP_SPLITS", "")
     splits = tuple(int(v) for v in splits_env.split(",")) if splits_env else None
+    # SWEEP_QAT=int8: the W8A8 STE training step (--qat int8)
+    qat = os.environ.get("SWEEP_QAT") or None
     rows = []
     if os.path.exists(RESULTS):
         rows = json.load(open(RESULTS))["rows"]
     done = {
         (r["batch_size"], r["compute_dtype"], r.get("grad_accum", 1),
-         tuple(r.get("splits", ()))) for r in rows
+         tuple(r.get("splits", ())), r.get("qat")) for r in rows
     }
     for bs in batches:
         for dt in dtypes:
-            if (bs, dt, accum, tuple(splits or ())) in done:
+            if (bs, dt, accum, tuple(splits or ()), qat) in done:
                 continue
             # ~49k-image windows (~1.7 s): the relay fence costs a fixed
             # ~28 ms per window, which at short windows inflates per-step
             # time (at bs 128 × 30 steps it read +0.9 ms/step — the phantom
             # "bs-128 gap", see docs/performance.md measurement rules)
             steps = max(4, min(512, 49152 // bs))
-            row = measure(bs, dt, steps, accum, splits)
+            row = measure(bs, dt, steps, accum, splits, qat)
             rows.append(row)
             print(json.dumps(row), flush=True)
             with open(RESULTS, "w") as f:

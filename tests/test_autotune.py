@@ -323,3 +323,53 @@ def test_autotune_q8_serving_objective(tmp_path):
         forward_fast_q8(qparams, x, cfg, trial_plans, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_autotune_q8_training_objective():
+    """quantize="int8" WITHOUT forward_only times the QAT (W8A8 STE)
+    training step — the objective the runner passes under --qat int8 —
+    and returns legal picks; its cache key must differ from both the f32
+    training objective and the int8 serving objective (different kernels,
+    different rankings — sharing an entry would hand a QAT run the f32
+    pick)."""
+    from dctn_tpu.train.autotune import _cache_key
+
+    cfg = _cfg()
+    plans, report = autotune_splits(
+        cfg, 8, max_candidates=2, min_gain=0.0, quantize="int8",
+    )
+    base = fast_layer_plans(cfg)
+    assert len(plans) == len(base)
+    for p, r in zip(plans, report):
+        n = p["kernel_size"] ** 2 * p["c"]
+        assert p["n1"] in eps_mod.split_candidates(n, p["q"])
+        ok = [row for row in r["candidates"] if "ms" in row]
+        assert ok and r["picked_n1"] == min(ok, key=lambda x: x["ms"])["n1"]
+
+    # the tuned plans drive a runnable QAT step (splits are exact)
+    params = init_eps_plus_linear(jax.random.PRNGKey(60), cfg)
+    fast, plans = fast_params_from_reference(params, cfg, plans)
+    opt = make_optimizer("adam", 1e-3)
+    step = make_fast_train_step(
+        cfg, opt, plans, "epswise", 1e-6, donate=False, qat="int8"
+    )
+    x = (
+        jax.random.uniform(jax.random.PRNGKey(61), (1, 8, 8, 8, 2))
+        .astype(jnp.float32)
+        * 1.4
+    )
+    y = jnp.asarray(np.arange(8) % 10)
+    _, _, m = step(fast, opt.init(fast), jax.random.PRNGKey(62), x, y)
+    assert np.isfinite(float(m["loss"]))
+
+    def key(**kw):
+        return _cache_key(
+            cfg, 8, 1, max_candidates=2, charge_reg=False,
+            reg_type="epswise", min_gain=0.0, interpret=True, **kw,
+        )
+
+    k_f32 = key(forward_only=False, quantize=None)
+    k_qat = key(forward_only=False, quantize="int8")
+    k_srv = key(forward_only=True, quantize="int8")
+    assert len({k_f32, k_qat, k_srv}) == 3
+    assert '"train-int8"' in k_qat and '"train"' in k_f32
