@@ -509,6 +509,16 @@ def run(**kwargs) -> TrainLoopState:
     # --- provenance + logging (new_runner.py:326-341) ---
     setup_run_provenance(output_dir, kwargs, kwargs["verbosity"])
     logger.info("output_dir=%r", output_dir)
+    # performance fallbacks (Pallas→XLA gates, skipped autotune candidates)
+    # are warned AND recorded in the provenance file (VERDICT r3 #6)
+    from ..utils import fallbacks as _fallbacks
+
+    _fallbacks.reset()
+    _fallbacks.add_sink(
+        lambda reason: open(
+            os.path.join(output_dir, "run_info.txt"), "a"
+        ).write(f"performance_fallback: {reason}\n")
+    )
     if kwargs["debug_nans"]:
         jax.config.update("jax_debug_nans", True)
         logger.info("jax_debug_nans enabled")
@@ -922,6 +932,15 @@ def run(**kwargs) -> TrainLoopState:
         assert kwargs["batch_size"] % n_mesh == 0, "batch size must divide data mesh"
         mesh = make_sp_mesh(n_mesh, n_space)
         sp_check_config(cfg, n_space)  # single-hop halo constraint, clear error
+        if jax.process_count() > 1:
+            # multi-controller: SP params are replicated, but a host-local
+            # pytree cannot be auto-placed onto remote devices — replicate
+            # explicitly (same discipline as the DP branch)
+            from ..parallel import replicate as _replicate_sp
+
+            params = _replicate_sp(mesh, params)
+            if use_fast:
+                params_fast = _replicate_sp(mesh, params_fast)
         if use_fast:
             params = params_fast
             step = make_sp_fast_train_step(
@@ -1116,22 +1135,63 @@ def run(**kwargs) -> TrainLoopState:
             )
         opt_state = optimizer.init(params)
 
+    multiproc_sharded = jax.process_count() > 1 and (n_model > 1 or n_space > 1)
     if n_model > 1 or n_space > 1 or n_mesh == 1:
         # shared single-device/TP/SP assembly: device-resident split, device
         # batch gathers, host-side index batcher, score(params, x, y)
-        x_tr = jnp.asarray(splits.train.x)
-        y_tr = jnp.asarray(splits.train.y)
-        x_val = jnp.asarray(splits.val.x)
-        y_val = jnp.asarray(splits.val.y)
-        if n_space > 1:
-            # SP consumes height-padded batches (rows divide the space axis)
-            from ..parallel import pad_rows
+        if multiproc_sharded:
+            # multi-controller TP/SP: the split stays on HOST (identical on
+            # every controller — same files/seed) and each step's batch is
+            # gathered with numpy and placed as a GLOBAL array with the
+            # mesh's input sharding (_put_global — a committed local array
+            # cannot feed a jit over remote devices). The per-step transfer
+            # is one batch, the same volume a host input pipeline ships.
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            x_tr = pad_rows(x_tr, n_space)
-            x_val = pad_rows(x_val, n_space)
-        gather = make_gather_batch(x_tr, y_tr)
-        n_eval_train = kwargs["eval_train_subset"] or y_tr.shape[0]
-        x_tr_eval, y_tr_eval = x_tr[:, :n_eval_train], y_tr[:n_eval_train]
+            from ..parallel.data_parallel import _put_global
+
+            x_tr_h = np.asarray(splits.train.x)
+            y_tr_h = np.asarray(splits.train.y)
+            x_val_h = np.asarray(splits.val.x)
+            y_val_h = np.asarray(splits.val.y)
+            if n_space > 1:
+                from ..parallel import pad_rows
+
+                x_tr_h = pad_rows(x_tr_h, n_space)
+                x_val_h = pad_rows(x_val_h, n_space)
+            x_spec = (
+                P(None, "data", "space") if n_space > 1 else P(None, "data")
+            )
+            x_sh = NamedSharding(mesh, x_spec)
+            y_sh = NamedSharding(mesh, P("data"))
+
+            def gather(idx):
+                idx = np.asarray(idx)
+                return (
+                    _put_global(x_tr_h[:, idx], x_sh),
+                    _put_global(y_tr_h[idx], y_sh),
+                )
+
+            n_eval_train = kwargs["eval_train_subset"] or y_tr_h.shape[0]
+            x_tr_eval = _put_global(x_tr_h[:, :n_eval_train], x_sh)
+            y_tr_eval = _put_global(y_tr_h[:n_eval_train], y_sh)
+            x_val = _put_global(x_val_h, x_sh)
+            y_val = _put_global(y_val_h, y_sh)
+        else:
+            x_tr = jnp.asarray(splits.train.x)
+            y_tr = jnp.asarray(splits.train.y)
+            x_val = jnp.asarray(splits.val.x)
+            y_val = jnp.asarray(splits.val.y)
+            if n_space > 1:
+                # SP consumes height-padded batches (rows divide the space
+                # axis)
+                from ..parallel import pad_rows
+
+                x_tr = pad_rows(x_tr, n_space)
+                x_val = pad_rows(x_val, n_space)
+            gather = make_gather_batch(x_tr, y_tr)
+            n_eval_train = kwargs["eval_train_subset"] or y_tr.shape[0]
+            x_tr_eval, y_tr_eval = x_tr[:, :n_eval_train], y_tr[:n_eval_train]
 
         def do_score(p, which):
             if which == "train":
@@ -1143,6 +1203,16 @@ def run(**kwargs) -> TrainLoopState:
             seed=kwargs["seed"],
         )
         index_stream = batcher.indices_forever()
+        if multiproc_sharded:
+            # the loop's rng chain must start as a replicated GLOBAL array
+            # (same dance as the DP branch above); same seed everywhere →
+            # identical chain
+            k_train = jax.random.wrap_key_data(
+                _put_global(
+                    np.asarray(jax.random.key_data(k_train)),
+                    NamedSharding(mesh, P()),
+                )
+            )
 
     params_layout_fast = use_fast
     if kwargs["resume_from"]:
@@ -1314,7 +1384,19 @@ def run(**kwargs) -> TrainLoopState:
             reg_term,
         )
 
-    writer = AsyncWriter()
+    # multi-controller: process 0 writes, but under TP/SP the params are
+    # SHARDED across processes, so the host-gather inside params_view /
+    # _to_host is a COLLECTIVE — every process must run the checkpoint
+    # hooks (same deterministic schedule everywhere) while only process 0's
+    # writer actually touches disk.
+    writer = AsyncWriter(discard=not is_primary)
+    if multiproc_sharded:
+        from ..parallel.tensor_parallel import _to_host
+
+        def _state_to_host(tree):
+            return jax.tree_util.tree_map(_to_host, tree)
+    else:
+        _state_to_host = lambda tree: tree  # noqa: E731
 
     def save_train_state(
         state: TrainLoopState, completed_offset: int = 0
@@ -1328,8 +1410,8 @@ def run(**kwargs) -> TrainLoopState:
         the next iteration's carry, so the saved step must point one past."""
         writer.submit(
             {
-                "params": state.params,
-                "opt_state": state.opt_state,
+                "params": _state_to_host(state.params),
+                "opt_state": _state_to_host(state.opt_state),
                 "step": state.num_iters_done + completed_offset,
                 "rng": jax.random.key_data(state.rng),
                 "param_layout": np.int32(1 if params_layout_fast else 0),
@@ -1363,13 +1445,28 @@ def run(**kwargs) -> TrainLoopState:
     ckpt_hooks = [schedule(last_ckpt), schedule(save_train_state)] + [
         schedule(c) for c in best_ckpts
     ]
-    if not is_primary:
-        # multi-host: the replicated state is identical on every controller —
-        # checkpoints/train states are written ONCE, by process 0; every
-        # host restores the same file on resume (docs/multihost.md)
+    if not is_primary and not multiproc_sharded:
+        # multi-host DP: the replicated state is identical on every
+        # controller — checkpoints/train states are written ONCE, by process
+        # 0; every host restores the same file on resume (docs/multihost.md)
         ckpt_hooks = []
+    # (multiproc_sharded keeps the hooks on EVERY controller: the host
+    # gather of model-sharded params is a collective, and the non-primary
+    # writer was constructed with discard=True — compute everywhere, write
+    # once)
+    if multiproc_sharded:
+        import dataclasses as _dc
+
+        def _log_params_stats(state):
+            # sharded leaves are not host-fetchable per process — gather
+            # (collective, every process participates) then log
+            log_parameters_stats(
+                _dc.replace(state, params=_state_to_host(state.params))
+            )
+    else:
+        _log_params_stats = log_parameters_stats
     at_iter_start = [schedule(evaluate_and_log),
-                     schedule(log_parameters_stats)] + ckpt_hooks
+                     schedule(_log_params_stats)] + ckpt_hooks
     if es_metrics:
         at_iter_start.append(schedule(ValuesNotImprovingEarlyStopper(
             kwargs["patience"], es_metrics)))
@@ -1378,8 +1475,13 @@ def run(**kwargs) -> TrainLoopState:
             make_stopper_after_n_iters(kwargs["max_num_iters"])))
     # DP: indices only (sharded split); TP: params+batch, no output
     nan_forward = single_forward
+    if multiproc_sharded:
+        from ..parallel.tensor_parallel import _to_host as _nan_fetch
+    else:
+        _nan_fetch = np.asarray
     after_step = [schedule(make_stopper_on_nan_loss(
-        output_dir, nan_forward, params_view=params_view))]
+        output_dir, nan_forward, params_view=params_view,
+        fetch=_nan_fetch, write_files=is_primary or not multiproc_sharded))]
     tb_writer = None
     if kwargs["tb_batches"] or kwargs["log_intermediate_outputs"]:
         from ..train.tb_logging import MetricsWriter

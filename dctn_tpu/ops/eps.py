@@ -325,7 +325,17 @@ def eps(
                 interpret=(backend == "pallas_interpret"),
                 mm_dtype=compute_dtype,
             )
-        # fall through to the XLA path when VMEM would overflow
+        # fall through to the XLA path when VMEM would overflow — loudly
+        # (a ~5x step-time cliff must never pass unnoticed; VERDICT r3 #6)
+        from ..utils import fallbacks
+
+        fallbacks.record(
+            f"EPS layer (n={n}, n1={n1}, q={in_size}, o={out_size}, "
+            f"dtype={core.dtype}/{x.dtype}) outside the fused Pallas "
+            "kernel's VMEM plan or non-f32 — running the XLA path "
+            "(~5x slower on TPU; raise DCTN_TPU_VMEM_BUDGET_MB or shrink "
+            "the layer/split)"
+        )
     views = window_views(x, kernel_size)  # n arrays (B, H', W', Q)
     if custom_vjp:
         return _eps_contract(core, tuple(views), n1, compute_dtype)

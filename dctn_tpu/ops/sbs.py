@@ -288,6 +288,22 @@ def conv_sbs(
                 spec, cores, xT, interpret=(backend == "pallas_interpret")
             )
             return jnp.transpose(outT, (3, 1, 2, 0))
+        # requested pallas, running XLA — say so once (VERDICT r3 #6)
+        from ..utils import fallbacks
+
+        why = (
+            "non-f32 dtype"
+            if x.dtype != jnp.float32
+            or any(c.dtype != jnp.float32 for c in cores)
+            else "spec outside kernel scope (merged factor/bond too large)"
+        )
+        fallbacks.record(
+            f"ConvSBS string ({len(spec.cores)} cores, q^C="
+            f"{spec.in_quantum_dim_size ** spec.in_num_channels}, bonds up "
+            f"to {max(s.bond_left_size for s in spec.shapes)}): {why} — "
+            "running the XLA bond fold (~5x slower on TPU; see "
+            "docs/performance.md ConvSBS scope)"
+        )
     num_channels = spec.in_num_channels
     views = window_views_at_positions(x, spec.positions)
     acc_dtype = jnp.promote_types(cores[0].dtype, x.dtype)

@@ -225,39 +225,65 @@ def plan_q8_train_bn(n, n1, q, o, npix_cap, save_t, t_bytes):
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def qat_save_decision(
+    c, q, kernel_size, n1_plan, out_size, npix, compute_dtype, interpret,
+    force_two_pass,
+):
+    """The QAT saved-t decision as a pure function of the layer config and a
+    (possibly UNSHARDED) ``(out_size, npix)`` pair. Sharded QAT callers
+    (tensor_parallel / spatial_parallel / sp_tp / the DP step) evaluate this
+    with the GLOBAL out_size and pixel count so every shard — and the
+    single-device run on the same global batch — lands on the SAME STE
+    backward variant (saved dequantized t vs f32 recompute). Deriving it
+    from local shard shapes instead could flip the decision near the
+    saved-t HBM cap (a shard's smaller z·npix passes the cap where the
+    global run's does not), silently changing gradients vs single-device."""
+    from .eps_pallas import _save_t_plan, plan_pallas_call
+
+    n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
+        c, q, kernel_size, n1_plan, out_size, npix, compute_dtype, interpret
+    )
+    n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
+    npad = -(-npix // max(bn, 128)) * max(bn, 128)
+    return (
+        _save_t_plan(
+            n_k, n1_k, q_k, out_size, bn, mm_dtype, npad, force_two_pass
+        )
+        is not None
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def eps_pallas_apply_t_cmt_q8train(
     cmt32, xT, out_size, kernel_size, n1, bn, bn_q8, interpret, mm_dtype,
-    merge_pairs, force_two_pass,
+    merge_pairs, force_two_pass, save_t,
 ):
     """int8 (W8A8) forward for TRAINING with straight-through gradients:
     the forward runs the quantized kernel (weights re-quantized from the
     live f32 cmt every step — per-row scales are cheap jnp ops that XLA
     fuses), the backward is the f32/bf16 kernel family's, treating both
-    quantizers as identity (STE). Where the saved-t plan fires, the
-    backward's activation cotangent flows through the DEQUANTIZED t the
-    quantized forward actually produced (the forward persists it); below
-    the saved-t threshold the backward recomputes t at full precision —
+    quantizers as identity (STE). When ``save_t`` (decide it with
+    ``qat_save_decision`` on the GLOBAL shapes so sharded and single-device
+    runs agree), the backward's activation cotangent flows through the
+    DEQUANTIZED t the quantized forward actually produced (the forward
+    persists it); otherwise the backward recomputes t at full precision —
     a documented STE variant (the d_v half then sees unquantized t).
 
-    ``bn`` is the f32 plan's tile (drives the backward tile ladder and the
-    saved-t decision exactly like ``eps_pallas_apply_t_cmt``); ``bn_q8`` is
-    the quantized forward's own tile. Views are padded to the larger of the
-    two so both grids divide the pixel axis (the tile ladder is mutually
-    divisible)."""
+    ``bn`` is the f32 plan's tile (drives the backward tile ladder exactly
+    like ``eps_pallas_apply_t_cmt``); ``bn_q8`` is the quantized forward's
+    own tile. Views are padded to the larger of the two so both grids divide
+    the pixel axis (the tile ladder is mutually divisible)."""
     out, _ = _q8train_fwd(
         cmt32, xT, out_size, kernel_size, n1, bn, bn_q8, interpret,
-        mm_dtype, merge_pairs, force_two_pass,
+        mm_dtype, merge_pairs, force_two_pass, save_t,
     )
     return out
 
 
 def _q8train_fwd(
     cmt32, xT, out_size, kernel_size, n1, bn, bn_q8, interpret, mm_dtype,
-    merge_pairs, force_two_pass,
+    merge_pairs, force_two_pass, save_t,
 ):
-    from .eps_pallas import _save_t_plan
-
     c, q, h, w, b = xT.shape
     hp, wp = h - kernel_size + 1, w - kernel_size + 1
     n_k, q_k, n1_k = _kernel_dims(c, q, kernel_size, n1, merge_pairs)
@@ -265,11 +291,7 @@ def _q8train_fwd(
         xT, kernel_size, max(bn, bn_q8), merge_pairs
     )
     wq, sw = quantize_cmt(cmt32)
-    save = _save_t_plan(
-        n_k, n1_k, q_k, out_size, bn, mm_dtype, views_t.shape[-1],
-        force_two_pass,
-    )
-    if save is not None:
+    if save_t:
         out_t, t = _run_fwd_q8(
             views_t, wq, sw, n1_k, out_size, bn_q8, interpret,
             save_t=True, t_dtype=jnp.dtype(mm_dtype),
@@ -285,7 +307,7 @@ def _q8train_fwd(
 
 def _q8train_bwd(
     out_size, kernel_size, n1, bn, bn_q8, interpret, mm_dtype, merge_pairs,
-    force_two_pass, res, g,
+    force_two_pass, save_t, res, g,
 ):
     from .eps_pallas import _bwd_dispatch, _dxT_from_dviews_t
 
@@ -303,7 +325,8 @@ eps_pallas_apply_t_cmt_q8train.defvjp(_q8train_fwd, _q8train_bwd)
 
 
 def apply_q8train_layer(
-    cmt, xT, plan, compute_dtype, interpret, first, out_size=None
+    cmt, xT, plan, compute_dtype, interpret, first, out_size=None,
+    save_shapes=None,
 ):
     """One EPS layer of the QAT (W8A8, STE) pipeline over the transposed
     batch-minor activations: xT (C, Q, H, W, B) → outT (O, H', W', B).
@@ -315,8 +338,15 @@ def apply_q8train_layer(
     and activation quantization is per-PIXEL-column, so spatial-parallel
     row shards (whose pixel sets are local) likewise reproduce the
     single-device QAT numerics exactly. This is what makes --qat int8
-    composable with --model-devices / --space-devices."""
-    from .eps_pallas import _save_t_plan, plan_pallas_call
+    composable with --model-devices / --space-devices.
+
+    ``save_shapes=(global_out_size, global_npix)`` makes the saved-t STE
+    decision from the UNSHARDED shapes (``qat_save_decision``) — sharded
+    callers MUST pass it, because the decision keys on out_size·npix (the
+    saved-t HBM cap) and shard-local values could otherwise flip it near
+    the threshold, selecting a different documented STE backward variant
+    than the single-device run. Kernel tile planning stays shard-local."""
+    from .eps_pallas import plan_pallas_call
 
     ch, qq, h, w, b = xT.shape
     k_ = plan["kernel_size"]
@@ -329,12 +359,10 @@ def apply_q8train_layer(
     assert n1 == plan["n1"] and merge_pairs == plan["merge_pairs"]
     n_k, q_k, n1_k = _kernel_dims(ch, qq, k_, n1, merge_pairs)
     cap = max(128, -(-npix // 128) * 128)
-    npad_probe = -(-npix // max(bn, 128)) * max(bn, 128)
-    will_save = (
-        _save_t_plan(
-            n_k, n1_k, q_k, out_size, bn, mm_dtype, npad_probe, first
-        )
-        is not None
+    g_out, g_npix = (out_size, npix) if save_shapes is None else save_shapes
+    will_save = qat_save_decision(
+        ch, qq, k_, plan["n1"], g_out, g_npix, compute_dtype, interpret,
+        first,
     )
     bn_q8 = plan_q8_train_bn(
         n_k, n1_k, q_k, out_size, cap, will_save,
@@ -347,17 +375,25 @@ def apply_q8train_layer(
         )
     return eps_pallas_apply_t_cmt_q8train(
         cmt, xT, out_size, k_, n1, bn, bn_q8, interpret, mm_dtype,
-        merge_pairs, first,
+        merge_pairs, first, will_save,
     )
 
 
-def forward_fast_q8train(fast, x, cfg, plans, *, training=False, rng=None):
+def forward_fast_q8train(
+    fast, x, cfg, plans, *, training=False, rng=None, pixel_scale=1
+):
     """``eps_plus_linear_forward_fast`` with every EPS layer's forward
     matmul running W8A8 int8 (STE backward) — the QAT training pipeline
     behind the runner's ``--qat int8``. Dropout composes: masks multiply
     the f32 cmt BEFORE quantization (the quantizers see the dropped
     weights, gradients flow through the mask by the chain rule outside the
-    custom_vjp). The classifier stays f32."""
+    custom_vjp). The classifier stays f32.
+
+    ``pixel_scale``: the data-parallel shard count when called inside a DP
+    shard_map (parallel/data_parallel.py) — the saved-t STE decision is
+    made on the GLOBAL pixel count (local · scale) so every shard and the
+    equivalent single-device run on the concatenated batch pick the same
+    backward variant (see ``qat_save_decision``)."""
     from ..models.eps_plus_linear import (
         _dropout_cmts,
         _transposed_classifier,
@@ -375,8 +411,12 @@ def forward_fast_q8train(fast, x, cfg, plans, *, training=False, rng=None):
     xT = jnp.transpose(x, (0, 4, 2, 3, 1))
     outT = None
     for i, (cmt, p) in enumerate(zip(cmts, plans)):
+        _, _, h, w, b = xT.shape
+        k_ = p["kernel_size"]
+        g_npix = b * (h - k_ + 1) * (w - k_ + 1) * pixel_scale
         outT = apply_q8train_layer(
-            cmt, xT, p, cfg.compute_dtype, interpret, i == 0
+            cmt, xT, p, cfg.compute_dtype, interpret, i == 0,
+            save_shapes=(p["out_size"], g_npix),
         )
         xT = outT[None]
     return _transposed_classifier(outT, fast["linear"])

@@ -248,16 +248,24 @@ def make_parallel_fast_train_step(
     ``qat="int8"`` swaps each shard's forward for the W8A8 int8 kernel with
     straight-through gradients (pallas/eps_pallas_q8.forward_fast_q8train);
     the STE backward and the pmean all-reduce compose unchanged — quantizers
-    are per-shard-local (per weight row / per pixel column), so the averaged
-    gradient equals the single-device QAT step's on the concatenated batch
-    whenever both sides land on the same saved-t arm (that plan keys on the
-    per-shard pixel count, like any batch-size change)."""
+    are per-shard-local (per weight row / per pixel column), and the saved-t
+    STE decision is made on the GLOBAL pixel count (``pixel_scale`` = mesh
+    size, see ``qat_save_decision``), so the averaged gradient equals the
+    single-device QAT step's on the concatenated batch."""
     from ..models.eps_plus_linear import eps_plus_linear_forward_fast
 
     if qat not in (None, "int8"):
         raise ValueError(f"unsupported qat mode {qat!r}")
     if qat == "int8":
-        from ..pallas.eps_pallas_q8 import forward_fast_q8train as _fwd
+        from ..pallas.eps_pallas_q8 import forward_fast_q8train
+
+        ndev = int(mesh.devices.size)
+
+        def _fwd(f, xb, cfg, plans, training, rng):
+            return forward_fast_q8train(
+                f, xb, cfg, plans, training=training, rng=rng,
+                pixel_scale=ndev,
+            )
     else:
         _fwd = eps_plus_linear_forward_fast
 

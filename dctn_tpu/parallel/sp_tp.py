@@ -65,6 +65,7 @@ from ..models.eps_plus_linear import EPSesPlusLinearConfig
 from ..ops import eps as eps_mod
 from ..train.step import grad_accum_scan
 from .spatial_parallel import _with_halo, pad_rows, sp_check_config
+from .data_parallel import _put_global
 from .tensor_parallel import (
     _local_regularizer,
     _psum_value_only,
@@ -91,10 +92,10 @@ def sp_tp_shard_batch(mesh: Mesh, x, y=None):
     (replicated over ``model``); labels (B,) → P(data)."""
     n_space = mesh.shape["space"]
     xp = pad_rows(np.asarray(x), n_space)
-    xs = jax.device_put(xp, NamedSharding(mesh, P(None, "data", "space")))
+    xs = _put_global(xp, NamedSharding(mesh, P(None, "data", "space")))
     if y is None:
         return xs
-    ys = jax.device_put(np.asarray(y), NamedSharding(mesh, P("data")))
+    ys = _put_global(np.asarray(y), NamedSharding(mesh, P("data")))
     return xs, ys
 
 
@@ -259,7 +260,7 @@ def make_sp_tp_train_step(
 
 def _sp_tp_fast_forward_local(
     fast3, xb, cfg: EPSesPlusLinearConfig, plans, training, rng, n_space, hl,
-    n_model, qat=None,
+    n_model, qat=None, ndata=1,
 ):
     """Transposed batch-minor pipeline per device: halo on the middle row
     dim (spatial_parallel), last layer at out_size = O/n_model on its
@@ -307,18 +308,23 @@ def _sp_tp_fast_forward_local(
     c0, b, _, w, q0 = xb.shape
     xT = jnp.transpose(xb, (0, 4, 2, 3, 1))  # (C, Q, hl, W, B)
     ch, qq, ww = c0, q0, w
+    hg = cfg.image_size  # unsharded valid height, for the QAT save decision
     outT = None
     for i, (cmt, p) in enumerate(zip(cmts, plans)):
         k_, out_full = p["kernel_size"], p["out_size"]
         o_i = out_full // n_model if i == n_eps - 1 else out_full
         xT = _with_halo(xT, k_, n_space, row_axis=2)
         wp = ww - k_ + 1
+        hg -= k_ - 1
         if qat == "int8":
             from ..pallas.eps_pallas_q8 import apply_q8train_layer
 
+            # saved-t STE decision on the GLOBAL (full O, full valid
+            # H'·W'·B) shapes — see qat_save_decision
             outT = apply_q8train_layer(
                 cmt, xT, p, cfg.compute_dtype, interpret, i == 0,
                 out_size=o_i,
+                save_shapes=(out_full, b * ndata * hg * wp),
             )
         else:
             n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
@@ -375,7 +381,8 @@ def make_sp_tp_fast_train_step(
     def per_shard(fast3, rng, xb, yb):
         def local_loss(f3, xs, ys, r):
             logits = _sp_tp_fast_forward_local(
-                f3, xs, cfg, plans, True, r, n_space, hl, n_model, qat=qat
+                f3, xs, cfg, plans, True, r, n_space, hl, n_model, qat=qat,
+                ndata=mesh.shape["data"],
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
             ce = -jnp.mean(jnp.take_along_axis(logp, ys[:, None], axis=1))
@@ -431,6 +438,8 @@ def make_sp_tp_forward(
 ):
     """Jitted inference forward: (params3, x_rowsharded) → logits.
     ``qat="int8"`` (fast layout only) runs the quantized forward."""
+    if qat not in (None, "int8"):
+        raise ValueError(f"unsupported qat mode {qat!r}")
     n_space = mesh.shape["space"]
     n_model = mesh.shape["model"]
     hl = sp_check_config(cfg, n_space)
@@ -444,7 +453,7 @@ def make_sp_tp_forward(
         if fast_plans is not None:
             return _sp_tp_fast_forward_local(
                 p3, xb, cfg, fast_plans, False, None, n_space, hl, n_model,
-                qat=qat,
+                qat=qat, ndata=mesh.shape["data"],
             )
         return _sp_tp_forward_local(
             p3, xb, cfg, False, None, n_space, hl, n_model
@@ -475,6 +484,8 @@ def make_sp_tp_score_fn(
     padded-batch scan with the (space, model) logits psum inside, one psum
     over ``data`` at the end. Under ``qat="int8"`` evals score the
     quantized forward."""
+    if qat not in (None, "int8"):
+        raise ValueError(f"unsupported qat mode {qat!r}")
     from ..train.evaluation import masked_ce_acc_scan, padded_batch_ids
 
     n_space = mesh.shape["space"]
@@ -507,7 +518,7 @@ def make_sp_tp_score_fn(
                 if fast_plans is not None:
                     return _sp_tp_fast_forward_local(
                         pp, xb, cfg, fast_plans, False, None, n_space, hl,
-                        n_model, qat=qat,
+                        n_model, qat=qat, ndata=ndata,
                     )
                 return _sp_tp_forward_local(
                     pp, xb, cfg, False, None, n_space, hl, n_model

@@ -70,6 +70,7 @@ from ..models.eps_plus_linear import (
 )
 from ..ops import eps as eps_mod
 from ..train.step import REGULARIZERS, grad_accum_scan, make_fast_reg_fn
+from .data_parallel import _put_global
 from .tensor_parallel import _psum_value_only
 
 
@@ -115,10 +116,10 @@ def sp_shard_batch(mesh: Mesh, x, y=None):
     sharded over ``data``), padding H. ``y`` (B,) goes data-sharded."""
     n_space = mesh.shape["space"]
     xp = pad_rows(np.asarray(x), n_space)
-    xs = jax.device_put(xp, NamedSharding(mesh, P(None, "data", "space")))
+    xs = _put_global(xp, NamedSharding(mesh, P(None, "data", "space")))
     if y is None:
         return xs
-    ys = jax.device_put(np.asarray(y), NamedSharding(mesh, P("data")))
+    ys = _put_global(np.asarray(y), NamedSharding(mesh, P("data")))
     return xs, ys
 
 
@@ -312,6 +313,7 @@ def _sp_fast_forward_local(
     n_space: int,
     hl: int,
     qat=None,
+    ndata=1,
 ):
     """``qat="int8"``: each row shard runs the W8A8 STE forward
     (pallas/eps_pallas_q8.apply_q8train_layer). Activation quantization is
@@ -319,7 +321,10 @@ def _sp_fast_forward_local(
     halo rows) carry the same values as single-device QAT, so SP-QAT is
     numerically identical to the single-device quantized forward on every
     valid pixel; garbage bottom rows quantize shard-locally and stay masked
-    by the zero-padded classifier rows exactly as in f32 SP."""
+    by the zero-padded classifier rows exactly as in f32 SP. The saved-t
+    STE decision runs on the GLOBAL shapes (full valid H'·W', batch ×
+    ``ndata``) via ``qat_save_decision`` so all shards and the
+    single-device run agree on the backward variant."""
     from ..models.eps_plus_linear import _dropout_cmts
     from ..pallas.eps_pallas import eps_pallas_apply_t_cmt, plan_pallas_call
 
@@ -334,16 +339,19 @@ def _sp_fast_forward_local(
     c0, b, _, w, q0 = xb.shape
     xT = jnp.transpose(xb, (0, 4, 2, 3, 1))  # (C, Q, Hl, W, B)
     ch, qq, ww = c0, q0, w
+    hg = cfg.image_size  # unsharded valid height, for the QAT save decision
     outT = None
     for i, (cmt, p) in enumerate(zip(cmts, plans)):
         k_, out_size = p["kernel_size"], p["out_size"]
         xT = _with_halo(xT, k_, n_space, row_axis=2)
         wp = ww - k_ + 1
+        hg -= k_ - 1
         if qat == "int8":
             from ..pallas.eps_pallas_q8 import apply_q8train_layer
 
             outT = apply_q8train_layer(
-                cmt, xT, p, cfg.compute_dtype, interpret, i == 0
+                cmt, xT, p, cfg.compute_dtype, interpret, i == 0,
+                save_shapes=(out_size, b * ndata * hg * wp),
             )
         else:
             n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
@@ -400,7 +408,8 @@ def make_sp_fast_train_step(
     def per_shard(fast, rng, xb, yb):
         def local_loss(f, xs, ys, r):
             logits = _sp_fast_forward_local(
-                f, xs, cfg, plans, True, r, n_space, hl, qat=qat
+                f, xs, cfg, plans, True, r, n_space, hl, qat=qat,
+                ndata=mesh.shape["data"],
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
             ce = -jnp.mean(jnp.take_along_axis(logp, ys[:, None], axis=1))
@@ -464,6 +473,8 @@ def make_sp_forward(
     """Jitted SP inference forward: (params, x_rowsharded) → logits. Pass
     ``fast_plans`` to run the fast (cmt) layout instead of the reference
     one; ``qat="int8"`` (fast layout only) runs the quantized forward."""
+    if qat not in (None, "int8"):
+        raise ValueError(f"unsupported qat mode {qat!r}")
     n_space = mesh.shape["space"]
     hl = sp_check_config(cfg, n_space)
 
@@ -471,7 +482,7 @@ def make_sp_forward(
         if fast_plans is not None:
             return _sp_fast_forward_local(
                 params, xb, cfg, fast_plans, False, None, n_space, hl,
-                qat=qat,
+                qat=qat, ndata=mesh.shape["data"],
             )
         return _sp_forward_local(params, xb, cfg, False, None, n_space, hl)
 
@@ -496,6 +507,8 @@ def make_sp_score_fn(
     padded-batch scan with the per-batch logits psum over ``space`` inside,
     one psum over ``data`` at the end (mirrors make_tp_score_fn). Under
     ``qat="int8"`` evals score the quantized forward."""
+    if qat not in (None, "int8"):
+        raise ValueError(f"unsupported qat mode {qat!r}")
     from ..train.evaluation import masked_ce_acc_scan, padded_batch_ids
 
     n_space = mesh.shape["space"]
@@ -520,7 +533,7 @@ def make_sp_score_fn(
                 if fast_plans is not None:
                     return _sp_fast_forward_local(
                         p, xb, cfg, fast_plans, False, None, n_space, hl,
-                        qat=qat,
+                        qat=qat, ndata=ndata,
                     )
                 return _sp_forward_local(p, xb, cfg, False, None, n_space, hl)
 

@@ -99,21 +99,50 @@ def make_tp_params(params, cfg: EPSesPlusLinearConfig, mesh: Mesh, shard_all: bo
     }
     specs = _tp_specs(params3, shard_all)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: _put_tp(x, NamedSharding(mesh, s)),
         params3,
         specs,
         is_leaf=lambda x: isinstance(x, jax.Array) or isinstance(x, np.ndarray),
     )
 
 
+def _put_tp(x, sharding: NamedSharding):
+    """``jax.device_put`` single-process; ``_put_global`` (per-shard
+    callback materialization) when the mesh spans processes — every
+    controller passes the identical full host value, exactly like the DP
+    dataset placement (data_parallel._put_global)."""
+    from .data_parallel import _put_global
+
+    return _put_global(np.asarray(x), sharding)
+
+
+def _to_host(x):
+    """Fetch a (possibly multi-process-sharded) param leaf to a full host
+    array. Single-process: plain np.asarray. Multi-process: sharded leaves
+    are not fully addressable — all-gather them to every process with
+    ``multihost_utils.process_allgather`` semantics (a jitted identity with
+    replicated out_sharding), then read the local replica."""
+    if jax.process_count() == 1 or not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if x.is_fully_replicated:
+        return np.asarray(x.addressable_data(0))
+    sharding = x.sharding
+    assert isinstance(sharding, NamedSharding), sharding
+    gathered = jax.jit(
+        lambda a: a, out_shardings=NamedSharding(sharding.mesh, P())
+    )(x)
+    return np.asarray(gathered.addressable_data(0))
+
+
 def merge_tp_params(params3, cfg: EPSesPlusLinearConfig):
-    """TP layout → reference pytree (gathers shards)."""
-    w3 = np.asarray(params3["linear"]["w3"])
+    """TP layout → reference pytree (gathers shards; multi-process-safe via
+    _to_host)."""
+    w3 = _to_host(params3["linear"]["w3"])
     return {
-        "epses": tuple(np.asarray(e) for e in params3["epses"]),
+        "epses": tuple(_to_host(e) for e in params3["epses"]),
         "linear": {
             "w": w3.reshape(-1, cfg.num_classes),
-            "b": np.asarray(params3["linear"]["b"]),
+            "b": _to_host(params3["linear"]["b"]),
         },
     }
 
@@ -370,26 +399,27 @@ def make_tp_fast_params(fast, cfg: EPSesPlusLinearConfig, mesh: Mesh):
     }
     specs = _tp_fast_specs(len(fast3["epses_cmt"]))
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), fast3, specs,
+        lambda x, s: _put_tp(x, NamedSharding(mesh, s)), fast3, specs,
         is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
     )
 
 
 def merge_tp_fast_params(fast3, cfg: EPSesPlusLinearConfig):
-    """TP-fast layout → plain fast (cmt) pytree (gathers shards)."""
-    w3 = np.asarray(fast3["linear"]["w3"])
+    """TP-fast layout → plain fast (cmt) pytree (gathers shards;
+    multi-process-safe via _to_host)."""
+    w3 = _to_host(fast3["linear"]["w3"])
     return {
-        "epses_cmt": tuple(np.asarray(c) for c in fast3["epses_cmt"]),
+        "epses_cmt": tuple(_to_host(c) for c in fast3["epses_cmt"]),
         "linear": {
             "w": w3.reshape(-1, cfg.num_classes),
-            "b": np.asarray(fast3["linear"]["b"]),
+            "b": _to_host(fast3["linear"]["b"]),
         },
     }
 
 
 def _tp_fast_forward_local(
     fast3, xb, cfg: EPSesPlusLinearConfig, plans, training, rng, n_model,
-    qat=None,
+    qat=None, ndata=1,
 ):
     """Per-shard fast-pipeline forward: replicated early cmts run full
     layers; the last layer runs with out_size = O/n_model on its contiguous
@@ -444,9 +474,12 @@ def _tp_fast_forward_local(
         if qat == "int8":
             from ..pallas.eps_pallas_q8 import apply_q8train_layer
 
+            # the saved-t STE decision runs on the GLOBAL (out, npix): full
+            # O for the sharded last layer, batch unsharded over "data"
             outT = apply_q8train_layer(
                 cmt, xT, p, cfg.compute_dtype, interpret, i == 0,
                 out_size=o_i,
+                save_shapes=(out_full, b * hp * wp * ndata),
             )
         else:
             n1, bn, merge_pairs, mm_dtype = plan_pallas_call(
@@ -535,7 +568,8 @@ def make_tp_fast_train_step(
     def per_shard(fast3, rng, xb, yb):
         def local_loss(f3, xs, ys, r):
             logits = _tp_fast_forward_local(
-                f3, xs, cfg, plans, True, r, n_model, qat=qat
+                f3, xs, cfg, plans, True, r, n_model, qat=qat,
+                ndata=mesh.shape["data"],
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
             per_sample = jnp.take_along_axis(logp, ys[:, None], axis=1)[:, 0]
@@ -625,7 +659,8 @@ def make_tp_fast_score_fn(
             valid = in_range & (base + ids < n)
             ce_sum, correct = masked_ce_acc_scan(
                 lambda xb: _tp_fast_forward_local(
-                    f3, xb, cfg, plans, False, None, n_model, qat=qat
+                    f3, xb, cfg, plans, False, None, n_model, qat=qat,
+                    ndata=ndata,
                 ),
                 xx, yy, ids, valid,
             )

@@ -211,20 +211,16 @@ def _measure_candidate(
         # W8A8 STE step — the quantized forward plus the f32/bf16 backward
         # — so the pick optimizes the kernels the run actually executes
         # (same bn/bn_q8/saved-t planning as apply_q8train_layer)
-        from ..pallas.eps_pallas import _save_t_plan
         from ..pallas.eps_pallas_q8 import (
             eps_pallas_apply_t_cmt_q8train,
             plan_q8_train_bn,
+            qat_save_decision,
         )
 
         cap = max(128, -(-npix // 128) * 128)
-        npad_probe = -(-npix // max(bn, 128)) * max(bn, 128)
-        will_save = (
-            _save_t_plan(
-                n_k, n1_k, q_k, out_size, bn, mm_dtype, npad_probe,
-                is_first_layer,
-            )
-            is not None
+        will_save = qat_save_decision(
+            c, q, kernel_size, n1, out_size, npix, compute_dtype, interpret,
+            is_first_layer,
         )
         bn_q8 = plan_q8_train_bn(
             n_k, n1_k, q_k, out_size, cap, will_save,
@@ -241,6 +237,7 @@ def _measure_candidate(
                 eps_pallas_apply_t_cmt_q8train(
                     cmt_, xT_, out_size, kernel_size, n1, bn, bn_q8,
                     interpret, mm_dtype, merge_pairs, is_first_layer,
+                    will_save,
                 )
             )
 
@@ -480,6 +477,13 @@ def autotune_splits(
                 log(
                     f"autotune L{i} n1={n1}: candidate failed to "
                     f"compile/run ({type(e).__name__}) — skipped"
+                )
+                from ..utils import fallbacks
+
+                fallbacks.record(
+                    f"autotune layer {i}: split candidate n1={n1} failed "
+                    f"to compile/run ({type(e).__name__}) — skipped (the "
+                    "winner was chosen among the remaining candidates)"
                 )
                 rows.append(row)
                 continue

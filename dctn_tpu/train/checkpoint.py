@@ -65,13 +65,21 @@ def load_pytree(template: Any, filename: str) -> Any:
 
 class AsyncWriter:
     """Serializes checkpoint writes on a background thread so the training
-    loop never blocks on the slow device→host path + disk."""
+    loop never blocks on the slow device→host path + disk.
 
-    def __init__(self):
+    ``discard=True`` turns every submit into a no-op — multi-controller
+    runs construct non-primary writers this way so checkpoint HOOKS (whose
+    host gathers are collectives under model-sharded meshes) still run on
+    every process while only process 0 writes (cli/runner.py)."""
+
+    def __init__(self, discard: bool = False):
         self._lock = threading.Lock()
         self._pending: list[threading.Thread] = []
+        self.discard = discard
 
     def submit(self, tree: Any, filename: str) -> None:
+        if self.discard:
+            return
         # fetch to host synchronously (arrays may be donated/mutated next step)
         flat = jax.tree_util.tree_flatten_with_path(tree)[0]
         host = {_path_str(p): np.asarray(l) for p, l in flat}

@@ -237,6 +237,8 @@ def make_stopper_on_nan_loss(
     dir: str,
     forward_fn: Optional[Callable[[Any, Any], Any]] = None,
     params_view: Optional[Callable] = None,
+    fetch: Callable = np.asarray,
+    write_files: bool = True,
 ) -> Hook:
     """Checks the device-accumulated NaN flag (fetched only when this hook
     runs — put it on the eval schedule, unlike the reference's per-iteration
@@ -251,7 +253,13 @@ def make_stopper_on_nan_loss(
     post-update params. They bracket the failure (the NaN happened at or
     before this step since the previous observation); a README in the dump
     directory records this so nobody debugs the wrong batch. Tighten the
-    eval schedule to localize further."""
+    eval schedule to localize further.
+
+    Multi-controller model-sharded runs (runner --distributed ×
+    --model-devices/--space-devices) pass ``fetch`` = the collective host
+    gather (tensor_parallel._to_host) and ``write_files=is_primary``: every
+    process runs the gathers/forward (collectives must execute everywhere),
+    only process 0 touches disk."""
 
     def stop_on_nan(state: TrainLoopState) -> None:
         if state.nan_flag is None:
@@ -261,8 +269,23 @@ def make_stopper_on_nan_loss(
             state.stop = True
             state.stop_reason = "nan_loss"
             subdir = os.path.join(dir, "nan_loss_stop")
-            if os.path.exists(subdir):
+            if write_files and os.path.exists(subdir):
                 logger.error("%s already exists", subdir)
+                return
+            # gathers run on EVERY process (collectives), writes are gated
+            params_host = (
+                params_view(state.params) if params_view else state.params
+            )
+            params_host = jax.tree_util.tree_map(fetch, params_host)
+            batch_host = out_host = None
+            if state.last_batch is not None and state.last_batch[1] is not None:
+                # (in the DP path gather yields (local_idx, None) — indices
+                # are already saved above, the sharded batch is not fetched)
+                xb, yb = state.last_batch
+                batch_host = (fetch(xb), fetch(yb))
+                if forward_fn is not None:
+                    out_host = fetch(forward_fn(state.params, xb))
+            if not write_files:
                 return
             os.mkdir(subdir)
             with open(os.path.join(subdir, "README.txt"), "w") as f:
@@ -275,23 +298,19 @@ def make_stopper_on_nan_loss(
                     "previous scheduled observation.\n"
                 )
             save_pytree(
-                params_view(state.params) if params_view else state.params,
+                params_host,
                 os.path.join(subdir, f"model_nitd={state.num_iters_done}.npz"),
             )
             if state.batch_indices is not None:
                 np.save(os.path.join(subdir, "batch_indices.npy"), state.batch_indices)
-            if state.last_batch is not None and state.last_batch[1] is not None:
-                # (in the DP path gather yields (local_idx, None) — indices
-                # are already saved above, the sharded batch is not fetched)
-                xb, yb = state.last_batch
+            if batch_host is not None:
                 np.savez(
                     os.path.join(subdir, "batch.npz"),
-                    x=np.asarray(xb),
-                    y=np.asarray(yb),
+                    x=batch_host[0],
+                    y=batch_host[1],
                 )
-                if forward_fn is not None:
-                    out = forward_fn(state.params, xb)
-                    np.save(os.path.join(subdir, "output.npy"), np.asarray(out))
+                if out_host is not None:
+                    np.save(os.path.join(subdir, "output.npy"), out_host)
 
     return stop_on_nan
 

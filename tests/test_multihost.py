@@ -561,3 +561,91 @@ def test_distributed_legacy_runner_two_processes(tmp_path):
             ]
     l0, l1 = eval_lines(d0), eval_lines(d1)
     assert l0 and l0 == l1
+
+
+# ---------------------------------------------------------------------------
+# TP / SP / SP×TP across processes (VERDICT r3 #1: the one untested reachable
+# combination — model-sharded meshes under --distributed)
+
+TP_SP_WORKER = os.path.join(REPO, "tests", "multihost_tp_sp_worker.py")
+
+
+def _tp_sp_single_process_reference():
+    """The identical three-phase job on single-process 8-device meshes."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    try:
+        from multihost_tp_sp_worker import run_phases
+    finally:
+        sys.path.pop(0)
+    from dctn_tpu.parallel import make_sp_mesh, make_tp_mesh
+    from dctn_tpu.parallel.sp_tp import make_sp_tp_mesh
+
+    def mesh_for(kind):
+        return {
+            "tp": lambda: make_tp_mesh(4, 2),
+            "sp": lambda: make_sp_mesh(4, 2),
+            "sp_tp": lambda: make_sp_tp_mesh(2, 2, 2),
+        }[kind]()
+
+    return run_phases(mesh_for)
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+def test_two_process_tp_sp_training_matches_single_process(tmp_path):
+    """TWO controllers (4 local CPU devices each) run the production
+    fast-layout TP, SP and SP×TP train steps on one global 8-device mesh —
+    the model axes span PROCESSES (cross-process psum for sharded-core
+    grads, cross-process halo ppermute for SP). Asserts: both ranks hold
+    identical merged parameters (bitwise), and every phase matches the
+    single-process 8-device run of the same job to f32-rounding tolerance."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+
+    procs, outs = [], []
+    for rank in range(2):
+        out = tmp_path / f"rank{rank}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, TP_SP_WORKER, str(rank), "2", str(port),
+                 str(out)],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    tails = []
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        tails.append(err[-4000:])
+    for p, tail in zip(procs, tails):
+        assert p.returncode == 0, tail
+
+    results = [json.loads(out.read_text()) for out in outs]
+    ref = _tp_sp_single_process_reference()
+    for phase in ("tp", "sp", "sp_tp"):
+        a, b = results[0][phase], results[1][phase]
+        # cross-rank: identical collectives delivered everywhere — bitwise
+        assert a["digest"] == b["digest"], phase
+        assert a["losses"] == b["losses"], phase
+        # vs single-process: f32 + different cross-process reduction order
+        r = ref[phase]
+        np.testing.assert_allclose(
+            a["losses"], r["losses"], rtol=1e-5, atol=1e-6, err_msg=phase
+        )
+        np.testing.assert_allclose(
+            a["mce"], r["mce"], rtol=1e-5, atol=1e-6, err_msg=phase
+        )
+        assert abs(a["acc"] - r["acc"]) <= 1.0 / 16 + 1e-12, phase
+        np.testing.assert_allclose(
+            a["param_sums"], r["param_sums"], rtol=1e-4, atol=1e-6,
+            err_msg=phase,
+        )

@@ -215,7 +215,8 @@ def test_q8train_forward_matches_serving_kernel(rng):
     )
     cmt = _core_to_cmt_k(core, n1_k, q_k)
     got = eps_pallas_apply_t_cmt_q8train(
-        cmt, xT, O, K, n1, bn, bn_q8, True, mm_dtype, merge_pairs, False
+        cmt, xT, O, K, n1, bn, bn_q8, True, mm_dtype, merge_pairs, False,
+        _s is not None,
     )
     wq, sw = quantize_cmt(cmt)
     want = eps_pallas_apply_t_q8(
@@ -251,7 +252,8 @@ def test_q8train_ste_gradients_match_f32_backward(rng):
 
     def loss_q(c, xt):
         out = eps_pallas_apply_t_cmt_q8train(
-            c, xt, O, K, n1, bn, bn_q8, True, mm_dtype, merge_pairs, False
+            c, xt, O, K, n1, bn, bn_q8, True, mm_dtype, merge_pairs, False,
+            False,
         )
         return jnp.sum(out * wgt)
 
@@ -293,7 +295,8 @@ def test_q8train_saved_t_gradients_match_ste_oracle(rng, monkeypatch):
 
     def loss_q(c, xt):
         out = eps_pallas_apply_t_cmt_q8train(
-            c, xt, O, K, n1, bn, bn_q8, True, mm_dtype, merge_pairs, False
+            c, xt, O, K, n1, bn, bn_q8, True, mm_dtype, merge_pairs, False,
+            True,
         )
         return jnp.sum(out * wgt)
 
@@ -602,3 +605,143 @@ def test_sp_tp_fast_qat_matches_single_device():
     mce3, acc3 = score3(f3, sp_tp_shard_batch(mesh, x), y)
     np.testing.assert_allclose(float(mce1), float(mce3), rtol=2e-4)
     np.testing.assert_allclose(float(acc1), float(acc3), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# saved-t STE decision near the HBM cap: sharded QAT must pick the SAME
+# backward variant as the single-device run on the global batch (the decision
+# keys on out_size·npix, so shard-local shapes could otherwise flip it —
+# ADVICE r3; fixed by qat_save_decision on global shapes)
+
+
+def test_qat_saved_t_decision_is_global_near_cap(rng, monkeypatch):
+    """Pin DCTN_TPU_SAVE_T_MAX_BYTES between the HALF-batch and FULL-batch
+    t-buffer footprints (MIN_A=1 so the threshold is live at tiny a): the
+    full batch must NOT save t while a half batch in isolation WOULD. A DP
+    shard seeing half the batch must follow the GLOBAL decision
+    (pixel_scale=2) — its gradients then sum exactly to the single-device
+    full-batch gradients. Without the global decision the shard's backward
+    flows through the saved DEQUANTIZED t while single-device recomputes
+    f32 t — measurably different gradients (asserted below as the
+    regression's signature)."""
+    from dctn_tpu.pallas.eps_pallas import plan_pallas_call
+    from dctn_tpu.pallas.eps_pallas_q8 import (
+        forward_fast_q8train,
+        qat_save_decision,
+    )
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)),
+        image_size=6,
+        q0=2,
+        train_backend="pallas_interpret",
+        eval_backend="pallas_interpret",
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg)
+    fast, plans = fast_params_from_reference(params, cfg)
+    B = 32
+    x = jax.random.uniform(rng, (1, B, 6, 6, 2), jnp.float32)
+
+    # layer 1 (not first → saved-t eligible): compute its full/half-batch
+    # t-buffer bytes and pin the cap strictly between them
+    p1 = plans[1]
+    k_, o1 = p1["kernel_size"], p1["out_size"]
+    hp = 6 - plans[0]["kernel_size"] + 1 - k_ + 1  # 4
+    npix_full, npix_half = B * hp * hp, (B // 2) * hp * hp
+    c1, q1 = 1, plans[0]["out_size"]
+
+    def t_buffer_bytes(npix):
+        # the footprint qat_save_decision tests against the cap, with the
+        # bn the decision itself derives at this pixel count
+        n1r, bn, merge_pairs, mm_dtype = plan_pallas_call(
+            c1, q1, k_, p1["n1"], o1, npix, None, True
+        )
+        n_k, q_k, n1_k = _kernel_dims(c1, q1, k_, n1r, merge_pairs)
+        z = o1 * q_k ** (n_k - n1_k)
+        npad = -(-npix // max(bn, 128)) * max(bn, 128)
+        return z * npad * jnp.dtype(mm_dtype).itemsize
+
+    bytes_full, bytes_half = t_buffer_bytes(npix_full), t_buffer_bytes(npix_half)
+    assert bytes_half < bytes_full, "shapes too small to separate the cap"
+    cap = (bytes_half + bytes_full) // 2
+    monkeypatch.setenv("DCTN_TPU_SAVE_T_MIN_A", "1")
+    monkeypatch.setenv("DCTN_TPU_SAVE_T_MAX_BYTES", str(cap))
+
+    # premise: the decision genuinely flips between local and global shapes
+    assert not qat_save_decision(
+        c1, q1, k_, p1["n1"], o1, npix_full, None, True, False
+    )
+    assert qat_save_decision(
+        c1, q1, k_, p1["n1"], o1, npix_half, None, True, False
+    )
+
+    wgt = jax.random.normal(jax.random.PRNGKey(5), (B, cfg.num_classes))
+    half = B // 2
+
+    def loss(f, xb, w, scale):
+        return jnp.sum(
+            forward_fast_q8train(
+                f, xb, cfg, plans, training=True, rng=None,
+                pixel_scale=scale,
+            )
+            * w
+        )
+
+    g_full = jax.grad(loss)(fast, x, wgt, 1)
+    g_a = jax.grad(loss)(fast, x[:, :half], wgt[:half], 2)
+    g_b = jax.grad(loss)(fast, x[:, half:], wgt[half:], 2)
+    for gf, ga, gb in zip(
+        jax.tree_util.tree_leaves(g_full),
+        jax.tree_util.tree_leaves(g_a),
+        jax.tree_util.tree_leaves(g_b),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(ga) + np.asarray(gb),
+            rtol=1e-6, atol=1e-8,
+        )
+
+    # regression signature: the OLD (local-shapes) decision — saved-t firing
+    # on the half batch — changes the gradients it feeds the STE backward
+    g_a_local = jax.grad(loss)(fast, x[:, :half], wgt[:half], 1)
+    diff = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_a),
+            jax.tree_util.tree_leaves(g_a_local),
+        )
+    )
+    assert diff > 1e-6, (
+        "saved-t variant did not change gradients — the cap pin missed"
+    )
+
+
+def test_sp_and_sp_tp_score_forward_factories_refuse_unknown_qat():
+    """ADVICE r3: the SP / SP×TP score and forward factories must reject a
+    typo'd qat mode up front (same guard as the train steps) instead of
+    silently scoring full precision."""
+    from dctn_tpu.parallel.sp_tp import (
+        make_sp_tp_forward,
+        make_sp_tp_score_fn,
+    )
+    from dctn_tpu.parallel.spatial_parallel import (
+        make_sp_forward,
+        make_sp_score_fn,
+    )
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=6, q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+    )
+
+    class _FakeMesh:  # the guard must fire before any mesh use
+        shape = {"data": 1, "space": 2, "model": 2}
+
+    mesh = _FakeMesh()
+    with pytest.raises(ValueError, match="unsupported qat"):
+        make_sp_forward(cfg, mesh, qat="int4")
+    with pytest.raises(ValueError, match="unsupported qat"):
+        make_sp_score_fn(cfg, mesh, batch_size=4, qat="int4")
+    with pytest.raises(ValueError, match="unsupported qat"):
+        make_sp_tp_forward(cfg, mesh, params3=None, qat="int4")
+    with pytest.raises(ValueError, match="unsupported qat"):
+        make_sp_tp_score_fn(cfg, mesh, batch_size=4, params3=None, qat="int4")
