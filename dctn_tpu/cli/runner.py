@@ -1338,10 +1338,41 @@ def run(**kwargs) -> TrainLoopState:
                         "step": 0, "rng": jax.random.key_data(k_train)}
             restored = load_pytree(template, kwargs["resume_from"])
             params, opt_state = restored["params"], restored["opt_state"]
+            if jax.process_count() > 1 and (n_model > 1 or n_space > 1):
+                # multi-controller TP/SP: the loaded host leaves must go
+                # back to their template leaves' GLOBAL shardings (a
+                # host-local array cannot feed a jit over remote devices)
+                from ..parallel.data_parallel import _put_global
+
+                def _replace_like(tree, tmpl):
+                    return jax.tree_util.tree_map(
+                        lambda h, t: (
+                            _put_global(np.asarray(h), t.sharding)
+                            if isinstance(t, jax.Array)
+                            else h
+                        ),
+                        tree, tmpl,
+                    )
+
+                params = _replace_like(params, template["params"])
+                opt_state = _replace_like(opt_state, template["opt_state"])
             resume_step = int(restored["step"])
             k_train = jax.random.wrap_key_data(jnp.asarray(restored["rng"]))
             logger.info("resumed train state from %s at step %d",
                         kwargs["resume_from"], resume_step)
+        if jax.process_count() > 1 and (n_mesh > 1 or n_model > 1 or n_space > 1):
+            # the restored rng chain is host-local — re-replicate it onto
+            # the global mesh (same dance as the fresh-start path)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.data_parallel import _put_global
+
+            k_train = jax.random.wrap_key_data(
+                _put_global(
+                    np.asarray(jax.random.key_data(k_train)),
+                    NamedSharding(mesh, P()),
+                )
+            )
     else:
         resume_step = 0
 

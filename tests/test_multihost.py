@@ -649,3 +649,132 @@ def test_two_process_tp_sp_training_matches_single_process(tmp_path):
             a["param_sums"], r["param_sums"], rtol=1e-4, atol=1e-6,
             err_msg=phase,
         )
+
+
+TP_RUNNER_CHILD = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+from dctn_tpu.cli.runner import run
+state = run(
+    experiments_dir={outdir!r},
+    distributed="127.0.0.1:{port},2,{rank}",
+    ds_type="mnist", ds_path="synthetic",
+    epses_specs=((2, 4),),
+    batch_size=8,
+    mesh_devices=2,
+    {axis_flag}=2,
+    optimizer_name="adam", lr=3e-3,
+    train_backend="pallas_interpret", eval_backend="pallas_interpret",
+    init_epses_composition_unit_theoretical_output_std=True,
+    eval_schedule=((None, 5),),
+    max_num_iters=10,
+    keep_last_models=1,
+    synthetic_sizes=(32, 16, 16),
+    patience=50,
+    reg_coeff=1e-6,
+)
+assert state.stop_reason == "max_iters", state.stop_reason
+"""
+
+
+def _run_distributed_runner_pair(tmp_path, axis_flag):
+    """Launch the FULL runner CLI twice with --distributed and a
+    model-sharded axis; return (d0, d1) run dirs after asserting success."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = []
+    for rank in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-c",
+                    TP_RUNNER_CHILD.format(
+                        outdir=str(tmp_path / f"r{rank}"), port=port,
+                        rank=rank, axis_flag=axis_flag,
+                    ),
+                ],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    tails = []
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        tails.append(err[-4000:])
+    for p, tail in zip(procs, tails):
+        assert p.returncode == 0, tail
+
+    def run_dir(rank):
+        root = tmp_path / f"r{rank}"
+        (sub,) = os.listdir(root)
+        return os.path.join(root, sub)
+
+    d0, d1 = run_dir(0), run_dir(1)
+    # only process 0 writes checkpoints / train states — but BOTH ran the
+    # collective host gathers inside the hooks (else the job would hang)
+    assert os.path.exists(os.path.join(d0, "train_state_latest.npz"))
+    assert any(f.startswith("model_nitd") for f in os.listdir(d0))
+    assert not os.path.exists(os.path.join(d1, "train_state_latest.npz"))
+    assert not any(f.startswith("model_nitd") for f in os.listdir(d1))
+
+    def eval_lines(d):
+        with open(os.path.join(d, "log.log")) as f:
+            return [
+                l.split("iters:", 1)[1]
+                for l in f
+                if "After" in l and "iters:" in l
+            ]
+
+    l0, l1 = eval_lines(d0), eval_lines(d1)
+    assert l0 and l0 == l1
+    return d0, d1
+
+
+def test_distributed_runner_tp_two_processes(tmp_path):
+    """--distributed × --model-devices through the FULL runner CLI (the
+    VERDICT-r3 hole): two controllers form one (data=2, model=2) mesh whose
+    MODEL axis spans processes. Process 0's checkpoints are the gathered
+    reference layout — loadable by a plain single-process run."""
+    d0, _ = _run_distributed_runner_pair(tmp_path, "model_devices")
+
+    # the merged (reference-layout) checkpoint round-trips into a fresh
+    # SINGLE-process run
+    ckpt = next(
+        os.path.join(d0, f)
+        for f in os.listdir(d0)
+        if f.startswith("model_nitd")
+    )
+    from dctn_tpu.cli.runner import run as run_inproc
+
+    state = run_inproc(
+        experiments_dir=str(tmp_path / "reload"),
+        ds_type="mnist", ds_path="synthetic",
+        epses_specs=((2, 4),),
+        batch_size=8,
+        optimizer_name="adam", lr=3e-3,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+        init_epses_composition_unit_theoretical_output_std=True,
+        load_model_state=ckpt,
+        eval_schedule=((None, 5),),
+        max_num_iters=5,
+        keep_last_models=1,
+        synthetic_sizes=(32, 16, 16),
+        patience=50,
+        reg_coeff=1e-6,
+    )
+    assert state.num_iters_done == 5
+
+
+def test_distributed_runner_sp_two_processes(tmp_path):
+    """--distributed × --space-devices through the FULL runner CLI: the
+    halo ppermute crosses processes every layer; checkpoints come out of
+    process 0 in the reference layout."""
+    _run_distributed_runner_pair(tmp_path, "space_devices")
