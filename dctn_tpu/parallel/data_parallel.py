@@ -126,9 +126,6 @@ def _make_parallel_step_from_fns(
     2-matmul backward at huge per-device batches (+22% measured at bs 8192
     single-chip)."""
     frozen = frozenset(frozen_eps_indices)
-    assert not (with_probs and grad_accum_steps > 1), (
-        "tb-batches is incompatible with gradient accumulation"
-    )
 
     def local_loss(params, xb, yb, rng):
         logits = forward_fn(params, xb, rng)
@@ -155,6 +152,13 @@ def _make_parallel_step_from_fns(
             (loss, (ce, reg, probs)), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(params, xb, yb, rng)
+        elif with_probs:
+            # per-microbatch probs concatenate back to batch order — the
+            # tb-batches hook composes with gradient accumulation
+            loss, ce, reg, grads, probs = grad_accum_scan(
+                local_loss, params, xb, yb, rng, grad_accum_steps,
+                with_probs=True,
+            )
         else:
             loss, ce, reg, grads = grad_accum_scan(
                 local_loss, params, xb, yb, rng, grad_accum_steps

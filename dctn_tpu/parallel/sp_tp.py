@@ -190,13 +190,16 @@ def make_sp_tp_train_step(
     frozen_eps_indices: Sequence[int] = (),
     donate: bool = False,
     grad_accum_steps: int = 1,
+    with_probs: bool = False,
 ):
     """step(params3, opt_state, rng, xb, yb) over a ("data", "space",
     "model") mesh: xb P(None, data, space), yb P(data), params in the TP
     layout (make_tp_params on this mesh). The optimizer update runs outside
     the shard_map (GSPMD propagates the parameter shardings into the
     elementwise update). Trajectory-exact vs single-device training
-    (tests/test_sp_tp.py)."""
+    (tests/test_sp_tp.py). ``with_probs``: per-sample true-class
+    probabilities gathered over ``data`` (logits are full on every shard
+    after the (space, model) psum) — the tb-batches hook."""
     n_space = mesh.shape["space"]
     n_model = mesh.shape["model"]
     hl = sp_check_config(cfg, n_space)
@@ -208,7 +211,8 @@ def make_sp_tp_train_step(
                 p3, xs, cfg, True, r, n_space, hl, n_model
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.mean(jnp.take_along_axis(logp, ys[:, None], axis=1))
+            per_sample = jnp.take_along_axis(logp, ys[:, None], axis=1)[:, 0]
+            ce = -jnp.mean(per_sample)
             # full reg VALUE (value-only model psum inside), local gradient
             # = per-model-shard partial; /n_space so the space psum
             # reconstructs the gradient exactly once
@@ -217,12 +221,17 @@ def make_sp_tp_train_step(
                 if reg_coeff != 0.0
                 else jnp.zeros((), logits.dtype)
             )
-            return ce + reg_coeff * reg / n_space, (ce, reg)
+            return ce + reg_coeff * reg / n_space, (ce, reg, jnp.exp(per_sample))
 
         if grad_accum_steps == 1:
-            (_, (ce, reg)), grads = jax.value_and_grad(
+            (_, (ce, reg, probs)), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(params3, xb, yb, rng)
+        elif with_probs:
+            _, ce, reg, grads, probs = grad_accum_scan(
+                local_loss, params3, xb, yb, rng, grad_accum_steps,
+                with_probs=True,
+            )
         else:
             _, ce, reg, grads = grad_accum_scan(
                 local_loss, params3, xb, yb, rng, grad_accum_steps
@@ -235,20 +244,24 @@ def make_sp_tp_train_step(
             "ce": jax.lax.pmean(ce, "data"),
             "reg_term": reg,
         }
-        return grads, metrics
+        if with_probs:
+            return grads, metrics, probs
+        return grads, metrics, jnp.zeros((0,), jnp.float32)
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params3, opt_state, rng, xb, yb):
         p_specs = _tp_specs(params3, shard_all=False)
-        grads, metrics = jax.shard_map(
+        grads, metrics, probs = jax.shard_map(
             per_shard,
             mesh=mesh,
             in_specs=(p_specs, P(), P(None, "data", "space"), P("data")),
-            out_specs=(p_specs, P()),
+            out_specs=(p_specs, P(), P("data")),
             check_vma=False,
         )(params3, rng, xb, yb)
         updates, opt_state = optimizer.update(grads, opt_state, params3)
         params3 = optax.apply_updates(params3, updates)
+        if with_probs:
+            metrics["probs_of_true_class"] = probs
         return params3, opt_state, metrics
 
     return step
@@ -366,11 +379,14 @@ def make_sp_tp_fast_train_step(
     donate: bool = False,
     grad_accum_steps: int = 1,
     qat=None,
+    with_probs: bool = False,
 ):
     """The composed step over the fast (cmt) layout (make_tp_fast_params on
     this mesh): the production Pallas kernel path sharded on all three
     axes. ``qat="int8"`` swaps each shard's forward for the W8A8 STE kernel
-    (shard-local quantizers — see _sp_tp_fast_forward_local)."""
+    (shard-local quantizers — see _sp_tp_fast_forward_local).
+    ``with_probs``: per-sample true-class probabilities gathered over
+    ``data`` — the tb-batches hook."""
     if qat not in (None, "int8"):
         raise ValueError(f"unsupported qat mode {qat!r}")
     n_space = mesh.shape["space"]
@@ -385,18 +401,24 @@ def make_sp_tp_fast_train_step(
                 ndata=mesh.shape["data"],
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.mean(jnp.take_along_axis(logp, ys[:, None], axis=1))
+            per_sample = jnp.take_along_axis(logp, ys[:, None], axis=1)[:, 0]
+            ce = -jnp.mean(per_sample)
             reg = (
                 _tp_fast_local_regularizer(f3, cfg, plans, reg_type, n_model)
                 if reg_coeff != 0.0
                 else jnp.zeros((), logits.dtype)
             )
-            return ce + reg_coeff * reg / n_space, (ce, reg)
+            return ce + reg_coeff * reg / n_space, (ce, reg, jnp.exp(per_sample))
 
         if grad_accum_steps == 1:
-            (_, (ce, reg)), grads = jax.value_and_grad(
+            (_, (ce, reg, probs)), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(fast3, xb, yb, rng)
+        elif with_probs:
+            _, ce, reg, grads, probs = grad_accum_scan(
+                local_loss, fast3, xb, yb, rng, grad_accum_steps,
+                with_probs=True,
+            )
         else:
             _, ce, reg, grads = grad_accum_scan(
                 local_loss, fast3, xb, yb, rng, grad_accum_steps
@@ -409,20 +431,24 @@ def make_sp_tp_fast_train_step(
             "ce": jax.lax.pmean(ce, "data"),
             "reg_term": reg,
         }
-        return grads, metrics
+        if with_probs:
+            return grads, metrics, probs
+        return grads, metrics, jnp.zeros((0,), jnp.float32)
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(fast3, opt_state, rng, xb, yb):
         f_specs = _tp_fast_specs(len(fast3["epses_cmt"]))
-        grads, metrics = jax.shard_map(
+        grads, metrics, probs = jax.shard_map(
             per_shard,
             mesh=mesh,
             in_specs=(f_specs, P(), P(None, "data", "space"), P("data")),
-            out_specs=(f_specs, P()),
+            out_specs=(f_specs, P(), P("data")),
             check_vma=False,
         )(fast3, rng, xb, yb)
         updates, opt_state = optimizer.update(grads, opt_state, fast3)
         fast3 = optax.apply_updates(fast3, updates)
+        if with_probs:
+            metrics["probs_of_true_class"] = probs
         return fast3, opt_state, metrics
 
     return step

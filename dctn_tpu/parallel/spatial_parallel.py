@@ -226,12 +226,16 @@ def make_sp_train_step(
     frozen_eps_indices: Sequence[int] = (),
     donate: bool = False,
     grad_accum_steps: int = 1,
+    with_probs: bool = False,
 ):
     """step(params, opt_state, rng, xb, yb) → (params, opt_state, metrics)
     over a ("data", "space") mesh: xb (C, B, P·Hl, W, Q) sharded
     P(None, "data", "space"), yb (B,) sharded P("data"), params/opt_state
     replicated. Trajectory-exact vs single-device training on the same
-    global batch (tests/test_spatial_parallel.py)."""
+    global batch (tests/test_spatial_parallel.py). ``with_probs``: the
+    per-sample true-class probabilities (logits are FULL on every shard
+    after the space psum, so each data shard's slice is exact) come back
+    gathered over ``data`` — the tb-batches hook."""
     n_space = mesh.shape["space"]
     hl = sp_check_config(cfg, n_space)
     frozen = frozenset(frozen_eps_indices)
@@ -241,7 +245,8 @@ def make_sp_train_step(
         def local_loss(p, xs, ys, r):
             logits = _sp_forward_local(p, xs, cfg, True, r, n_space, hl)
             logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.mean(jnp.take_along_axis(logp, ys[:, None], axis=1))
+            per_sample = jnp.take_along_axis(logp, ys[:, None], axis=1)[:, 0]
+            ce = -jnp.mean(per_sample)
             # full reg divided by the axis size: the space-psum of the leaf
             # gradients then reconstructs the reg gradient exactly once
             reg = (
@@ -249,12 +254,17 @@ def make_sp_train_step(
                 if reg_coeff != 0.0
                 else jnp.zeros((), logits.dtype)
             )
-            return ce + reg_coeff * reg, (ce, reg)
+            return ce + reg_coeff * reg, (ce, reg, jnp.exp(per_sample))
 
         if grad_accum_steps == 1:
-            (_, (ce, reg)), grads = jax.value_and_grad(
+            (_, (ce, reg, probs)), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(params, xb, yb, rng)
+        elif with_probs:
+            _, ce, reg, grads, probs = grad_accum_scan(
+                local_loss, params, xb, yb, rng, grad_accum_steps,
+                with_probs=True,
+            )
         else:
             _, ce, reg, grads = grad_accum_scan(
                 local_loss, params, xb, yb, rng, grad_accum_steps
@@ -278,19 +288,23 @@ def make_sp_train_step(
             "ce": jax.lax.pmean(ce, "data"),
             "reg_term": reg_full,
         }
-        return grads, metrics
+        if with_probs:
+            return grads, metrics, probs
+        return grads, metrics, jnp.zeros((0,), jnp.float32)
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, rng, xb, yb):
-        grads, metrics = jax.shard_map(
+        grads, metrics, probs = jax.shard_map(
             per_shard,
             mesh=mesh,
             in_specs=(P(), P(), P(None, "data", "space"), P("data")),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P("data")),
             check_vma=False,
         )(params, rng, xb, yb)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if with_probs:
+            metrics["probs_of_true_class"] = probs
         return params, opt_state, metrics
 
     return step
@@ -391,13 +405,16 @@ def make_sp_fast_train_step(
     donate: bool = False,
     grad_accum_steps: int = 1,
     qat=None,
+    with_probs: bool = False,
 ):
     """The SP train step over the fast (cmt) parameter layout — the flagship
     kernel path row-sharded over ``space`` (and batch-sharded over ``data``).
     Gradient reduction mirrors make_sp_train_step: cmt cores + w psum over
     space, bias full, then pmean over data; optimizer outside under GSPMD.
     ``qat="int8"`` swaps each shard's forward for the W8A8 STE kernel
-    (shard-local quantizers — see _sp_fast_forward_local)."""
+    (shard-local quantizers — see _sp_fast_forward_local). ``with_probs``:
+    per-sample true-class probabilities gathered over ``data`` (the
+    tb-batches hook; logits are full per shard after the space psum)."""
     if qat not in (None, "int8"):
         raise ValueError(f"unsupported qat mode {qat!r}")
     n_space = mesh.shape["space"]
@@ -412,18 +429,24 @@ def make_sp_fast_train_step(
                 ndata=mesh.shape["data"],
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.mean(jnp.take_along_axis(logp, ys[:, None], axis=1))
+            per_sample = jnp.take_along_axis(logp, ys[:, None], axis=1)[:, 0]
+            ce = -jnp.mean(per_sample)
             reg = (
                 reg_fn(f) / n_space
                 if reg_coeff != 0.0
                 else jnp.zeros((), logits.dtype)
             )
-            return ce + reg_coeff * reg, (ce, reg)
+            return ce + reg_coeff * reg, (ce, reg, jnp.exp(per_sample))
 
         if grad_accum_steps == 1:
-            (_, (ce, reg)), grads = jax.value_and_grad(
+            (_, (ce, reg, probs)), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(fast, xb, yb, rng)
+        elif with_probs:
+            _, ce, reg, grads, probs = grad_accum_scan(
+                local_loss, fast, xb, yb, rng, grad_accum_steps,
+                with_probs=True,
+            )
         else:
             _, ce, reg, grads = grad_accum_scan(
                 local_loss, fast, xb, yb, rng, grad_accum_steps
@@ -445,19 +468,23 @@ def make_sp_fast_train_step(
             "ce": jax.lax.pmean(ce, "data"),
             "reg_term": reg_full,
         }
-        return grads, metrics
+        if with_probs:
+            return grads, metrics, probs
+        return grads, metrics, jnp.zeros((0,), jnp.float32)
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(fast, opt_state, rng, xb, yb):
-        grads, metrics = jax.shard_map(
+        grads, metrics, probs = jax.shard_map(
             per_shard,
             mesh=mesh,
             in_specs=(P(), P(), P(None, "data", "space"), P("data")),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P("data")),
             check_vma=False,
         )(fast, rng, xb, yb)
         updates, opt_state = optimizer.update(grads, opt_state, fast)
         fast = optax.apply_updates(fast, updates)
+        if with_probs:
+            metrics["probs_of_true_class"] = probs
         return fast, opt_state, metrics
 
     return step

@@ -281,9 +281,6 @@ def make_tp_train_step(
     probabilities, gathered over the data axis — the tb-batches hook) mirror
     the single-device step (train/step.py)."""
     frozen = frozenset(frozen_eps_indices)
-    assert not (with_probs and grad_accum_steps > 1), (
-        "tb-batches is incompatible with gradient accumulation"
-    )
 
     def per_shard(params3, rng, xb, yb):
         def local_loss(p3, xs, ys, r):
@@ -305,12 +302,19 @@ def make_tp_train_step(
                 local_loss, has_aux=True
             )(params3, xb, yb, rng)
         else:
-            # the shared microbatching scan (train/step.py)
+            # the shared microbatching scan (train/step.py); probs come back
+            # concatenated in batch order when the tb-batches hook needs them
             from ..train.step import grad_accum_scan
 
-            loss, ce, reg, grads = grad_accum_scan(
-                local_loss, params3, xb, yb, rng, grad_accum_steps
-            )
+            if with_probs:
+                loss, ce, reg, grads, probs = grad_accum_scan(
+                    local_loss, params3, xb, yb, rng, grad_accum_steps,
+                    with_probs=True,
+                )
+            else:
+                loss, ce, reg, grads = grad_accum_scan(
+                    local_loss, params3, xb, yb, rng, grad_accum_steps
+                )
         # Sharded leaves' gradients are exact locally (the activation/core
         # gathers carry a true reduce_scatter transpose). In last-only mode
         # the earlier REPLICATED cores feed the last core's LOCAL slice, so
@@ -561,9 +565,6 @@ def make_tp_fast_train_step(
     n_model = mesh.shape["model"]
     n_eps = len(plans)
     frozen = frozenset(frozen_eps_indices)
-    assert not (with_probs and grad_accum_steps > 1), (
-        "tb-batches is incompatible with gradient accumulation"
-    )
 
     def per_shard(fast3, rng, xb, yb):
         def local_loss(f3, xs, ys, r):
@@ -588,10 +589,18 @@ def make_tp_fast_train_step(
         else:
             from ..train.step import grad_accum_scan
 
-            loss, ce, reg, grads = grad_accum_scan(
-                local_loss, fast3, xb, yb, rng, grad_accum_steps
-            )
-            probs = jnp.zeros((0,), jnp.float32)
+            if with_probs:
+                # per-microbatch probs concatenate back to batch order —
+                # tb-batches composes with gradient accumulation
+                loss, ce, reg, grads, probs = grad_accum_scan(
+                    local_loss, fast3, xb, yb, rng, grad_accum_steps,
+                    with_probs=True,
+                )
+            else:
+                loss, ce, reg, grads = grad_accum_scan(
+                    local_loss, fast3, xb, yb, rng, grad_accum_steps
+                )
+                probs = jnp.zeros((0,), jnp.float32)
         grads = {
             "epses_cmt": tuple(
                 jnp.zeros_like(g)

@@ -73,6 +73,9 @@ def train(
         state.num_iters_done = num_iters_done
         state.iter_metrics = {}
         state.batch_indices = idx
+        hist = state.extras.get("nan_replay_idx_history")
+        if hist is not None:  # NaN-forensics replay enabled (NanLossStopper)
+            hist.append(np.asarray(idx))
         for hook in at_iter_start:
             hook(state)
             if state.stop:
@@ -233,13 +236,24 @@ def make_stopper_after_n_iters(n: int) -> Hook:
     return maybe_stop
 
 
+def _device_copy(tree):
+    """Fresh device buffers with the same shardings — a jitted identity
+    WITHOUT donation cannot alias its inputs, so the result survives the
+    train step donating the originals (the replay anchor's requirement)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    copied = jax.jit(lambda *xs: xs)(*leaves)
+    return jax.tree_util.tree_unflatten(treedef, copied)
+
+
 def make_stopper_on_nan_loss(
     dir: str,
     forward_fn: Optional[Callable[[Any, Any], Any]] = None,
     params_view: Optional[Callable] = None,
     fetch: Callable = np.asarray,
     write_files: bool = True,
-) -> Hook:
+    replay_step: Optional[Callable] = None,
+    replay_gather: Optional[Callable] = None,
+) -> "NanLossStopper":
     """Checks the device-accumulated NaN flag (fetched only when this hook
     runs — put it on the eval schedule, unlike the reference's per-iteration
     check, to avoid a relay round trip per step). On trigger, dumps params,
@@ -255,64 +269,179 @@ def make_stopper_on_nan_loss(
     directory records this so nobody debugs the wrong batch. Tighten the
     eval schedule to localize further.
 
+    With ``replay_step``/``replay_gather`` (the loop's own step/gather
+    closures) the stopper upgrades to TRIGGERING-BATCH forensics (reference
+    parity+, VERDICT r3 #7): at every clean observation it re-anchors a
+    device COPY of (params, opt_state, rng) and clears the loop-maintained
+    index history (``state.extras["nan_replay_idx_history"]``); on trigger
+    it REPLAYS the recorded steps from the anchor with a per-step flag
+    fetch, isolating the exact iteration whose loss went non-finite, and
+    dumps THAT batch with the PRE-step params and output — the reference's
+    per-iteration semantics (training.py:213-237) at the accumulated
+    flag's steady-state cost. Call ``enable_replay(state)`` once before
+    ``train()`` so the first anchor covers the steps before the first
+    observation.
+
     Multi-controller model-sharded runs (runner --distributed ×
     --model-devices/--space-devices) pass ``fetch`` = the collective host
     gather (tensor_parallel._to_host) and ``write_files=is_primary``: every
-    process runs the gathers/forward (collectives must execute everywhere),
-    only process 0 touches disk."""
+    process runs the gathers/forward/replay (collectives must execute
+    everywhere — the replay is the same deterministic jitted step on every
+    controller), only process 0 touches disk."""
+    return NanLossStopper(
+        dir, forward_fn, params_view, fetch, write_files, replay_step,
+        replay_gather,
+    )
 
-    def stop_on_nan(state: TrainLoopState) -> None:
+
+class NanLossStopper:
+    """See ``make_stopper_on_nan_loss`` (kept as the public factory)."""
+
+    def __init__(
+        self, dir, forward_fn, params_view, fetch, write_files,
+        replay_step, replay_gather,
+    ):
+        self.dir = dir
+        self.forward_fn = forward_fn
+        self.params_view = params_view
+        self.fetch = fetch
+        self.write_files = write_files
+        self.replay_step = replay_step
+        self.replay_gather = replay_gather
+        self._anchor = None  # (params_copy, opt_state_copy, rng, iters_done)
+
+    @property
+    def replay_enabled(self):
+        return self.replay_step is not None and self.replay_gather is not None
+
+    def enable_replay(self, state: TrainLoopState) -> None:
+        """Install the index history and the initial anchor (device copies
+        of the CURRENT state — the train step donates its buffers, so the
+        anchor must own fresh ones)."""
+        assert self.replay_enabled
+        state.extras["nan_replay_idx_history"] = []
+        # before the loop: the next iteration to run IS num_iters_done
+        self._reanchor(state, next_iter=state.num_iters_done)
+
+    def _reanchor(self, state: TrainLoopState, next_iter=None) -> None:
+        if next_iter is None:
+            # called from after_step of iteration N → the anchor state is
+            # the input of iteration N+1
+            next_iter = state.num_iters_done + 1
+        self._anchor = (
+            _device_copy(state.params),
+            _device_copy(state.opt_state),
+            state.rng,  # rebound (not donated) each iteration — a ref is safe
+            next_iter,
+        )
+        hist = state.extras.get("nan_replay_idx_history")
+        if hist is not None:
+            hist.clear()
+
+    def _replay(self, state: TrainLoopState):
+        """Step forward from the anchor, fetching the loss flag per step;
+        returns (iter_no, idx, xb, yb, pre_step_params) of the triggering
+        iteration, or None if the replay never reproduces the NaN."""
+        params, opt_state, rng, it0 = self._anchor
+        history = list(state.extras.get("nan_replay_idx_history") or ())
+        for i, idx in enumerate(history):
+            rng, sub = jax.random.split(rng)
+            xb, yb = self.replay_gather(jnp.asarray(idx))
+            prev_params = _device_copy(params)
+            params, opt_state, metrics = self.replay_step(
+                params, opt_state, sub, xb, yb
+            )
+            if not np.isfinite(float(metrics["loss"])):
+                return it0 + i, idx, xb, yb, prev_params
+        return None
+
+    def __call__(self, state: TrainLoopState) -> None:
         if state.nan_flag is None:
             return
-        if bool(state.nan_flag):
-            logger.warning("Stopping because of NaN or Inf loss")
-            state.stop = True
-            state.stop_reason = "nan_loss"
-            subdir = os.path.join(dir, "nan_loss_stop")
-            if write_files and os.path.exists(subdir):
-                logger.error("%s already exists", subdir)
-                return
-            # gathers run on EVERY process (collectives), writes are gated
-            params_host = (
-                params_view(state.params) if params_view else state.params
-            )
-            params_host = jax.tree_util.tree_map(fetch, params_host)
-            batch_host = out_host = None
-            if state.last_batch is not None and state.last_batch[1] is not None:
-                # (in the DP path gather yields (local_idx, None) — indices
-                # are already saved above, the sharded batch is not fetched)
-                xb, yb = state.last_batch
-                batch_host = (fetch(xb), fetch(yb))
-                if forward_fn is not None:
-                    out_host = fetch(forward_fn(state.params, xb))
-            if not write_files:
-                return
-            os.mkdir(subdir)
-            with open(os.path.join(subdir, "README.txt"), "w") as f:
-                f.write(
-                    "NaN/Inf was detected by the device-accumulated flag at "
-                    f"observation step {state.num_iters_done}. The saved "
-                    "batch/output are from THIS step (post-update params), "
-                    "not necessarily the iteration that produced the NaN — "
-                    "that happened at or before this step, since the "
-                    "previous scheduled observation.\n"
-                )
-            save_pytree(
-                params_host,
-                os.path.join(subdir, f"model_nitd={state.num_iters_done}.npz"),
-            )
-            if state.batch_indices is not None:
-                np.save(os.path.join(subdir, "batch_indices.npy"), state.batch_indices)
-            if batch_host is not None:
-                np.savez(
-                    os.path.join(subdir, "batch.npz"),
-                    x=batch_host[0],
-                    y=batch_host[1],
-                )
-                if out_host is not None:
-                    np.save(os.path.join(subdir, "output.npy"), out_host)
+        if not bool(state.nan_flag):
+            if self.replay_enabled and self._anchor is not None:
+                self._reanchor(state)
+            return
+        logger.warning("Stopping because of NaN or Inf loss")
+        state.stop = True
+        state.stop_reason = "nan_loss"
+        fetch, write_files = self.fetch, self.write_files
+        subdir = os.path.join(self.dir, "nan_loss_stop")
+        if write_files and os.path.exists(subdir):
+            logger.error("%s already exists", subdir)
+            return
 
-    return stop_on_nan
+        triggering = (
+            self._replay(state)
+            if self.replay_enabled and self._anchor is not None
+            else None
+        )
+        if triggering is not None:
+            iter_no, idx, xb, yb, pre_params = triggering
+            logger.warning(
+                "NaN replay isolated the triggering iteration: %d", iter_no
+            )
+            readme = (
+                f"NaN/Inf flag observed at step {state.num_iters_done}; "
+                "replaying from the last clean observation isolated the "
+                f"TRIGGERING iteration: {iter_no}. The saved batch/output "
+                "and params are from THAT iteration (params as they were "
+                "BEFORE its update — the reference's per-iteration dump "
+                "semantics, training.py:213-237).\n"
+            )
+            dump_params, dump_iter = pre_params, iter_no
+        else:
+            if self.replay_enabled and self._anchor is not None:
+                logger.warning(
+                    "NaN replay did not reproduce the non-finite loss; "
+                    "dumping the observation-step state instead"
+                )
+            iter_no, idx, xb, yb = (
+                state.num_iters_done,
+                state.batch_indices,
+                *(state.last_batch or (None, None)),
+            )
+            readme = (
+                "NaN/Inf was detected by the device-accumulated flag at "
+                f"observation step {state.num_iters_done}. The saved "
+                "batch/output are from THIS step (post-update params), "
+                "not necessarily the iteration that produced the NaN — "
+                "that happened at or before this step, since the "
+                "previous scheduled observation.\n"
+            )
+            dump_params, dump_iter = state.params, state.num_iters_done
+
+        # gathers run on EVERY process (collectives), writes are gated
+        params_host = (
+            self.params_view(dump_params) if self.params_view else dump_params
+        )
+        params_host = jax.tree_util.tree_map(fetch, params_host)
+        batch_host = out_host = None
+        if xb is not None and yb is not None:
+            # (in the DP path gather yields (local_idx, None) — indices
+            # are saved below, the sharded batch is not fetched)
+            batch_host = (fetch(xb), fetch(yb))
+            if self.forward_fn is not None:
+                out_host = fetch(self.forward_fn(dump_params, xb))
+        if not write_files:
+            return
+        os.mkdir(subdir)
+        with open(os.path.join(subdir, "README.txt"), "w") as f:
+            f.write(readme)
+        save_pytree(
+            params_host,
+            os.path.join(subdir, f"model_nitd={dump_iter}.npz"),
+        )
+        if idx is not None:
+            np.save(os.path.join(subdir, "batch_indices.npy"), np.asarray(idx))
+        if batch_host is not None:
+            np.savez(
+                os.path.join(subdir, "batch.npz"),
+                x=batch_host[0],
+                y=batch_host[1],
+            )
+            if out_host is not None:
+                np.save(os.path.join(subdir, "output.npy"), out_host)
 
 
 def log_parameters_stats(state: TrainLoopState) -> None:

@@ -50,12 +50,18 @@ def make_fast_reg_fn(cfg: EPSesPlusLinearConfig, plans, reg_type: str):
     return reg_fn
 
 
-def grad_accum_scan(loss_fn, params, xb, yb, rng, steps: int):
+def grad_accum_scan(loss_fn, params, xb, yb, rng, steps: int,
+                    with_probs: bool = False):
     """Microbatched value_and_grad: scan ``steps`` equal slices of the batch
     (x batch axis 1, y axis 0), averaging losses and gradients — bounds
     activation memory at very large batches. ``loss_fn(params, xs, ys, r) →
     (loss, aux)`` with aux[0]=ce, aux[1]=reg. Shared by the single-device
-    and tensor-parallel steps. Returns (loss, ce, reg, grads)."""
+    and tensor-parallel steps. Returns (loss, ce, reg, grads).
+
+    ``with_probs``: loss_fn must additionally return per-sample
+    probabilities at aux[2]; the scan stacks each microbatch's and the
+    concatenation (batch order restored) comes back as a fifth result —
+    how ``--tb-batches`` composes with gradient accumulation."""
     b = yb.shape[0]
     assert b % steps == 0
     mb = b // steps
@@ -71,16 +77,20 @@ def grad_accum_scan(loss_fn, params, xb, yb, rng, steps: int):
             params, xs, ys, r
         )
         grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, g)
-        return (loss_sum + l, ce_sum + aux[0], aux[1], grad_sum), None
+        out = aux[2] if with_probs else None
+        return (loss_sum + l, ce_sum + aux[0], aux[1], grad_sum), out
 
     zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
     acc_dtype = jax.tree_util.tree_leaves(params)[0].dtype
     zero = jnp.zeros((), acc_dtype)
-    (loss_sum, ce_sum, reg, grads), _ = jax.lax.scan(
+    (loss_sum, ce_sum, reg, grads), probs = jax.lax.scan(
         body, (zero, zero, zero, zero_grads), (xm, ym, rngs)
     )
     inv = 1.0 / steps
     grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+    if with_probs:
+        # (steps, mb) → (b,): slices were taken in batch order
+        return loss_sum * inv, ce_sum * inv, reg, grads, probs.reshape(-1)
     return loss_sum * inv, ce_sum * inv, reg, grads
 
 
@@ -137,8 +147,13 @@ def make_train_step(
             (loss, aux), grads = jax.value_and_grad(fn, has_aux=True)(
                 params, xb, yb, rng
             )
+        elif with_probs:
+            loss, ce, reg, grads, probs = grad_accum_scan(
+                loss_with_probs, params, xb, yb, rng, grad_accum_steps,
+                with_probs=True,
+            )
+            aux = (ce, reg, probs)
         else:
-            assert not with_probs, "tb-batches is incompatible with grad accumulation"
             loss, ce, reg, grads = grad_accum_scan(
                 loss_fn, params, xb, yb, rng, grad_accum_steps
             )
@@ -198,9 +213,6 @@ def make_fast_train_step(
         _fwd = eps_plus_linear_forward_fast
 
     frozen = frozenset(frozen_eps_indices)
-    assert not (with_probs and grad_accum_steps > 1), (
-        "tb-batches is incompatible with gradient accumulation"
-    )
     reg_fn = make_fast_reg_fn(cfg, plans, reg_type)
 
     def loss_fn(fast, xb, yb, rng):
@@ -228,6 +240,11 @@ def make_fast_train_step(
             (loss, (ce, reg, probs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(fast, xb, yb, rng)
+        elif with_probs:
+            loss, ce, reg, grads, probs = grad_accum_scan(
+                loss_fn, fast, xb, yb, rng, grad_accum_steps,
+                with_probs=True,
+            )
         else:
             loss, ce, reg, grads = grad_accum_scan(
                 lambda p, xs, ys, r: (lambda v: (v[0], v[1][:2]))(

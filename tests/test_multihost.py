@@ -672,6 +672,7 @@ state = run(
     keep_last_models=1,
     synthetic_sizes=(32, 16, 16),
     patience=50,
+    tb_batches=True,
     reg_coeff=1e-6,
 )
 assert state.stop_reason == "max_iters", state.stop_reason
@@ -735,6 +736,14 @@ def _run_distributed_runner_pair(tmp_path, axis_flag):
 
     l0, l1 = eval_lines(d0), eval_lines(d1)
     assert l0 and l0 == l1
+    # --tb-batches under --distributed (VERDICT r3 #8): the data-sharded
+    # per-sample probs are gathered collectively; every controller logs them
+    for d in (d0, d1):
+        tags = {
+            json.loads(l)["tag"]
+            for l in open(os.path.join(d, "metrics.jsonl"))
+        }
+        assert "probs_of_true_class" in tags, (d, tags)
     return d0, d1
 
 

@@ -223,3 +223,101 @@ def test_frozen_eps(rng):
     p2, _, _ = step(params, opt_state, jax.random.PRNGKey(1), x_tr[:, :64], y_tr[:64])
     np.testing.assert_array_equal(np.asarray(p2["epses"][0]), before)
     assert not np.allclose(np.asarray(p2["linear"]["w"]), np.asarray(params["linear"]["w"]))
+
+
+def test_nan_replay_isolates_triggering_batch(tmp_path):
+    """VERDICT r3 #7 (reference parity+, training.py:213-237): poison ONE
+    sample so the loss first goes non-finite at a KNOWN iteration between
+    two scheduled observations. The stopper's replay (anchored device
+    copies + recorded index history) must dump THAT iteration's batch and
+    the params as they were BEFORE its update — not the observation step's."""
+    from dctn_tpu.train import every_n_iters_intervals
+
+    splits, cfg, params = make_tiny_problem()
+    opt = make_optimizer("sgd", 1e-2)
+    opt_state = opt.init(params)
+    # sgd at sane lr: only the poisoned batch can blow up the loss
+    step = make_train_step(cfg, opt, "epswise", 0.0, donate=True)
+    x = np.asarray(splits.train.x).copy()
+    x[:, 13] = 1e30  # sample 13 → overflow the moment it enters a batch
+    gather = make_gather_batch(jnp.asarray(x), jnp.asarray(splits.train.y))
+    state = TrainLoopState(
+        params=params, opt_state=opt_state, rng=jax.random.PRNGKey(0)
+    )
+    from dctn_tpu.models import eps_plus_linear_forward
+
+    forward = lambda p, xb: eps_plus_linear_forward(  # noqa: E731
+        p, xb, cfg, training=False
+    )
+    nan_hook = make_stopper_on_nan_loss(
+        str(tmp_path), forward, replay_step=step, replay_gather=gather
+    )
+    nan_hook.enable_replay(state)
+    schedule = every_n_iters_intervals((None, 5))
+    cap = make_stopper_after_n_iters(50)
+
+    def stream():  # step i takes samples [8i, 8i+8): sample 13 is in step 1
+        i = 0
+        while True:
+            yield np.arange(8 * i, 8 * i + 8) % 64
+            i += 1
+
+    train(
+        state, step, gather, stream(),
+        at_iter_start=[cap], after_step=[schedule(nan_hook)],
+    )
+    assert state.stop_reason == "nan_loss"
+    assert state.num_iters_done == 5  # flag observed at the schedule, not at 1
+    dump = os.path.join(str(tmp_path), "nan_loss_stop")
+    files = os.listdir(dump)
+    # the dump names the TRIGGERING iteration (1), not the observation (5)
+    assert "model_nitd=1.npz" in files, files
+    readme = open(os.path.join(dump, "README.txt")).read()
+    assert "TRIGGERING iteration: 1" in readme
+    np.testing.assert_array_equal(
+        np.load(os.path.join(dump, "batch_indices.npy")), np.arange(8, 16)
+    )
+    batch = np.load(os.path.join(dump, "batch.npz"))
+    assert batch["x"].max() >= 1e29  # the poisoned sample is IN the batch
+    # the saved params are the PRE-step-1 params: reproduce them by running
+    # exactly iteration 0 from the same init + rng chain
+    _, sub0 = jax.random.split(jax.random.PRNGKey(0))
+    step_nd = make_train_step(cfg, opt, "epswise", 0.0, donate=False)
+    xb0, yb0 = gather(jnp.asarray(np.arange(0, 8)))
+    # (the original `params` were donated by the training run — re-init)
+    _, _, params0 = make_tiny_problem()
+    p1, _, _ = step_nd(params0, opt.init(params0), sub0, xb0, yb0)
+    want = {
+        k: np.asarray(v)
+        for k, v in np.load(
+            os.path.join(dump, "model_nitd=1.npz")
+        ).items()
+    }
+    got_leaves = jax.tree_util.tree_leaves(p1)
+    assert len(want) == len(got_leaves)
+    for (name, w), g in zip(sorted(want.items()), got_leaves):
+        np.testing.assert_array_equal(w, np.asarray(g), err_msg=name)
+
+
+def test_grad_accum_with_probs_matches_single_scan(rng):
+    """VERDICT r3 #8: --tb-batches composes with gradient accumulation —
+    the per-microbatch probabilities concatenate back to batch order and
+    (dropout off) equal the unaccumulated step's exactly."""
+    splits, cfg, params = make_tiny_problem()
+    opt = make_optimizer("sgd", 1e-2)
+    x_tr = jnp.asarray(splits.train.x[:, :32])
+    y_tr = jnp.asarray(splits.train.y[:32])
+    step1 = make_train_step(
+        cfg, opt, "epswise", 1e-6, donate=False, with_probs=True
+    )
+    step4 = make_train_step(
+        cfg, opt, "epswise", 1e-6, donate=False, with_probs=True,
+        grad_accum_steps=4,
+    )
+    k = jax.random.PRNGKey(0)
+    _, _, m1 = step1(params, opt.init(params), k, x_tr, y_tr)
+    _, _, m4 = step4(params, opt.init(params), k, x_tr, y_tr)
+    p1 = np.asarray(m1["probs_of_true_class"])
+    p4 = np.asarray(m4["probs_of_true_class"])
+    assert p1.shape == p4.shape == (32,)
+    np.testing.assert_allclose(p4, p1, rtol=1e-6)
