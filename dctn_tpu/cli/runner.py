@@ -256,6 +256,12 @@ def setup_run_provenance(output_dir: str, kwargs: dict, verbosity="INFO") -> str
               help="enable jax_debug_nans: fail at the first NaN-producing op "
                    "with a traceback (the detect_anomaly analog; slows "
                    "execution — debugging only)")
+@click.option("--breakpoint-on-nan-loss/--no-breakpoint-on-nan-loss",
+              default=False,
+              help="drop into the debugger (breakpoint(); honors "
+                   "PYTHONBREAKPOINT) when the NaN-loss stopper fires, AFTER "
+                   "its replay isolated the triggering batch — params/batch/"
+                   "output host values in scope (new_runner.py:170 parity)")
 @click.option("--grad-accum-steps", type=str, default="1",
               help="microbatch the step into this many gradient-accumulation "
                    "slices (bounds activation memory at very large batches), "
@@ -763,6 +769,44 @@ def run(**kwargs) -> TrainLoopState:
             )
         with open(os.path.join(output_dir, "autotune_report.json"), "w") as f:
             json.dump(autotune_report, f, indent=1)
+    elif (
+        use_fast
+        and kwargs["autotune_cache"]
+        and jax.process_count() == 1
+    ):
+        # no --autotune-splits, but if THIS exact tuning problem was ever
+        # measured, apply the cached picks by default — a pure win (splits
+        # are exact; only the kernels' speed changes). Multi-controller runs
+        # skip the implicit path (per-host caches could disagree on the cmt
+        # SHAPES; the explicit --autotune-splits path broadcasts instead).
+        from ..train.autotune import autotune_cache_lookup, default_cache_path
+
+        micro_bs = max(1, kwargs["batch_size"] // max(1, n_mesh))
+        ga_l = kwargs["grad_accum_steps"]
+        if ga_l == "auto":
+            ga_l = _resolve_auto_grad_accum(cfg, fast_plans, micro_bs)
+        micro_bs = max(1, micro_bs // max(1, ga_l))
+        k0 = cfg.epses_specs[0][0]
+        in_ch = (params["epses"][0].ndim - 1) // (k0 * k0)
+        cached = autotune_cache_lookup(
+            cfg, micro_bs, in_ch,
+            reg_type=kwargs["reg_type"], reg_coeff=kwargs["reg_coeff"],
+            quantize=qat, log_fn=logger.info,
+            cache_path=default_cache_path(),
+        )
+        if cached is not None:
+            tuned_plans, _rep = cached
+            if tuple(p["n1"] for p in tuned_plans) != tuple(
+                p["n1"] for p in fast_plans
+            ):
+                params_fast, fast_plans = fast_params_from_reference(
+                    params, cfg, plans=tuned_plans
+                )
+                logger.info(
+                    "tuned splits applied from the autotune cache: %s "
+                    "(pass --no-autotune-cache to opt out)",
+                    tuple(p["n1"] for p in fast_plans),
+                )
     if isinstance(kwargs["grad_accum_steps"], str):  # 'auto'
         kwargs["grad_accum_steps"] = _resolve_auto_grad_accum(
             cfg, fast_plans if use_fast else None,
@@ -1507,7 +1551,8 @@ def run(**kwargs) -> TrainLoopState:
     nan_stopper = make_stopper_on_nan_loss(
         output_dir, nan_forward, params_view=params_view,
         fetch=_nan_fetch, write_files=is_primary or not multiproc_sharded,
-        replay_step=step, replay_gather=gather)
+        replay_step=step, replay_gather=gather,
+        interactive=kwargs.get("breakpoint_on_nan_loss", False))
     after_step = [schedule(nan_stopper)]
     tb_writer = None
     if kwargs["tb_batches"] or kwargs["log_intermediate_outputs"]:

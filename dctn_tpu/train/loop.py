@@ -253,6 +253,7 @@ def make_stopper_on_nan_loss(
     write_files: bool = True,
     replay_step: Optional[Callable] = None,
     replay_gather: Optional[Callable] = None,
+    interactive: bool = False,
 ) -> "NanLossStopper":
     """Checks the device-accumulated NaN flag (fetched only when this hook
     runs — put it on the eval schedule, unlike the reference's per-iteration
@@ -290,16 +291,22 @@ def make_stopper_on_nan_loss(
     controller), only process 0 touches disk."""
     return NanLossStopper(
         dir, forward_fn, params_view, fetch, write_files, replay_step,
-        replay_gather,
+        replay_gather, interactive,
     )
 
 
 class NanLossStopper:
-    """See ``make_stopper_on_nan_loss`` (kept as the public factory)."""
+    """See ``make_stopper_on_nan_loss`` (kept as the public factory).
+
+    ``interactive=True`` (the runner's ``--breakpoint-on-nan-loss``,
+    reference parity: ``new_runner.py:170``) drops into the debugger via
+    ``breakpoint()`` AFTER the forensics, with the dumped host values in
+    scope (``params_host``, ``batch_host``, ``out_host``, ``iter_no``) —
+    honor ``PYTHONBREAKPOINT`` like any breakpoint() call."""
 
     def __init__(
         self, dir, forward_fn, params_view, fetch, write_files,
-        replay_step, replay_gather,
+        replay_step, replay_gather, interactive=False,
     ):
         self.dir = dir
         self.forward_fn = forward_fn
@@ -308,6 +315,7 @@ class NanLossStopper:
         self.write_files = write_files
         self.replay_step = replay_step
         self.replay_gather = replay_gather
+        self.interactive = interactive
         self._anchor = None  # (params_copy, opt_state_copy, rng, iters_done)
 
     @property
@@ -423,6 +431,10 @@ class NanLossStopper:
             batch_host = (fetch(xb), fetch(yb))
             if self.forward_fn is not None:
                 out_host = fetch(self.forward_fn(dump_params, xb))
+        if self.interactive and write_files:
+            # --breakpoint-on-nan-loss (new_runner.py:170 parity): inspect
+            # params_host / batch_host / out_host / iter_no interactively
+            breakpoint()  # noqa: T100
         if not write_files:
             return
         os.mkdir(subdir)

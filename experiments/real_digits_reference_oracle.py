@@ -6,8 +6,9 @@ all three recorded model families on sklearn's REAL 8×8 digits —
 
   - EPS(4,4)+linear        (the 90.19-vacc architecture family,
                             replicate_90.19_vacc_experiment.py:7-40)
-  - deep three-EPS         ((4,4),(3,12),(2,24) — the exact recorded deep
-                            config, three_epses_on_fashionmnist.py, at 8×8)
+  - deep three-EPS         (three stacked EPS layers — the family of
+                            three_epses_on_fashionmnist.py — at a scale
+                            that LEARNS on 1,200 8×8 samples; see below)
   - legacy ConvSBS         (mnist.py:169-284, 2 snake-string layers bond 2)
 
 — TWICE each: once with THIS framework (on the TPU when available), once
@@ -19,6 +20,17 @@ f32 end-to-end on both sides, so tiny rounding divergence accumulates over
 the trajectory — the contract is acc-delta ≈ 0 and high agreement, not
 bitwise equality (op- and 30-step-trajectory BITWISE parity is separately
 proven in tests/test_reference_parity.py).
+
+The deep family's note: the EXACT recorded deep config
+((4,4),(3,12),(2,24)) does not train on 1,200-sample digits under ANY
+stable setting we probed — Adam diverges (loss ~1e24) at lr ≥ 3e-4 with or
+without the reference's heavy composition reg, and stays at chance at
+1e-4 over 400 iters (the reference's own recipe is lr=1e-7 over many
+epochs of 50k FashionMNIST images — a regime this tiny dataset cannot
+reproduce). Both stacks agreed on that failure mode too (first run:
+chance accuracy both sides). The oracle therefore uses a three-layer
+config scaled to the data — ((2,4),(2,6),(2,12)), val ≈ 0.90 — which
+exercises the same family (3 cascaded EPS contractions + linear).
 
 Run: python experiments/real_digits_reference_oracle.py
 Writes experiments/real_digits_reference_oracle_results.json.
@@ -118,15 +130,18 @@ def batch_schedule(n, bs, iters, seed=1):
 # --- EPS families -----------------------------------------------------------
 
 
-def ours_train_eps(specs, data, idx_list, lr):
+def ours_train_eps(specs, data, idx_list, lr, init="unit_theoretical_output_std"):
     from dctn_tpu.models import EPSesPlusLinearConfig, init_eps_plus_linear
     from dctn_tpu.train import make_optimizer, make_train_step
 
     (x_tr, y_tr), _, (x_te, y_te) = data
     cfg = EPSesPlusLinearConfig(epses_specs=specs, image_size=8, q0=2)
-    params = init_eps_plus_linear(
-        jax.random.PRNGKey(0), cfg, "unit_theoretical_output_std"
+    init_kw = (
+        {"init_input": jnp.asarray(x_tr), "init_batch_size": 256}
+        if init == "unit_empirical_output_std"
+        else {}
     )
+    params = init_eps_plus_linear(jax.random.PRNGKey(0), cfg, init, **init_kw)
     init_np = jax.tree_util.tree_map(lambda a: np.asarray(a), params)
     opt = make_optimizer("adam", lr)
     opt_state = opt.init(params)
@@ -303,11 +318,12 @@ def _ref_dumb_init():
     return ref_sbs.DumbNormalInitialization(0.5)
 
 
-def eps_pair(name, REF, specs, data, iters, bs, lr):
+def eps_pair(name, REF, specs, data, iters, bs, lr,
+             init="unit_theoretical_output_std"):
     (x_tr, y_tr), _, (x_te, y_te) = data
     idx_list = batch_schedule(y_tr.shape[0], bs, iters)
     ours_preds, ours_acc, ours_secs, init_np = ours_train_eps(
-        specs, data, idx_list, lr
+        specs, data, idx_list, lr, init=init
     )
     ref_preds, ref_acc, ref_secs = reference_train_eps(
         REF, init_np, data, idx_list, lr
@@ -341,10 +357,13 @@ def main() -> None:
             data, iters=400, bs=128, lr=3e-4,
         ),
         eps_pair(
-            "deep three-EPS (4,4),(3,12),(2,24) at 8x8", REF,
-            ((4, 4), (3, 12), (2, 24)), data,
-            iters=int(os.environ.get("DCTN_TPU_DEEP3_ITERS", "200")),
-            bs=32, lr=1e-3,
+            # three-layer family at digits-trainable scale (see module
+            # docstring for why the exact 28x28 deep config cannot learn
+            # from 1,200 samples); empirical unit-output-std init
+            "deep three-EPS family (2,4),(2,6),(2,12) at 8x8", REF,
+            ((2, 4), (2, 6), (2, 12)), data,
+            iters=int(os.environ.get("DCTN_TPU_DEEP3_ITERS", "400")),
+            bs=32, lr=1e-3, init="unit_empirical_output_std",
         ),
     ]
     raw = load_raw_splits()

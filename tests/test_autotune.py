@@ -373,3 +373,48 @@ def test_autotune_q8_training_objective():
     k_srv = key(forward_only=True, quantize="int8")
     assert len({k_f32, k_qat, k_srv}) == 3
     assert '"train-int8"' in k_qat and '"train"' in k_f32
+
+
+def test_runner_applies_cached_splits_without_flag(tmp_path):
+    """VERDICT r3 weak #7: a run WITHOUT --autotune-splits still gets the
+    tuned splits when the persistent cache already holds measured picks for
+    the identical tuning problem (pure lookup — zero measurement). Opting
+    out with --no-autotune-cache restores the model defaults."""
+    from dctn_tpu.cli.runner import run
+
+    common = dict(
+        ds_type="mnist",
+        ds_path="synthetic",
+        epses_specs=((2, 4), (2, 4)),
+        batch_size=32,
+        optimizer_name="adam",
+        lr=3e-3,
+        train_backend="pallas_interpret",
+        eval_backend="pallas_interpret",
+        init_epses_composition_unit_theoretical_output_std=True,
+        eval_schedule=((None, 10),),
+        max_num_iters=10,
+        keep_last_models=1,
+        synthetic_sizes=(64, 32, 32),
+        patience=50,
+        reg_coeff=1e-6,
+    )
+    # 1st run measures and populates the session cache (conftest pins
+    # DCTN_TPU_AUTOTUNE_CACHE to a per-session tmp file)
+    run(experiments_dir=str(tmp_path / "a"), autotune_splits=True, **common)
+    # 2nd run: no flag — cached picks apply with a log line
+    run(experiments_dir=str(tmp_path / "b"), **common)
+    out_b = os.path.join(
+        str(tmp_path / "b"), os.listdir(str(tmp_path / "b"))[0]
+    )
+    log_b = open(os.path.join(out_b, "log.log")).read()
+    assert "autotune cache hit" in log_b
+    # 3rd run: --no-autotune-cache opts out
+    run(
+        experiments_dir=str(tmp_path / "c"), autotune_cache=False, **common
+    )
+    out_c = os.path.join(
+        str(tmp_path / "c"), os.listdir(str(tmp_path / "c"))[0]
+    )
+    log_c = open(os.path.join(out_c, "log.log")).read()
+    assert "autotune cache hit" not in log_c

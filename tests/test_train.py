@@ -321,3 +321,35 @@ def test_grad_accum_with_probs_matches_single_scan(rng):
     p4 = np.asarray(m4["probs_of_true_class"])
     assert p1.shape == p4.shape == (32,)
     np.testing.assert_allclose(p4, p1, rtol=1e-6)
+
+
+def test_nan_stopper_interactive_breakpoint(tmp_path, monkeypatch):
+    """--breakpoint-on-nan-loss analog (new_runner.py:170): interactive=True
+    invokes breakpoint() (sys.breakpointhook) after the forensics, with the
+    triggering-iteration host values computed."""
+    import sys as _sys
+
+    calls = []
+    monkeypatch.setattr(_sys, "breakpointhook", lambda *a, **k: calls.append(1))
+    splits, cfg, params = make_tiny_problem()
+    opt = make_optimizer("sgd", 1e9)  # overflow fast
+    step = make_train_step(cfg, opt, "epswise", 0.0, donate=False)
+    gather = make_gather_batch(
+        jnp.asarray(splits.train.x), jnp.asarray(splits.train.y)
+    )
+    state = TrainLoopState(
+        params=params, opt_state=opt.init(params), rng=jax.random.PRNGKey(0)
+    )
+    nan_hook = make_stopper_on_nan_loss(str(tmp_path), interactive=True)
+
+    def stream():
+        while True:
+            yield np.arange(64)
+
+    train(
+        state, step, gather, stream(),
+        at_iter_start=[make_stopper_after_n_iters(50)],
+        after_step=[nan_hook],
+    )
+    assert state.stop_reason == "nan_loss"
+    assert calls, "breakpoint() was not invoked"
