@@ -40,10 +40,11 @@ broadcast products and U-block concatenations that lower into more Mosaic
 relayout work than the extra unrolled ops cost.
 
 Measured on v5e (legacy model, 2 layers, bond 4, long fenced windows —
-unfenced timings on the async relay are garbage), r3 post-VMEM-lift:
-open strings 2.61 ms vs 13.2 XLA at bs 100 (5.0×), 12.7 vs 78.5 at bs 512
-(6.2×); trace_edge rings 8.97 ms vs 46.2 XLA (5.2×). History in
-experiments/conv_sbs_benchmark_results.json.
+unfenced timings on the async relay are garbage), r4 meet-in-the-middle
+fold (see the MIM section below): open strings 1.76 ms vs 13.2 XLA at
+bs 100 (7.5×), 7.28 vs 78.5 at bs 512 (10.8×); trace_edge rings 3.95 ms
+vs 46.2 XLA (11.7×). r3 sequential-fold numbers: 2.61 / 12.7 / 8.97 ms.
+History in experiments/conv_sbs_benchmark_results.json.
 
 Capability parity: reference ``dctn/conv_sbs.py:258-304`` (forward) and its
 torch autograd (backward), re-decomposed for the TPU memory hierarchy.
@@ -56,6 +57,8 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import os
+
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -346,6 +349,267 @@ def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
 
 
 # ---------------------------------------------------------------------------
+# meet-in-the-middle (MIM) kernels — r4, VERDICT r3 #5's restructure.
+#
+# The sequential fold's work is dominated by its LATE terms: fold i costs
+# b0·l·r·O_i·o_i·bn elementwise mults and O_i grows geometrically, so the
+# total is ≈ b0·l·r·O_total·(o/(o−1)) — for o=2 chains, 32·b0·O_total per
+# pixel tile. Folding from BOTH ends and merging in the middle
+# (out[(O_pre,O_suf)] = Σ_{b0,r_m} pre ⊗ suf) caps each chain's state at
+# O_half = √O_total and pays the O_total term exactly ONCE in the merge:
+# ≈ b0·r_m·O_total ≈ 4·b0·O_total — an ~8× op reduction, for rings AND
+# open strings. The backward reverses through the same two half-chains
+# (every transpose touches only half-chain-sized states) plus the merge's
+# two O_total-sized transposes — ≈ 3× the MIM forward instead of the old
+# per-core prefix/suffix contractions (~P·r·b0·O_total). Same math, same
+# (rows, bn) slab discipline; A/B'd on chip before becoming the default
+# (docs/performance.md).
+
+
+def _mim_cut(olr) -> int | None:
+    """Merge position m (1 ≤ m ≤ P−1) minimizing total fold+merge mults,
+    or None when the sequential fold is at least as cheap (P ≤ 2, or
+    degenerate bond/feature patterns)."""
+    P = len(olr)
+    if P < 3:
+        return None
+    b0 = olr[0][1]
+
+    def mim_cost(m):
+        c, o_pre = 0, olr[0][0]
+        for i in range(1, m):
+            o, l, r = olr[i]
+            c += b0 * l * r * o_pre * o
+            o_pre *= o
+        o_suf = 1
+        for i in range(P - 1, m - 1, -1):
+            o, l, r = olr[i]
+            c += l * b0 * r * o * o_suf
+            o_suf *= o
+        return c + b0 * olr[m][1] * o_pre * o_suf
+
+    seq, o_acc = 0, olr[0][0]
+    for i in range(1, P):
+        o, l, r = olr[i]
+        seq += b0 * l * r * o_acc * o
+        o_acc *= o
+    best = min(range(1, P), key=mim_cost)
+    return best if mim_cost(best) < seq else None
+
+
+def _sbs_fwd_mim_kernel_factory(olr, qc: int, bn: int, mcut: int):
+    P = len(olr)
+    b0 = olr[0][1]
+
+    def kernel(*refs):
+        views_ref = refs[0]
+        core_refs = refs[1 : 1 + P]
+        out_ref = refs[1 + P]
+        # prefix fold of cores 0..mcut-1: rows (b0, r_{m-1}, O_pre)
+        acc = _build_m(core_refs[0], views_ref[0])
+        o_pre = olr[0][0]
+        for i in range(1, mcut):
+            o, l, r = olr[i]
+            m = _build_m(core_refs[i], views_ref[i])
+            acc = _fold_left(acc, o_pre, m, l, o, r, b0)
+            o_pre *= o
+        # suffix fold of cores P-1..mcut: rows (l_m, b0, O_suf); the seed
+        # δ(b0, b0) encodes the ring closure (all-ones for open strings)
+        t = _eye_rows(b0, bn)
+        o_suf = 1
+        for i in range(P - 1, mcut - 1, -1):
+            o, l, r = olr[i]
+            m = _build_m(core_refs[i], views_ref[i])
+            t = _fold_right(t, o_suf, m, l, o, r, b0)
+            o_suf *= o
+        # merge: out[(O_pre, O_suf)] = Σ_{b, r_m} pre[(b,rm)] ⊗ suf[(rm,b)]
+        rm = olr[mcut][1]
+        out = None
+        for b in range(b0):
+            for s in range(rm):
+                pre_b = acc[(b * rm + s) * o_pre : (b * rm + s + 1) * o_pre]
+                suf_b = t[(s * b0 + b) * o_suf : (s * b0 + b + 1) * o_suf]
+                prod = (pre_b[:, None, :] * suf_b[None, :, :]).reshape(
+                    o_pre * o_suf, bn
+                )
+                out = prod if out is None else out + prod
+        out_ref[:] = out
+
+    return kernel
+
+
+def _sbs_bwd_mim_kernel_factory(olr, qc: int, bn: int, mcut: int):
+    P = len(olr)
+    b0 = olr[0][1]
+
+    def kernel(*refs):
+        views_ref = refs[0]
+        core_refs = refs[1 : 1 + P]
+        g_ref = refs[1 + P]
+        dviews_ref = refs[2 + P]
+        dcore_refs = refs[3 + P : 3 + 2 * P]
+        i_t = pl.program_id(0)
+
+        ms = [_build_m(core_refs[i], views_ref[i]) for i in range(P)]
+
+        # forward half-chains, keeping every intermediate state (all are
+        # ≤ half-chain sized — the O_total blow-up of the old per-core
+        # prefix/suffix tables never happens)
+        lstates = [None] * mcut  # lstates[i]: state after folding 0..i
+        o_pres = [olr[0][0]]
+        acc = ms[0]
+        lstates[0] = acc
+        for i in range(1, mcut):
+            o, l, r = olr[i]
+            acc = _fold_left(acc, o_pres[-1], ms[i], l, o, r, b0)
+            lstates[i] = acc
+            o_pres.append(o_pres[-1] * o)
+        o_pre = o_pres[-1]
+
+        tnexts = [None] * P  # tnexts[i]: suffix state AFTER core i (i.e.
+        o_sufs = [1] * P  # the fold of cores i+1..P-1), rows (r_i, b0, ·)
+        t = _eye_rows(b0, bn)
+        o_suf = 1
+        for i in range(P - 1, mcut - 1, -1):
+            tnexts[i] = t
+            o_sufs[i] = o_suf
+            o, l, r = olr[i]
+            t = _fold_right(t, o_suf, ms[i], l, o, r, b0)
+            o_suf *= o
+        suf = t  # rows (l_mcut, b0, O_suf)
+        o_suf_total = o_suf
+
+        g = g_ref[:]
+        g3 = g.reshape(o_pre, o_suf_total, bn)
+        rm = olr[mcut][1]
+        pre_state = lstates[mcut - 1]
+
+        # merge transposes: the only O_total-sized work in this kernel
+        dpre_blocks = []
+        for b in range(b0):
+            for s in range(rm):
+                suf_b = suf[(s * b0 + b) * o_suf_total : (s * b0 + b + 1) * o_suf_total]
+                dpre_blocks.append(jnp.sum(g3 * suf_b[None, :, :], axis=1))
+        dacc = jnp.concatenate(dpre_blocks, axis=0)  # rows (b0, rm, O_pre)
+        dsuf_blocks = []
+        for s in range(rm):
+            for b in range(b0):
+                pre_b = pre_state[(b * rm + s) * o_pre : (b * rm + s + 1) * o_pre]
+                dsuf_blocks.append(jnp.sum(g3 * pre_b[:, None, :], axis=0))
+        dt = jnp.concatenate(dsuf_blocks, axis=0)  # rows (rm, b0, O_suf)
+
+        dms = [None] * P
+
+        # reverse the LEFT chain: fold_i: acc2[(b,s,(O,o))] = Σ_rp
+        # acc[(b,rp,O)]·m[(rp,s,o)] → transposes w.r.t. m and acc
+        for i in range(mcut - 1, 0, -1):
+            o, l, r = olr[i]
+            o_prev = o_pres[i - 1]
+            prev = lstates[i - 1]  # rows (b0, l, O_prev)
+            dm_rows = []
+            dprev = [[None] * l for _ in range(b0)]
+            for rp in range(l):
+                for s in range(r):
+                    dm_e = None
+                    for b in range(b0):
+                        d3 = dacc[
+                            (b * r + s) * o_prev * o : (b * r + s + 1) * o_prev * o
+                        ].reshape(o_prev, o, bn)
+                        acc_b = prev[
+                            (b * l + rp) * o_prev : (b * l + rp + 1) * o_prev
+                        ]
+                        term_dm = jnp.sum(d3 * acc_b[:, None, :], axis=0)
+                        dm_e = term_dm if dm_e is None else dm_e + term_dm
+                        m_e = ms[i][(rp * r + s) * o : (rp * r + s + 1) * o]
+                        term_dp = jnp.sum(d3 * m_e[None, :, :], axis=1)
+                        dprev[b][rp] = (
+                            term_dp
+                            if dprev[b][rp] is None
+                            else dprev[b][rp] + term_dp
+                        )
+                    dm_rows.append(dm_e)
+            dms[i] = jnp.concatenate(dm_rows, axis=0)  # rows (l, r, o)
+            dacc = jnp.concatenate(
+                [dprev[b][rp] for b in range(b0) for rp in range(l)], axis=0
+            )  # rows (b0, l, O_prev)
+        dms[0] = dacc  # state 0 IS m_0 (rows (b0=l_0, r_0, o_0))
+
+        # reverse the RIGHT chain: T_i[(b1,b,(o,O_suf))] = Σ_s
+        # m[(b1,s,o)]·T_next[(s,b,O_suf)] → transposes w.r.t. m and T_next
+        for i in range(mcut, P):
+            o, l, r = olr[i]
+            o_sn = o_sufs[i]
+            tn = tnexts[i]  # rows (r, b0, o_sn)
+            dm_rows = []
+            dtn = [[None] * b0 for _ in range(r)]
+            for b1 in range(l):
+                for s in range(r):
+                    m_e = ms[i][(b1 * r + s) * o : (b1 * r + s + 1) * o]
+                    dm_e = None
+                    for b in range(b0):
+                        d3 = dt[
+                            (b1 * b0 + b) * o * o_sn : (b1 * b0 + b + 1) * o * o_sn
+                        ].reshape(o, o_sn, bn)
+                        tn_b = tn[(s * b0 + b) * o_sn : (s * b0 + b + 1) * o_sn]
+                        term_dm = jnp.sum(d3 * tn_b[None, :, :], axis=1)
+                        dm_e = term_dm if dm_e is None else dm_e + term_dm
+                        term_dt = jnp.sum(d3 * m_e[:, None, :], axis=0)
+                        dtn[s][b] = (
+                            term_dt
+                            if dtn[s][b] is None
+                            else dtn[s][b] + term_dt
+                        )
+                    dm_rows.append(dm_e)  # one row block per (b1, s)
+            dms[i] = jnp.concatenate(dm_rows, axis=0)  # rows (l, r, o)
+            dt = jnp.concatenate(
+                [dtn[s][b] for s in range(r) for b in range(b0)], axis=0
+            )  # rows (r=l_{i+1}, b0, o_sn) — the next dT_next
+
+        # per-core d_core / d_views from d_m (same math as the sequential
+        # backward's tail)
+        for i in range(P):
+            o, l, r = olr[i]
+            d_m = dms[i]
+            v = views_ref[i]
+            if qc > _QC_UNROLL_MAX:
+                part = jax.lax.dot_general(
+                    d_m, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dv = jax.lax.dot_general(
+                    core_refs[i][:], d_m, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                cols = []
+                dv_rows = []
+                for j in range(qc):
+                    cols.append(
+                        jnp.sum(d_m * v[j : j + 1, :], axis=1, keepdims=True)
+                    )
+                    dv_rows.append(
+                        jnp.sum(
+                            core_refs[i][:, j : j + 1] * d_m,
+                            axis=0, keepdims=True,
+                        )
+                    )
+                part = jnp.concatenate(cols, axis=1)
+                dv = jnp.concatenate(dv_rows, axis=0)
+
+            @pl.when(i_t == 0)
+            def _(part=part, ref=dcore_refs[i]):
+                ref[:] = part
+
+            @pl.when(i_t > 0)
+            def _(part=part, ref=dcore_refs[i]):
+                ref[:] = ref[:] + part
+
+            dviews_ref[i] = dv
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
 # host-side plumbing
 
 
@@ -397,11 +661,16 @@ def _conv_sbs_pallas(plan, cores_lro, views_t, interpret):
 
 
 def _conv_sbs_pallas_fwd(plan, cores_lro, views_t, interpret):
-    olr, qc, bn = plan
+    olr, qc, bn, mcut = plan
     P, _, npad = views_t.shape
     o_total = int(np.prod([o for o, _, _ in olr]))
+    fwd_kernel = (
+        _sbs_fwd_mim_kernel_factory(olr, qc, bn, mcut)
+        if mcut is not None
+        else _sbs_fwd_kernel_factory(olr, qc, bn)
+    )
     out = pl.pallas_call(
-        _sbs_fwd_kernel_factory(olr, qc, bn),
+        fwd_kernel,
         out_shape=jax.ShapeDtypeStruct((o_total, npad), jnp.float32),
         grid=(npad // bn,),
         in_specs=[
@@ -421,12 +690,17 @@ def _conv_sbs_pallas_fwd(plan, cores_lro, views_t, interpret):
 
 
 def _conv_sbs_pallas_bwd(plan, interpret, res, g):
-    olr, qc, bn = plan
+    olr, qc, bn, mcut = plan
     cores_lro, views_t = res
     P, _, npad = views_t.shape
     o_total = int(np.prod([o for o, _, _ in olr]))
+    bwd_kernel = (
+        _sbs_bwd_mim_kernel_factory(olr, qc, bn, mcut)
+        if mcut is not None
+        else _sbs_bwd_kernel_factory(olr, qc, bn)
+    )
     outs = pl.pallas_call(
-        _sbs_bwd_kernel_factory(olr, qc, bn),
+        bwd_kernel,
         out_shape=tuple(
             [jax.ShapeDtypeStruct((P, qc, npad), jnp.float32)]
             + [jax.ShapeDtypeStruct(c.shape, jnp.float32) for c in cores_lro]
@@ -477,7 +751,15 @@ def conv_sbs_pallas_t(
     cores_lro = tuple(
         _core_to_lro(c, o, l, r, qc) for c, (o, l, r) in zip(cores, olr)
     )
-    out = _conv_sbs_pallas((olr, qc, bn), cores_lro, views_t, interpret)
+    # meet-in-the-middle fold when it costs fewer mults (~8x for o=2
+    # chains, rings AND open strings); DCTN_TPU_SBS_MIM=0 forces the
+    # sequential kernels (A/B + fallback)
+    mcut = (
+        _mim_cut(olr)
+        if os.environ.get("DCTN_TPU_SBS_MIM", "1") != "0"
+        else None
+    )
+    out = _conv_sbs_pallas((olr, qc, bn, mcut), cores_lro, views_t, interpret)
     b = xT.shape[4]
     o_total = int(np.prod([o for o, _, _ in olr]))
     return out[:, :npix].reshape(o_total, hp, wp, b)
