@@ -1374,19 +1374,32 @@ def run(**kwargs) -> TrainLoopState:
             params, opt_state = restored["params"], restored["opt_state"]
             if jax.process_count() > 1 and (n_model > 1 or n_space > 1):
                 # multi-controller TP/SP: the loaded host leaves must go
-                # back to their template leaves' GLOBAL shardings (a
-                # host-local array cannot feed a jit over remote devices)
+                # back onto the GLOBAL mesh (a host-local array cannot feed
+                # a jit over remote devices). Params carry their template's
+                # NamedSharding (make_*_params placement); leaves whose
+                # template sharding is NOT a NamedSharding — jitted
+                # optimizer.init outputs report SingleDeviceSharding in
+                # multi-process — are placed fully REPLICATED (the loaded
+                # value is the full gathered array) and GSPMD reshards them
+                # inside the first step.
+                from jax.sharding import (
+                    NamedSharding as _NS,
+                    PartitionSpec as _P,
+                )
+
                 from ..parallel.data_parallel import _put_global
 
                 def _replace_like(tree, tmpl):
-                    return jax.tree_util.tree_map(
-                        lambda h, t: (
-                            _put_global(np.asarray(h), t.sharding)
-                            if isinstance(t, jax.Array)
-                            else h
-                        ),
-                        tree, tmpl,
-                    )
+                    def put(h, t):
+                        if isinstance(t, jax.Array) and isinstance(
+                            t.sharding, _NS
+                        ):
+                            sh = t.sharding
+                        else:
+                            sh = _NS(mesh, _P())
+                        return _put_global(np.asarray(h), sh)
+
+                    return jax.tree_util.tree_map(put, tree, tmpl)
 
                 params = _replace_like(params, template["params"])
                 opt_state = _replace_like(opt_state, template["opt_state"])
