@@ -127,6 +127,96 @@ def export_sharded_forward(
     return bytes(exported.serialize())
 
 
+def export_space_sharded_forward(
+    params,
+    cfg: EPSesPlusLinearConfig,
+    *,
+    batch_size: int,
+    space_devices: int,
+    channels: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+    in_dtype=jnp.float32,
+    splits=None,
+) -> bytes:
+    """HEIGHT-sharded serving export (the SP mesh's serving twin): one
+    entry point taking the full (C, B, H, W, Q) batch with the image
+    height sharded over ``space_devices`` — for inputs whose per-image
+    activations (B·H·W·Q^n1 Khatri-Rao intermediates) exceed one chip's
+    HBM, the same scaling axis ``--space-devices`` training uses
+    (parallel/spatial_parallel.py: per-layer nearest-neighbor halo
+    ppermute, classifier masked by construction, one logits psum).
+    Weights are baked in and replicated. The image height must divide the
+    space axis (the exported module carries no pad), and quantize is not
+    supported (the W8A8 serving kernels plan per full image)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import make_sp_mesh
+    from ..parallel.spatial_parallel import (
+        _sp_fast_forward_local,
+        _sp_forward_local,
+        sp_check_config,
+    )
+
+    if cfg.image_size % space_devices:
+        raise ValueError(
+            f"image height {cfg.image_size} is not divisible by "
+            f"space_devices={space_devices} (the exported module carries "
+            "no height pad)"
+        )
+    mesh = make_sp_mesh(1, space_devices)
+    hl = sp_check_config(cfg, space_devices)
+
+    # resolve the fast (cmt) layout exactly like the single-chip export
+    # path (predict._resolve_forward's fast branch), reference layout
+    # otherwise
+    fast = plans = None
+    if cfg.eval_backend in ("pallas", "pallas_interpret"):
+        from ..models.eps_plus_linear import (
+            FastLayoutUnavailable,
+            fast_layer_plans,
+            fast_params_from_reference,
+        )
+
+        try:
+            plans = fast_layer_plans(cfg, channels)
+            if splits is not None:
+                plans = tuple(
+                    {**p, "n1": n1} for p, n1 in zip(plans, splits)
+                )
+            fast, plans = fast_params_from_reference(params, cfg, plans=plans)
+        except FastLayoutUnavailable:
+            plans = None
+
+    if plans is not None:
+        local = lambda xb: _sp_fast_forward_local(  # noqa: E731
+            fast, xb, cfg, plans, False, None, space_devices, hl
+        )
+    else:
+        local = lambda xb: _sp_forward_local(  # noqa: E731
+            params, xb, cfg, False, None, space_devices, hl
+        )
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, "data", "space"),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    fn = jax.jit(
+        sharded,
+        in_shardings=NamedSharding(mesh, P(None, "data", "space")),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    spec = jax.ShapeDtypeStruct(
+        (channels, batch_size, cfg.image_size, cfg.image_size, cfg.q0),
+        in_dtype,
+    )
+    exported = jax_export.export(
+        fn, platforms=None if platforms is None else tuple(platforms)
+    )(spec)
+    return bytes(exported.serialize())
+
+
 def export_conv_sbs_forward(
     params,
     cfg,
@@ -173,9 +263,11 @@ def load_artifact(path: str) -> Tuple[dict, Dict[int, object]]:
     with zipfile.ZipFile(path) as zf:
         meta = json.loads(zf.read(_META_NAME))
         n_mesh = meta.get("mesh_devices", 1)
-        if n_mesh > 1 and len(jax.devices()) < n_mesh:
+        n_space = meta.get("space_devices", 1)
+        need = max(n_mesh, n_space)
+        if need > 1 and len(jax.devices()) < need:
             raise RuntimeError(
-                f"sharded artifact needs {n_mesh} devices; this host has "
+                f"sharded artifact needs {need} devices; this host has "
                 f"{len(jax.devices())}"
             )
         for name in zf.namelist():
@@ -183,7 +275,23 @@ def load_artifact(path: str) -> Tuple[dict, Dict[int, object]]:
                 continue
             bs = int(name[len("forward_bs") : -len(".jaxexp")])
             exported = jax_export.deserialize(bytearray(zf.read(name)))
-            if n_mesh > 1:
+            if n_space > 1:
+                import numpy as _np
+                from jax.sharding import Mesh, NamedSharding
+                from jax.sharding import PartitionSpec as _P
+
+                mesh = Mesh(
+                    _np.asarray(jax.devices()[:n_space]).reshape(1, n_space),
+                    ("data", "space"),
+                )
+                fns[bs] = jax.jit(
+                    exported.call,
+                    in_shardings=NamedSharding(
+                        mesh, _P(None, "data", "space")
+                    ),
+                    out_shardings=NamedSharding(mesh, _P("data")),
+                )
+            elif n_mesh > 1:
                 from jax.sharding import Mesh, NamedSharding
                 from jax.sharding import PartitionSpec as _P
 
@@ -211,6 +319,7 @@ def build_meta(
     batch_sizes: Sequence[int],
     backend: str,
     mesh_devices: int = 1,
+    space_devices: int = 1,
     platforms: Optional[Sequence[str]] = None,
     compute_dtype: str = "float32",
     quantize: str = "none",
@@ -226,6 +335,7 @@ def build_meta(
         "image_size": image_size,
         "batch_sizes": sorted(batch_sizes),
         "mesh_devices": mesh_devices,
+        "space_devices": space_devices,
         "platforms": targets,
         "backend": backend,
         # the compute-dtype knob exists only on the eps forward; a conv_sbs
@@ -267,6 +377,12 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
 @click.option("--mesh-devices", type=int, default=1,
               help="export a data-sharded forward over a mesh of this many "
                    "devices (eps family; build on the serving topology)")
+@click.option("--space-devices", type=int, default=1,
+              help="export a HEIGHT-sharded forward over a space mesh of "
+                   "this many devices (eps family) — the serving twin of "
+                   "--space-devices training, for inputs whose per-image "
+                   "activations exceed one chip's HBM; exclusive with "
+                   "--mesh-devices and --quantize")
 @click.option("--platform", "platforms", multiple=True,
               help="target platform(s), e.g. --platform tpu --platform cpu; "
                    "default: the exporting host's platform")
@@ -303,15 +419,17 @@ def _parse_int_list(_ctx, _param, value: str) -> Tuple[int, ...]:
 @click.option("--out", type=click.Path(dir_okay=False), required=True)
 def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
          num_classes, num_sbs_layers, bond_dim, trace_edge, cos_sin_squared,
-         input_multiplier, batch_sizes, mesh_devices, platforms, backend,
-         compute_dtype, quantize, autotune_splits, autotune_cache, out):
+         input_multiplier, batch_sizes, mesh_devices, space_devices,
+         platforms, backend, compute_dtype, quantize, autotune_splits,
+         autotune_cache, out):
     run(checkpoint=checkpoint, model_family=model_family,
         epses_specs=epses_specs, image_size=image_size, q0=q0,
         channels=channels, num_classes=num_classes,
         num_sbs_layers=num_sbs_layers, bond_dim=bond_dim,
         trace_edge=trace_edge, cos_sin_squared=cos_sin_squared,
         input_multiplier=input_multiplier, batch_sizes=batch_sizes,
-        mesh_devices=mesh_devices, platforms=platforms or None,
+        mesh_devices=mesh_devices, space_devices=space_devices,
+        platforms=platforms or None,
         backend=backend, compute_dtype=compute_dtype, quantize=quantize,
         autotune_splits=autotune_splits, autotune_cache=autotune_cache,
         out=out)
@@ -320,7 +438,8 @@ def main(checkpoint, model_family, epses_specs, image_size, q0, channels,
 def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
         q0=2, channels=1, num_classes=10, num_sbs_layers=2, bond_dim=4,
         trace_edge=False, cos_sin_squared=False, input_multiplier=1.0,
-        batch_sizes=(1, 128), mesh_devices=1, platforms=None, backend="auto",
+        batch_sizes=(1, 128), mesh_devices=1, space_devices=1,
+        platforms=None, backend="auto",
         compute_dtype="float32", quantize="none", autotune_splits=False,
         autotune_cache=True, out=None):
     targets = tuple(platforms) if platforms else (jax.default_backend(),)
@@ -349,6 +468,29 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
             )
     if mesh_devices > 1 and model_family != "eps":
         raise click.UsageError("--mesh-devices > 1 needs --model-family eps")
+    if space_devices > 1:
+        if model_family != "eps":
+            raise click.UsageError(
+                "--space-devices > 1 needs --model-family eps"
+            )
+        if mesh_devices > 1:
+            raise click.UsageError(
+                "--space-devices and --mesh-devices are mutually exclusive "
+                "in export (one sharded entry convention per artifact; "
+                "shard data OR image height)"
+            )
+        if quantize != "none":
+            raise click.UsageError(
+                "--quantize int8 does not compose with --space-devices "
+                "export: the W8A8 serving kernels plan per full image "
+                "(use --mesh-devices or single-chip int8)"
+            )
+        if image_size % space_devices:
+            raise click.UsageError(
+                f"--image-size {image_size} must be divisible by "
+                f"--space-devices {space_devices} (the exported module "
+                "carries no height pad)"
+            )
     if mesh_devices > 1:
         bad = [bs for bs in batch_sizes if bs % mesh_devices]
         if bad:
@@ -407,7 +549,15 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
             )
             splits = tuple(p["n1"] for p in tuned)
         q = None if quantize == "none" else quantize
-        if mesh_devices > 1:
+        if space_devices > 1:
+            serialized = {
+                bs: export_space_sharded_forward(
+                    params, cfg, batch_size=bs, space_devices=space_devices,
+                    channels=channels, platforms=platforms, splits=splits,
+                )
+                for bs in batch_sizes
+            }
+        elif mesh_devices > 1:
             serialized = {
                 bs: export_sharded_forward(
                     params, cfg, global_batch=bs, mesh_devices=mesh_devices,
@@ -458,6 +608,7 @@ def run(*, checkpoint, model_family="eps", epses_specs=None, image_size=28,
     meta = build_meta(
         model_family=model_family, image_size=image_size,
         batch_sizes=batch_sizes, backend=backend, mesh_devices=mesh_devices,
+        space_devices=space_devices,
         platforms=platforms, compute_dtype=compute_dtype, quantize=quantize,
         **family_meta,
     )

@@ -516,3 +516,69 @@ def test_runner_export_quantize_validation(tmp_path):
                    export_quantize="int8",
                    export_artifact=str(tmp_path / "a.dctnx"),
                    eval_backend="xla", train_backend="xla", **common)
+
+
+def test_export_space_sharded_forward(tmp_path):
+    """HEIGHT-sharded serving artifact (r4 — the SP training mesh's serving
+    twin): the exported entry shards the image height over a space mesh,
+    runs the per-layer halo exchange inside, and matches the single-device
+    forward exactly. Exercises the full CLI path incl. meta + loader."""
+    import pytest
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the virtual mesh")
+    from dctn_tpu.cli.export import run as export_run
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 3), (2, 4)), image_size=6, q0=2, num_classes=10,
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(11), cfg)
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_pytree(params, ckpt)
+    art = str(tmp_path / "sp.dctnx")
+    export_run(
+        checkpoint=ckpt, epses_specs=((2, 3), (2, 4)), image_size=6, q0=2,
+        batch_sizes=(8,), space_devices=3, backend="xla", out=art,
+    )
+    meta, fns = load_artifact(art)
+    assert meta["space_devices"] == 3 and meta["mesh_devices"] == 1
+    x = (
+        jax.random.uniform(jax.random.PRNGKey(12), (1, 8, 6, 6, 2))
+        .astype(jnp.float32)
+        * 1.4
+    )
+    got = np.asarray(fns[8](x))
+    want = np.asarray(eps_plus_linear_forward(params, x, cfg, training=False))
+    assert got.shape == (8, 10)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+    # the fast (cmt) Pallas pipeline lowers inside the space shard_map too
+    art2 = str(tmp_path / "sp_fast.dctnx")
+    export_run(
+        checkpoint=ckpt, epses_specs=((2, 3), (2, 4)), image_size=6, q0=2,
+        batch_sizes=(8,), space_devices=3, backend="pallas_interpret",
+        out=art2,
+    )
+    _meta2, fns2 = load_artifact(art2)
+    got2 = np.asarray(fns2[8](x))
+    np.testing.assert_allclose(got2, want, rtol=1e-5, atol=1e-5)
+
+    # validations: quantize / mesh-devices / indivisible height refused
+    import click
+
+    for kw, msg in (
+        (
+            dict(space_devices=3, quantize="int8",
+                 backend="pallas_interpret"),
+            "does not compose",
+        ),
+        (dict(space_devices=3, mesh_devices=2, backend="xla"),
+         "mutually exclusive"),
+        (dict(space_devices=4, backend="xla"), "divisible"),
+    ):
+        with pytest.raises(click.UsageError, match=msg):
+            export_run(
+                checkpoint=ckpt, epses_specs=((2, 3), (2, 4)), image_size=6,
+                q0=2, batch_sizes=(8,),
+                out=str(tmp_path / "bad.dctnx"), **kw,
+            )

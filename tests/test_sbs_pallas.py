@@ -214,3 +214,57 @@ def test_tpu_lowering_of_sbs_kernels(rng):
             jax.jit(jax.grad(loss, argnums=(0, 1))), platforms=("tpu",)
         )(cores, x)
         assert exported.platforms == ("tpu",)
+
+
+def test_mim_matches_sequential_kernels(rng):
+    """The r4 meet-in-the-middle fold vs the sequential fold, same plan,
+    fwd AND grads: both kernel families must agree to float tolerance on
+    an open string and a trace_edge ring (regression net for either)."""
+    import os as _os
+
+    from dctn_tpu.ops import sbs as S
+    from dctn_tpu.pallas.sbs_pallas import conv_sbs_pallas_t
+
+    for trace_edge in (False, True):
+        bond0 = 3 if trace_edge else 1
+        spec = S.SBSSpecString(
+            cores=tuple(
+                S.SBSSpecCore(S.Pos2D(i // 2, i % 2), 2) for i in range(4)
+            ),
+            bond_sizes=(bond0, 3, 4, 2),
+            in_num_channels=1,
+            in_quantum_dim_size=2,
+        )
+        keys = jax.random.split(rng, 6)
+        cores = tuple(
+            0.5 * jax.random.normal(k, s.as_tuple(), jnp.float32)
+            for k, s in zip(keys[:4], spec.shapes)
+        )
+        xT = jax.random.uniform(keys[4], (1, 2, 5, 5, 3), jnp.float32)
+        g = jax.random.normal(keys[5], (16, 4, 4, 3), jnp.float32)
+
+        def run(mim):
+            _os.environ["DCTN_TPU_SBS_MIM"] = mim
+            try:
+                out = conv_sbs_pallas_t(spec, cores, xT, interpret=True)
+                grads = jax.grad(
+                    lambda cs, xt: jnp.sum(
+                        conv_sbs_pallas_t(spec, cs, xt, interpret=True) * g
+                    ),
+                    argnums=(0, 1),
+                )(cores, xT)
+                return out, grads
+            finally:
+                _os.environ.pop("DCTN_TPU_SBS_MIM", None)
+
+        out_m, g_m = run("1")
+        out_s, g_s = run("0")
+        np.testing.assert_allclose(
+            np.asarray(out_m), np.asarray(out_s), rtol=1e-5, atol=1e-6
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_m), jax.tree_util.tree_leaves(g_s)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
