@@ -162,13 +162,21 @@ def algo_flops(batch_size: int) -> float:
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (1, batch_size, 28, 28, 2), jnp.float32)
     y = jax.random.randint(key, (batch_size,), 0, 10)
-    compiled = jax.jit(step).lower(params, opt.init(params), key, x, y).compile()
     try:
+        compiled = (
+            jax.jit(step).lower(params, opt.init(params), key, x, y).compile()
+        )
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         return float(ca.get("flops", 0.0))
     except Exception:
+        # e.g. the XLA step OOMs at large batch (its mid-layer t temp is
+        # 12.4 GB at bs 2048) — the Pallas row still stands; scale the
+        # bs-128 flops instead (algorithm flops are linear in batch)
+        if batch_size != 128:
+            base = algo_flops(128)
+            return base * batch_size / 128 if base else 0.0
         return 0.0
 
 
@@ -213,7 +221,16 @@ def main() -> None:
                 fl / (row["step_ms"] / 1e3) / peak, 5
             )
         _merge(row)
-    _merge(measure(batches[0], "xla", max(8, 12288 // batches[0])))
+    try:
+        _merge(measure(batches[0], "xla", max(8, 12288 // batches[0])))
+    except Exception as e:  # the XLA path OOMs above ~bs 1024 (12.4 GB
+        # mid-layer t temp) — record the fact instead of losing the run
+        _merge({
+            "batch_size": batches[0],
+            "path": "xla_custom_vjp",
+            "failed": type(e).__name__,
+            "note": "XLA reference path does not fit HBM at this batch",
+        })
 
 
 if __name__ == "__main__":
