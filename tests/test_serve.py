@@ -335,3 +335,44 @@ def test_graceful_shutdown_drains_inflight(tmp_path):
     # new connections are refused after the drain
     with pytest.raises(urllib.error.URLError):
         _post(base, x)
+
+
+def test_serve_space_sharded_artifact(tmp_path):
+    """The HTTP server serves an r4 --space-devices (height-sharded)
+    artifact transparently: the loader re-jits the entry over a (1, N)
+    space mesh, the server's batch routing feeds it host arrays, logits
+    equal the single-device forward."""
+    if jax.device_count() < 3:
+        pytest.skip("needs the virtual mesh")
+    from dctn_tpu.models import eps_plus_linear_forward
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((2, 4),), image_size=6, q0=2,
+    )
+    params = init_eps_plus_linear(jax.random.PRNGKey(50), cfg)
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_pytree(params, ckpt)
+    art = str(tmp_path / "sp.dctnx")
+    export_run(
+        checkpoint=ckpt, epses_specs=((2, 4),), image_size=6, q0=2,
+        batch_sizes=(3,), backend="xla", space_devices=3, out=art,
+    )
+    server, model = make_server(art)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        with urllib.request.urlopen(f"{base}/meta") as resp:
+            meta = json.loads(resp.read())
+        assert meta["space_devices"] == 3
+        x = _x(3, key=51)
+        body, ctype = _post(base, x)
+        got = np.load(io.BytesIO(body))
+        want = np.asarray(
+            eps_plus_linear_forward(
+                params, jax.numpy.asarray(x), cfg, training=False
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+    finally:
+        server.shutdown()
