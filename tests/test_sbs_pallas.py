@@ -268,3 +268,65 @@ def test_mim_matches_sequential_kernels(rng):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
             )
+
+
+def test_mim_every_merge_position(rng):
+    """Every legal merge cut m ∈ [1, P-1) must produce identical fwd+grads
+    (the cost model picks one; correctness must not depend on the pick —
+    covers the edge cuts m=1 (empty left chain) and m=P-1 (single-core
+    suffix) that the cost-optimal pick may never exercise)."""
+    from dctn_tpu.ops import sbs as S
+    from dctn_tpu.pallas import sbs_pallas as K
+
+    spec = S.SBSSpecString(
+        cores=tuple(
+            S.SBSSpecCore(S.Pos2D(i // 2, i % 2), 2) for i in range(4)
+        ),
+        bond_sizes=(2, 3, 4, 2),  # ring (b0=2), mixed bonds
+        in_num_channels=1,
+        in_quantum_dim_size=2,
+    )
+    keys = jax.random.split(rng, 6)
+    cores = tuple(
+        0.5 * jax.random.normal(k, s.as_tuple(), jnp.float32)
+        for k, s in zip(keys[:4], spec.shapes)
+    )
+    xT = jax.random.uniform(keys[4], (1, 2, 4, 4, 3), jnp.float32)
+    g = jax.random.normal(keys[5], (16, 3, 3, 3), jnp.float32)
+    olr, qc, supported = K.sbs_plan(spec)
+    assert supported
+    views_t, npix, hp, wp = K._merge_channel_views(xT, spec.positions, qc)
+    bn = K._pick_bn(olr, qc, npix)
+    npad = -(-npix // bn) * bn
+    if npad != npix:
+        views_t = jnp.pad(views_t, ((0, 0), (0, 0), (0, npad - npix)))
+    cores_lro = tuple(
+        K._core_to_lro(c, o, l, r, qc) for c, (o, l, r) in zip(cores, olr)
+    )
+    o_total = 16
+
+    def run(mcut):
+        def loss(cl, vt):
+            out = K._conv_sbs_pallas((olr, qc, bn, mcut), cl, vt, True)
+            out = out[:, :npix].reshape(o_total, hp, wp, 3)
+            return jnp.sum(out * g), out
+
+        (s_, out), grads = jax.value_and_grad(loss, argnums=(0, 1),
+                                              has_aux=True)(cores_lro, views_t)
+        return out, grads
+
+    ref_out, ref_grads = run(None)  # sequential kernels
+    for mcut in range(1, len(olr)):
+        out, grads = run(mcut)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_out), rtol=1e-5, atol=1e-6,
+            err_msg=f"mcut={mcut}",
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(grads),
+            jax.tree_util.tree_leaves(ref_grads),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"mcut={mcut}",
+            )
