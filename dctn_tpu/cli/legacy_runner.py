@@ -191,12 +191,9 @@ def run(**kw):
     # provenance file (VERDICT r3 #6)
     from ..utils import fallbacks as _fallbacks
 
-    _models_dir = kw["models_dir"]
     _fallbacks.reset()
     _fallbacks.add_sink(
-        lambda reason: open(
-            os.path.join(_models_dir, "run_info.txt"), "a"
-        ).write(f"performance_fallback: {reason}\n")
+        _fallbacks.file_sink(os.path.join(kw["models_dir"], "run_info.txt"))
     )
     if kw["make_input_window_std_one"] and kw["input_multiplier"] is not None:
         raise click.BadParameter(

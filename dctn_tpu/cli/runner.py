@@ -507,9 +507,7 @@ def run(**kwargs) -> TrainLoopState:
 
     _fallbacks.reset()
     _fallbacks.add_sink(
-        lambda reason: open(
-            os.path.join(output_dir, "run_info.txt"), "a"
-        ).write(f"performance_fallback: {reason}\n")
+        _fallbacks.file_sink(os.path.join(output_dir, "run_info.txt"))
     )
     if kwargs["debug_nans"]:
         jax.config.update("jax_debug_nans", True)

@@ -736,11 +736,23 @@ _conv_sbs_pallas.defvjp(_conv_sbs_pallas_fwd, _conv_sbs_pallas_bwd)
 
 
 def conv_sbs_pallas_t(
-    spec, cores: Sequence[jax.Array], xT: jax.Array, interpret: bool = False
+    spec,
+    cores: Sequence[jax.Array],
+    xT: jax.Array,
+    interpret: bool = False,
+    mim: "bool | None" = None,
 ) -> jax.Array:
     """Fused ConvSBS over the transposed batch-minor input xT
     (C, Q, H, W, B) → outT (∏out_q, H', W', B). Requires sbs_plan(spec) to
-    report support."""
+    report support.
+
+    ``mim`` selects the kernel family explicitly (True = meet-in-the-middle
+    fold, False = sequential bond fold); ``None`` defers to the
+    ``DCTN_TPU_SBS_MIM`` env var. The env var is read at TRACE time: under
+    an outer ``jax.jit`` it is baked into the compiled program, so toggling
+    it mid-process does NOT retrace already-jitted callers — A/B harnesses
+    must either set it before the first trace or pass ``mim=`` explicitly
+    (an argument change makes the outer closure differ)."""
     olr, qc, supported = sbs_plan(spec)
     assert supported, "unsupported spec for the fused SBS kernel"
     views_t, npix, hp, wp = _merge_channel_views(xT, spec.positions, qc)
@@ -752,13 +764,10 @@ def conv_sbs_pallas_t(
         _core_to_lro(c, o, l, r, qc) for c, (o, l, r) in zip(cores, olr)
     )
     # meet-in-the-middle fold when it costs fewer mults (~8x for o=2
-    # chains, rings AND open strings); DCTN_TPU_SBS_MIM=0 forces the
-    # sequential kernels (A/B + fallback)
-    mcut = (
-        _mim_cut(olr)
-        if os.environ.get("DCTN_TPU_SBS_MIM", "1") != "0"
-        else None
-    )
+    # chains, rings AND open strings)
+    if mim is None:
+        mim = os.environ.get("DCTN_TPU_SBS_MIM", "1") != "0"
+    mcut = _mim_cut(olr) if mim else None
     out = _conv_sbs_pallas((olr, qc, bn, mcut), cores_lro, views_t, interpret)
     b = xT.shape[4]
     o_total = int(np.prod([o for o, _, _ in olr]))

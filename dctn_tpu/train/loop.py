@@ -146,6 +146,11 @@ class LastModelsCheckpointer:
         self.filenames.appendleft(filename)
         while len(self.filenames) > self.n:
             old = self.filenames.pop()
+            # cleanup belongs to the process that writes: a discard writer
+            # (non-primary controller) must not race the primary's
+            # exists-then-remove on a shared output filesystem
+            if getattr(self.writer, "discard", False):
+                continue
             self.writer.wait()
             path = os.path.join(self.dir, old)
             if os.path.exists(path):
@@ -183,7 +188,11 @@ class BestModelCheckpointer:
             )
             self.writer.submit(payload, os.path.join(self.dir, new_filename))
             self.best_value = value
-            if self.filename is not None:
+            if self.filename is not None and not getattr(
+                self.writer, "discard", False
+            ):
+                # discard writers (non-primary controllers) skip cleanup —
+                # see LastModelsCheckpointer
                 self.writer.wait()
                 old = os.path.join(self.dir, self.filename)
                 if os.path.exists(old):
@@ -375,9 +384,18 @@ class NanLossStopper:
         state.stop_reason = "nan_loss"
         fetch, write_files = self.fetch, self.write_files
         subdir = os.path.join(self.dir, "nan_loss_stop")
-        if write_files and os.path.exists(subdir):
-            logger.error("%s already exists", subdir)
-            return
+        # A pre-existing dump dir must NOT early-return here: in
+        # multi-controller runs only the primary has write_files=True, so a
+        # primary-only return would strand the other controllers in the
+        # replay/host-gather collectives below (a distributed hang in the
+        # error path). Every process runs the full forensics identically;
+        # only the write phase is skipped.
+        subdir_exists = os.path.exists(subdir)
+        if write_files and subdir_exists:
+            logger.error(
+                "%s already exists; skipping the dump (forensics still run)",
+                subdir,
+            )
 
         triggering = (
             self._replay(state)
@@ -435,7 +453,7 @@ class NanLossStopper:
             # --breakpoint-on-nan-loss (new_runner.py:170 parity): inspect
             # params_host / batch_host / out_host / iter_no interactively
             breakpoint()  # noqa: T100
-        if not write_files:
+        if not write_files or subdir_exists:
             return
         os.mkdir(subdir)
         with open(os.path.join(subdir, "README.txt"), "w") as f:

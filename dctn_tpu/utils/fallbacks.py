@@ -56,6 +56,18 @@ def add_sink(sink: Callable[[str], None]) -> None:
         _sinks.append(sink)
 
 
+def file_sink(path: str) -> Callable[[str], None]:
+    """A sink appending ``performance_fallback: <reason>`` lines to ``path``
+    (the runners' run_info.txt), opening/closing the file per event so the
+    line is flushed immediately."""
+
+    def sink(reason: str) -> None:
+        with open(path, "a") as f:
+            f.write(f"performance_fallback: {reason}\n")
+
+    return sink
+
+
 def reset() -> None:
     """Clear events and sinks (tests; runners call it at startup so one
     process running several jobs attributes events to the right run)."""

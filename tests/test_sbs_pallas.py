@@ -220,7 +220,6 @@ def test_mim_matches_sequential_kernels(rng):
     """The r4 meet-in-the-middle fold vs the sequential fold, same plan,
     fwd AND grads: both kernel families must agree to float tolerance on
     an open string and a trace_edge ring (regression net for either)."""
-    import os as _os
 
     from dctn_tpu.ops import sbs as S
     from dctn_tpu.pallas.sbs_pallas import conv_sbs_pallas_t
@@ -244,21 +243,18 @@ def test_mim_matches_sequential_kernels(rng):
         g = jax.random.normal(keys[5], (16, 4, 4, 3), jnp.float32)
 
         def run(mim):
-            _os.environ["DCTN_TPU_SBS_MIM"] = mim
-            try:
-                out = conv_sbs_pallas_t(spec, cores, xT, interpret=True)
-                grads = jax.grad(
-                    lambda cs, xt: jnp.sum(
-                        conv_sbs_pallas_t(spec, cs, xt, interpret=True) * g
-                    ),
-                    argnums=(0, 1),
-                )(cores, xT)
-                return out, grads
-            finally:
-                _os.environ.pop("DCTN_TPU_SBS_MIM", None)
+            out = conv_sbs_pallas_t(spec, cores, xT, interpret=True, mim=mim)
+            grads = jax.grad(
+                lambda cs, xt: jnp.sum(
+                    conv_sbs_pallas_t(spec, cs, xt, interpret=True, mim=mim)
+                    * g
+                ),
+                argnums=(0, 1),
+            )(cores, xT)
+            return out, grads
 
-        out_m, g_m = run("1")
-        out_s, g_s = run("0")
+        out_m, g_m = run(True)
+        out_s, g_s = run(False)
         np.testing.assert_allclose(
             np.asarray(out_m), np.asarray(out_s), rtol=1e-5, atol=1e-6
         )
