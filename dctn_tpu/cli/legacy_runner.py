@@ -106,6 +106,17 @@ def _train_state_tree(params, opt_state, epoch: int, step_in_epoch: int,
               help="data-parallel over this many devices (replicated TT "
                    "cores, pixel splits sharded on the sample axis, pmean "
                    "gradient all-reduce; 1 = single-device path)")
+@click.option("--autotune-kernels/--no-autotune-kernels", default=False,
+              help="measure the fused TT-fold kernels' tile/merge-cut/"
+                   "gradient-tail knobs per layer on this device and train "
+                   "with the fastest (train/autotune.autotune_conv_sbs; "
+                   "jit-time only — picks are trajectory-neutral and need "
+                   "no resume conversion)")
+@click.option("--autotune-cache/--no-autotune-cache", default=True,
+              help="reuse kernel picks measured earlier for the same "
+                   "(config, batch, device) from the shared autotune cache; "
+                   "cached picks apply by default even without "
+                   "--autotune-kernels")
 @click.option("--export-artifact", type=click.Path(dir_okay=False),
               default=None,
               help="after training, export the final TT cores to a "
@@ -254,6 +265,88 @@ def run(**kw):
         # chain, rings included)
         backend="pallas" if jax.default_backend() == "tpu" else "xla",
     )
+
+    # --- fused-kernel autotuning (VERDICT r4 #4; train/autotune.py). Picks
+    # are jit-time parameters only (no stored-layout coupling, unlike EPS
+    # splits), so cached picks apply by default and disagreement across
+    # controllers would be harmless — but measuring once and broadcasting
+    # avoids N× compile cost on multi-controller runs.
+    if cfg.backend == "pallas" and (kw["autotune_kernels"] or kw["autotune_cache"]):
+        import dataclasses as _dc
+
+        from ..train.autotune import autotune_conv_sbs, default_cache_path
+
+        cache = default_cache_path() if kw["autotune_cache"] else None
+        tune_bs = max(1, kw["batch_size"] // max(1, kw["mesh_devices"]))
+        image_size = int(images.shape[1])
+        tuning = None
+        if kw["autotune_kernels"]:
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                n_layers = cfg.num_sbs_layers
+                if is_primary:
+                    tuning, tune_report = autotune_conv_sbs(
+                        cfg, image_size, tune_bs,
+                        log_fn=logger.info, cache_path=cache,
+                    )
+                    enc = np.array(
+                        [
+                            (
+                                [1, p[0], -1 if p[1] is None else p[1],
+                                 int(p[2]), int(p[3])]
+                                if p
+                                else [0, 0, 0, 0, 0]
+                            )
+                            for p in tuning
+                        ],
+                        dtype=np.int32,
+                    )
+                else:
+                    enc = np.zeros((n_layers, 5), dtype=np.int32)
+                enc = np.asarray(multihost_utils.broadcast_one_to_all(enc))
+                if not is_primary:
+                    tuning = tuple(
+                        (
+                            (int(r[1]), None if r[2] < 0 else int(r[2]),
+                             bool(r[3]), bool(r[4]))
+                            if r[0]
+                            else None
+                        )
+                        for r in enc
+                    )
+                    tune_report = [{"broadcast_from_process_0": True}]
+            else:
+                tuning, tune_report = autotune_conv_sbs(
+                    cfg, image_size, tune_bs,
+                    log_fn=logger.info, cache_path=cache,
+                )
+            if is_primary:
+                with open(
+                    os.path.join(kw["models_dir"], "autotune_report.json"), "w"
+                ) as f:
+                    json.dump(tune_report, f, indent=1, default=str)
+        elif cache and jax.process_count() == 1:
+            # lookup-only: apply previously measured picks by default
+            from ..train.autotune import _cache_load, _sbs_cache_key
+
+            hit = _cache_load(cache).get(
+                _sbs_cache_key(
+                    cfg, image_size, tune_bs, forward_only=False,
+                    interpret=False,
+                )
+            )
+            if hit is not None and len(hit.get("picks", [])) == cfg.num_sbs_layers:
+                tuning = tuple(
+                    tuple(p) if p else None for p in hit["picks"]
+                )
+                logger.info(
+                    "tuned conv_sbs kernel picks applied from the autotune "
+                    "cache: %s (pass --no-autotune-cache to opt out)", tuning,
+                )
+        if tuning and any(p for p in tuning):
+            cfg = _dc.replace(cfg, kernel_tuning=tuning)
+            logger.info("conv_sbs kernel_tuning: %s", tuning)
     key = jax.random.PRNGKey(kw["seed"])
     init_fn = INITIALIZERS[kw["initialization"]]
     init_kwargs = {}

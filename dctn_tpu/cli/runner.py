@@ -806,10 +806,43 @@ def run(**kwargs) -> TrainLoopState:
                     tuple(p["n1"] for p in fast_plans),
                 )
     if isinstance(kwargs["grad_accum_steps"], str):  # 'auto'
-        kwargs["grad_accum_steps"] = _resolve_auto_grad_accum(
-            cfg, fast_plans if use_fast else None,
-            kwargs["batch_size"] // max(1, n_mesh),
+        pdb = kwargs["batch_size"] // max(1, n_mesh)
+        cap_pick = _resolve_auto_grad_accum(
+            cfg, fast_plans if use_fast else None, pdb
         )
+        ga_auto = cap_pick
+        if cap_pick > 1 and use_fast:
+            # the cap model finds the SMALLEST uncapped accumulation, which
+            # is not always the fastest (VERDICT r4 #5: deep-3 bs 2048 caps
+            # at 2 → 12.62k img/s, accum 4 measures 12.84k) — time the
+            # candidates and take the measured winner
+            from ..train.autotune import autotune_grad_accum, default_cache_path
+
+            k0 = cfg.epses_specs[0][0]
+            in_ch_ga = (params["epses"][0].ndim - 1) // (k0 * k0)
+
+            def _ga_here():
+                return autotune_grad_accum(
+                    cfg, fast_plans, pdb, in_ch_ga, cap_pick=cap_pick,
+                    log_fn=logger.info, seed=kwargs["seed"],
+                    cache_path=(
+                        default_cache_path()
+                        if kwargs["autotune_cache"] else None
+                    ),
+                )
+
+            if jax.process_count() > 1:
+                # one controller measures, everyone agrees (the accumulated
+                # step COUNT must match globally — collectives per step)
+                from jax.experimental import multihost_utils
+
+                v = np.array([_ga_here() if is_primary else 0], np.int32)
+                ga_auto = int(
+                    np.asarray(multihost_utils.broadcast_one_to_all(v))[0]
+                )
+            else:
+                ga_auto = _ga_here()
+        kwargs["grad_accum_steps"] = ga_auto
         logger.info(
             "grad-accum-steps auto -> %d", kwargs["grad_accum_steps"]
         )

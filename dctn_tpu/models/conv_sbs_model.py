@@ -62,6 +62,11 @@ class ConvSBSModelConfig:
     num_labels: int = NUM_LABELS
     backend: str = "xla"  # "pallas": fused TT-fold kernels (sbs_pallas.py),
     # open strings and trace_edge rings alike
+    # per-layer fused-kernel tuning picks from the SBS autotuner (r5):
+    # tuple over layers of (bn, mcut, dcore_dot[, mim]) or None (heuristic
+    # picks); shorter tuples leave the remaining layers on heuristics; the
+    # optional 4th element forces the kernel family (False = sequential)
+    kernel_tuning: tuple = ()
 
     def __post_init__(self):
         assert self.num_sbs_layers >= 2
@@ -165,9 +170,22 @@ def _pallas_model_forward(
         q = jnp.stack((jnp.sin(xb), jnp.cos(xb)), axis=0)
     xT = (q * cfg.input_multiplier)[None]  # (1, 2, H, W, B)
     outT = None
-    for layer_spec, layer_params in zip(specs, params):
+    for li, (layer_spec, layer_params) in enumerate(zip(specs, params)):
+        tune = (
+            cfg.kernel_tuning[li]
+            if li < len(cfg.kernel_tuning) and cfg.kernel_tuning[li]
+            else (None, None, None)
+        )
         outsT = [
-            conv_sbs_pallas_t(s, cores, xT, interpret)
+            conv_sbs_pallas_t(
+                s, cores, xT, interpret,
+                mim=(tune[3] if len(tune) > 3 else None),
+                bn=tune[0], mcut=tune[1], dcore_dot=tune[2],
+                # layer 0's input cotangent is statically dead: its d_x
+                # flows into the quantum map, which has no trained
+                # parameters — skip the d_v sweeps + dviews write
+                need_dviews=(li > 0),
+            )
             for s, cores in zip(layer_spec, layer_params)
         ]
         outT = outsT[0]

@@ -207,6 +207,52 @@ def _eye_rows(n: int, bn: int):
 # kernels
 
 
+def _dcore_dv_rows(d_m, v, core_ref, qc: int, dcore_dot: bool):
+    """The per-core gradient tail shared by both backward families:
+    d_core[(l·r·o), qc] (per-tile partial, summed over the grid outside) and
+    d_v[qc, bn]. ``dcore_dot`` routes BOTH contractions through MXU
+    dot_generals at any qc — the unrolled form is qc cross-lane reductions
+    (d_core) + qc sublane reductions (d_v) per core per tile, pure VPU
+    shuffle latency; the dot form is one K=bn and one K=rows MXU pass
+    (r5 phase-2 candidate, A/B'd on chip per shape by the SBS autotuner)."""
+    if dcore_dot or qc > _QC_UNROLL_MAX:
+        part = jax.lax.dot_general(
+            d_m, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv = jax.lax.dot_general(
+            core_ref[:], d_m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return part, dv
+    cols = []
+    dv_rows = []
+    for j in range(qc):
+        cols.append(jnp.sum(d_m * v[j : j + 1, :], axis=1, keepdims=True))
+        dv_rows.append(
+            jnp.sum(core_ref[:, j : j + 1] * d_m, axis=0, keepdims=True)
+        )
+    return jnp.concatenate(cols, axis=1), jnp.concatenate(dv_rows, axis=0)
+
+
+def _dcore_only_rows(d_m, v, qc: int, dcore_dot: bool):
+    """d_core partial alone — the ``need_dviews=False`` tail (the input
+    cotangent is statically dead, e.g. the model's layer 0 whose d_x flows
+    into the untrained quantum map)."""
+    if dcore_dot or qc > _QC_UNROLL_MAX:
+        return jax.lax.dot_general(
+            d_m, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.concatenate(
+        [
+            jnp.sum(d_m * v[j : j + 1, :], axis=1, keepdims=True)
+            for j in range(qc)
+        ],
+        axis=1,
+    )
+
+
 def _sbs_fwd_kernel_factory(olr, qc: int, bn: int):
     P = len(olr)
     b0 = olr[0][1]  # core 0's left bond == the ring bond (1 for open strings)
@@ -232,7 +278,9 @@ def _sbs_fwd_kernel_factory(olr, qc: int, bn: int):
     return kernel
 
 
-def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
+def _sbs_bwd_kernel_factory(
+    olr, qc: int, bn: int, need_dviews: bool = True, dcore_dot: bool = False
+):
     P = len(olr)
 
     b0 = olr[0][1]
@@ -241,8 +289,11 @@ def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
         views_ref = refs[0]
         core_refs = refs[1 : 1 + P]
         g_ref = refs[1 + P]
-        dviews_ref = refs[2 + P]
-        dcore_refs = refs[3 + P : 3 + 2 * P]
+        if need_dviews:
+            dviews_ref = refs[2 + P]
+            dcore_refs = refs[3 + P : 3 + 2 * P]
+        else:
+            dcore_refs = refs[2 + P : 2 + 2 * P]
         i_t = pl.program_id(0)
 
         ms = [_build_m(core_refs[i], views_ref[i]) for i in range(P)]
@@ -308,32 +359,10 @@ def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
 
             # d_core[(l·r·o), qc] += Σ_n d_m · v ; d_v[qc] = Σ_rows core·d_m
             v = views_ref[i]
-            if qc > _QC_UNROLL_MAX:
-                # MXU dots above the unroll bound (same math, no qc× trace
-                # blowup): contract bn for d_core, rows for d_v
-                part = jax.lax.dot_general(
-                    d_m, v, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                dv = jax.lax.dot_general(
-                    core_refs[i][:], d_m, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            if need_dviews:
+                part, dv = _dcore_dv_rows(d_m, v, core_refs[i], qc, dcore_dot)
             else:
-                cols = []
-                dv_rows = []
-                for j in range(qc):
-                    cols.append(
-                        jnp.sum(d_m * v[j : j + 1, :], axis=1, keepdims=True)
-                    )
-                    dv_rows.append(
-                        jnp.sum(
-                            core_refs[i][:, j : j + 1] * d_m,
-                            axis=0, keepdims=True,
-                        )
-                    )
-                part = jnp.concatenate(cols, axis=1)  # (l·r·o, qc)
-                dv = jnp.concatenate(dv_rows, axis=0)
+                part = _dcore_only_rows(d_m, v, qc, dcore_dot)
 
             @pl.when(i_t == 0)
             def _(part=part, ref=dcore_refs[i]):
@@ -343,7 +372,8 @@ def _sbs_bwd_kernel_factory(olr, qc: int, bn: int):
             def _(part=part, ref=dcore_refs[i]):
                 ref[:] = ref[:] + part
 
-            dviews_ref[i] = dv
+            if need_dviews:
+                dviews_ref[i] = dv
 
     return kernel
 
@@ -438,7 +468,10 @@ def _sbs_fwd_mim_kernel_factory(olr, qc: int, bn: int, mcut: int):
     return kernel
 
 
-def _sbs_bwd_mim_kernel_factory(olr, qc: int, bn: int, mcut: int):
+def _sbs_bwd_mim_kernel_factory(
+    olr, qc: int, bn: int, mcut: int,
+    need_dviews: bool = True, dcore_dot: bool = False,
+):
     P = len(olr)
     b0 = olr[0][1]
 
@@ -446,8 +479,11 @@ def _sbs_bwd_mim_kernel_factory(olr, qc: int, bn: int, mcut: int):
         views_ref = refs[0]
         core_refs = refs[1 : 1 + P]
         g_ref = refs[1 + P]
-        dviews_ref = refs[2 + P]
-        dcore_refs = refs[3 + P : 3 + 2 * P]
+        if need_dviews:
+            dviews_ref = refs[2 + P]
+            dcore_refs = refs[3 + P : 3 + 2 * P]
+        else:
+            dcore_refs = refs[2 + P : 2 + 2 * P]
         i_t = pl.program_id(0)
 
         ms = [_build_m(core_refs[i], views_ref[i]) for i in range(P)]
@@ -571,30 +607,10 @@ def _sbs_bwd_mim_kernel_factory(olr, qc: int, bn: int, mcut: int):
             o, l, r = olr[i]
             d_m = dms[i]
             v = views_ref[i]
-            if qc > _QC_UNROLL_MAX:
-                part = jax.lax.dot_general(
-                    d_m, v, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                dv = jax.lax.dot_general(
-                    core_refs[i][:], d_m, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            if need_dviews:
+                part, dv = _dcore_dv_rows(d_m, v, core_refs[i], qc, dcore_dot)
             else:
-                cols = []
-                dv_rows = []
-                for j in range(qc):
-                    cols.append(
-                        jnp.sum(d_m * v[j : j + 1, :], axis=1, keepdims=True)
-                    )
-                    dv_rows.append(
-                        jnp.sum(
-                            core_refs[i][:, j : j + 1] * d_m,
-                            axis=0, keepdims=True,
-                        )
-                    )
-                part = jnp.concatenate(cols, axis=1)
-                dv = jnp.concatenate(dv_rows, axis=0)
+                part = _dcore_only_rows(d_m, v, qc, dcore_dot)
 
             @pl.when(i_t == 0)
             def _(part=part, ref=dcore_refs[i]):
@@ -604,7 +620,8 @@ def _sbs_bwd_mim_kernel_factory(olr, qc: int, bn: int, mcut: int):
             def _(part=part, ref=dcore_refs[i]):
                 ref[:] = ref[:] + part
 
-            dviews_ref[i] = dv
+            if need_dviews:
+                dviews_ref[i] = dv
 
     return kernel
 
@@ -661,7 +678,7 @@ def _conv_sbs_pallas(plan, cores_lro, views_t, interpret):
 
 
 def _conv_sbs_pallas_fwd(plan, cores_lro, views_t, interpret):
-    olr, qc, bn, mcut = plan
+    olr, qc, bn, mcut = plan[:4]
     P, _, npad = views_t.shape
     o_total = int(np.prod([o for o, _, _ in olr]))
     fwd_kernel = (
@@ -690,19 +707,29 @@ def _conv_sbs_pallas_fwd(plan, cores_lro, views_t, interpret):
 
 
 def _conv_sbs_pallas_bwd(plan, interpret, res, g):
-    olr, qc, bn, mcut = plan
+    olr, qc, bn, mcut = plan[:4]
+    need_dviews = plan[4] if len(plan) > 4 else True
+    dcore_dot = plan[5] if len(plan) > 5 else False
     cores_lro, views_t = res
     P, _, npad = views_t.shape
     o_total = int(np.prod([o for o, _, _ in olr]))
     bwd_kernel = (
-        _sbs_bwd_mim_kernel_factory(olr, qc, bn, mcut)
+        _sbs_bwd_mim_kernel_factory(olr, qc, bn, mcut, need_dviews, dcore_dot)
         if mcut is not None
-        else _sbs_bwd_kernel_factory(olr, qc, bn)
+        else _sbs_bwd_kernel_factory(olr, qc, bn, need_dviews, dcore_dot)
+    )
+    dviews_shapes = (
+        [jax.ShapeDtypeStruct((P, qc, npad), jnp.float32)] if need_dviews else []
+    )
+    dviews_specs = (
+        [pl.BlockSpec((P, qc, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM)]
+        if need_dviews
+        else []
     )
     outs = pl.pallas_call(
         bwd_kernel,
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((P, qc, npad), jnp.float32)]
+            dviews_shapes
             + [jax.ShapeDtypeStruct(c.shape, jnp.float32) for c in cores_lro]
         ),
         grid=(npad // bn,),
@@ -715,11 +742,7 @@ def _conv_sbs_pallas_bwd(plan, interpret, res, g):
         ]
         + [pl.BlockSpec((o_total, bn), lambda i: (0, i), memory_space=pltpu.VMEM)],
         out_specs=tuple(
-            [
-                pl.BlockSpec(
-                    (P, qc, bn), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-                )
-            ]
+            dviews_specs
             + [
                 pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                 for c in cores_lro
@@ -728,7 +751,13 @@ def _conv_sbs_pallas_bwd(plan, interpret, res, g):
         interpret=interpret,
         **_compiler_kwargs(interpret),
     )(views_t, *cores_lro, g)
-    dviews, dcores = outs[0], tuple(outs[1:])
+    if need_dviews:
+        dviews, dcores = outs[0], tuple(outs[1:])
+    else:
+        # the caller declared the views cotangent statically dead (layer 0
+        # feeding the untrained quantum map) — return zeros, which the
+        # dead downstream unmerge ops absorb and XLA DCEs entirely
+        dviews, dcores = jnp.zeros_like(views_t), tuple(outs)
     return dcores, dviews
 
 
@@ -741,6 +770,10 @@ def conv_sbs_pallas_t(
     xT: jax.Array,
     interpret: bool = False,
     mim: "bool | None" = None,
+    bn: "int | None" = None,
+    mcut: "int | None" = None,
+    need_dviews: bool = True,
+    dcore_dot: "bool | None" = None,
 ) -> jax.Array:
     """Fused ConvSBS over the transposed batch-minor input xT
     (C, Q, H, W, B) → outT (∏out_q, H', W', B). Requires sbs_plan(spec) to
@@ -752,11 +785,27 @@ def conv_sbs_pallas_t(
     an outer ``jax.jit`` it is baked into the compiled program, so toggling
     it mid-process does NOT retrace already-jitted callers — A/B harnesses
     must either set it before the first trace or pass ``mim=`` explicitly
-    (an argument change makes the outer closure differ)."""
+    (an argument change makes the outer closure differ).
+
+    Autotunable knobs (r5, measured per (spec, batch) by the SBS objective
+    in ``train/autotune.py``): ``bn`` overrides the heuristic pixel-tile
+    pick; ``mcut`` overrides the mult-count merge position (only meaningful
+    with mim); ``dcore_dot`` routes the backward's d_core/d_v sweeps through
+    MXU dot_generals instead of qc-unrolled cross-lane/sublane reductions
+    (``None`` keeps the qc-threshold heuristic).
+
+    ``need_dviews=False`` declares the INPUT cotangent statically dead —
+    the backward kernel then skips the d_v sweeps and the (P, qc, npix)
+    dviews write entirely, returning zeros for it. ONLY correct when the
+    caller provably discards d_x (the legacy model's layer 0: its input is
+    the quantum-mapped image, and the map has no trained parameters —
+    mnist.py:132-141); the EPS family's analogous dead layer-0 cotangent is
+    handled by force_two_pass + XLA DCE (eps_pallas.py)."""
     olr, qc, supported = sbs_plan(spec)
     assert supported, "unsupported spec for the fused SBS kernel"
     views_t, npix, hp, wp = _merge_channel_views(xT, spec.positions, qc)
-    bn = _pick_bn(olr, qc, npix)
+    if bn is None:
+        bn = _pick_bn(olr, qc, npix)
     npad = -(-npix // bn) * bn
     if npad != npix:
         views_t = jnp.pad(views_t, ((0, 0), (0, 0), (0, npad - npix)))
@@ -767,8 +816,14 @@ def conv_sbs_pallas_t(
     # chains, rings AND open strings)
     if mim is None:
         mim = os.environ.get("DCTN_TPU_SBS_MIM", "1") != "0"
-    mcut = _mim_cut(olr) if mim else None
-    out = _conv_sbs_pallas((olr, qc, bn, mcut), cores_lro, views_t, interpret)
+    if mcut is None:
+        mcut = _mim_cut(olr) if mim else None
+    elif not mim:
+        mcut = None
+    else:
+        assert 1 <= mcut < len(olr), f"merge cut {mcut} outside [1, {len(olr)})"
+    plan = (olr, qc, bn, mcut, need_dviews, bool(dcore_dot))
+    out = _conv_sbs_pallas(plan, cores_lro, views_t, interpret)
     b = xT.shape[4]
     o_total = int(np.prod([o for o, _, _ in olr]))
     return out[:, :npix].reshape(o_total, hp, wp, b)

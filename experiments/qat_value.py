@@ -40,11 +40,30 @@ ITERS = int(os.environ.get("DCTN_TPU_QAT_ITERS", "600"))
 BS = 32
 LR = 1e-3
 
+# Activation-range STRESS (VERDICT r4 #6): scale the two φ components by
+# s and 1/s. Layer-0 features are Khatri-Rao products of n = K² factors, so
+# the within-pixel-column dynamic range grows as spread^(2n) — f32 carries
+# it in the exponent, but the per-pixel int8 quantizer (256 levels across
+# the column's max) crushes the small-magnitude features to zero. This is
+# the regime where PTQ should genuinely lose accuracy and training against
+# the quantizer (QAT) can re-balance the weights. 1.0 = no stress.
+SPREAD = float(os.environ.get("DCTN_TPU_QAT_SPREAD", "1.0"))
+
+
+def _apply_spread(x):
+    if SPREAD == 1.0:
+        return x
+    x = np.asarray(x).copy()
+    x[..., 0] *= SPREAD
+    x[..., 1] /= SPREAD
+    return x
+
 
 def _setup():
     from real_digits_demo import load_splits
 
     (x_tr, y_tr), (x_va, y_va), (x_te, y_te), _ = load_splits()
+    x_tr, x_te = _apply_spread(x_tr), _apply_spread(x_te)
     backend = "pallas" if jax.default_backend() == "tpu" else "pallas_interpret"
     from dctn_tpu.models import EPSesPlusLinearConfig, init_eps_plus_linear
     from dctn_tpu.models.eps_plus_linear import fast_params_from_reference
@@ -125,7 +144,8 @@ def main() -> None:
     qat_f32_acc = _acc_f32(cfg, fast_qat, plans, x_te, y_te)
 
     row = {
-        "config": f"deep three-EPS {list(map(list, SPECS))} on sklearn digits",
+        "config": f"EPS {list(map(list, SPECS))} on sklearn digits",
+        "phi_component_spread": SPREAD,
         "iters": ITERS,
         "batch_size": BS,
         "f32_test_acc": f32_acc,

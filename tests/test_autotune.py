@@ -418,3 +418,81 @@ def test_runner_applies_cached_splits_without_flag(tmp_path):
     )
     log_c = open(os.path.join(out_c, "log.log")).read()
     assert "autotune cache hit" not in log_c
+
+
+def test_autotune_conv_sbs_interpret(tmp_path):
+    """The r5 ConvSBS kernel autotuner (VERDICT r4 #4): returns one pick (or
+    None = heuristics won) per layer, measures real candidates in interpret
+    mode, and roundtrips through the persistent cache."""
+    from dctn_tpu.models.conv_sbs_model import ConvSBSModelConfig
+    from dctn_tpu.train.autotune import autotune_conv_sbs
+
+    cfg = ConvSBSModelConfig(
+        num_sbs_layers=2, bond_dim_size=2, backend="pallas_interpret"
+    )
+    cache = str(tmp_path / "cache.json")
+    logs = []
+    tuning, report = autotune_conv_sbs(
+        cfg, 7, 3, log_fn=logs.append, cache_path=cache
+    )
+    assert len(tuning) == 2 and len(report) == 2
+    for pick, rep in zip(tuning, report):
+        assert [r for r in rep["candidates"] if "ms" in r]
+        if pick is not None:
+            bn, mcut, dot, mim = pick
+            assert bn >= 128 and isinstance(dot, bool) and isinstance(mim, bool)
+    # cache hit on the second call: no re-measurement
+    logs2 = []
+    tuning2, report2 = autotune_conv_sbs(
+        cfg, 7, 3, log_fn=logs2.append, cache_path=cache
+    )
+    assert tuning2 == tuning
+    assert any("cache hit" in line for line in logs2)
+    assert all(r.get("cached") for r in report2)
+
+
+def test_autotune_grad_accum_measured(tmp_path, monkeypatch):
+    """VERDICT r4 #5: when the saved-t cap model fires, auto grad-accum
+    MEASURES candidate accumulations (cap_pick · 2^k) instead of taking the
+    smallest cap-satisfying value — the winner is the measured-fastest
+    accum × Σ-layer time, the pick is cached, and cap_pick=1 never
+    measures."""
+    from dctn_tpu.models import EPSesPlusLinearConfig
+    from dctn_tpu.train import autotune as at
+
+    cfg = EPSesPlusLinearConfig(
+        epses_specs=((3, 4), (2, 4)), image_size=10, q0=2,
+        train_backend="pallas_interpret", eval_backend="pallas_interpret",
+    )
+    from dctn_tpu.models.eps_plus_linear import fast_layer_plans
+
+    plans = fast_layer_plans(cfg, 1)
+
+    # fake per-candidate timings: make accum 4 the winner (per-microbatch
+    # time FALLS superlinearly with microbatch so s=4 wins: s * t(micro))
+    times = {8: 10.0, 4: 4.0, 2: 1.0}  # microbatch -> ms per layer
+
+    def fake_measure(c, q, h, w, k, o, n1, micro, *a, **kw):
+        return times[micro]
+
+    monkeypatch.setattr(at, "_measure_candidate", fake_measure)
+    logs = []
+    cache = str(tmp_path / "ga_cache.json")
+    pick = at.autotune_grad_accum(
+        cfg, plans, 16, cap_pick=2, log_fn=logs.append, cache_path=cache
+    )
+    # candidates: 2 (2*2*10=40ms), 4 (4*2*4=32ms), 8 (8*2*1=16ms) -> 8 wins
+    assert pick == 8
+    assert any("picked 8" in line for line in logs)
+    # cache hit: no re-measurement even with measurement broken
+    monkeypatch.setattr(
+        at, "_measure_candidate",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("no measure")),
+    )
+    logs2 = []
+    pick2 = at.autotune_grad_accum(
+        cfg, plans, 16, cap_pick=2, log_fn=logs2.append, cache_path=cache
+    )
+    assert pick2 == 8 and any("cache hit" in line for line in logs2)
+    # cap_pick 1: short-circuit, never measures
+    assert at.autotune_grad_accum(cfg, plans, 16, cap_pick=1) == 1

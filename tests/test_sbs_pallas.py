@@ -326,3 +326,110 @@ def test_mim_every_merge_position(rng):
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
                 err_msg=f"mcut={mcut}",
             )
+
+
+def test_tuning_knobs_grads_exact(rng):
+    """The r5 autotunable knobs — bn override, explicit mcut, dcore_dot MXU
+    tail — must not change fwd or grads (they only re-tile/re-route the same
+    math); need_dviews=False must keep d_cores exact and zero d_views."""
+    from dctn_tpu.ops import sbs as S
+    from dctn_tpu.pallas.sbs_pallas import conv_sbs_pallas_t
+
+    for trace_edge in (False, True):
+        bond0 = 2 if trace_edge else 1
+        spec = S.SBSSpecString(
+            cores=tuple(
+                S.SBSSpecCore(S.Pos2D(i // 2, i % 2), 2) for i in range(4)
+            ),
+            bond_sizes=(bond0, 3, 4, 2),
+            in_num_channels=1,
+            in_quantum_dim_size=2,
+        )
+        keys = jax.random.split(rng, 6)
+        cores = tuple(
+            0.5 * jax.random.normal(k, s.as_tuple(), jnp.float32)
+            for k, s in zip(keys[:4], spec.shapes)
+        )
+        xT = jax.random.uniform(keys[4], (1, 2, 5, 5, 3), jnp.float32)
+        g = jax.random.normal(keys[5], (16, 4, 4, 3), jnp.float32)
+
+        def run(**kw):
+            out = conv_sbs_pallas_t(spec, cores, xT, interpret=True, **kw)
+            grads = jax.grad(
+                lambda cs, xt: jnp.sum(
+                    conv_sbs_pallas_t(spec, cs, xt, interpret=True, **kw) * g
+                ),
+                argnums=(0, 1),
+            )(cores, xT)
+            return out, grads
+
+        ref_out, ref_grads = run()
+        for kw in (
+            {"bn": 256},
+            {"mim": True, "mcut": 2},
+            {"dcore_dot": True},
+            {"bn": 256, "mim": True, "mcut": 1, "dcore_dot": True},
+            {"mim": False, "dcore_dot": True},
+        ):
+            out, grads = run(**kw)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref_out), rtol=1e-5, atol=1e-6,
+                err_msg=str(kw),
+            )
+            for a, b in zip(
+                jax.tree_util.tree_leaves(grads),
+                jax.tree_util.tree_leaves(ref_grads),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                    err_msg=str(kw),
+                )
+
+        # need_dviews=False: exact d_cores, zero d_views
+        for kw in ({}, {"dcore_dot": True}, {"mim": False}):
+            out, (gc, gx) = run(need_dviews=False, **kw)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref_out), rtol=1e-5, atol=1e-6
+            )
+            for a, b in zip(gc, ref_grads[0]):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                    err_msg=f"need_dviews=False {kw}",
+                )
+            assert float(jnp.max(jnp.abs(gx))) == 0.0
+
+
+def test_model_layer0_dead_cotangent_grads_exact(rng):
+    """The pallas pipeline skips layer 0's d_views (need_dviews=False,
+    untrained quantum map) — parameter grads must still match XLA exactly,
+    and per-layer kernel_tuning picks must be trajectory-neutral."""
+    from dctn_tpu.models.conv_sbs_model import (
+        ConvSBSModelConfig,
+        init_conv_sbs_model,
+        conv_sbs_model_forward,
+    )
+
+    cfg_x = ConvSBSModelConfig(num_sbs_layers=2, bond_dim_size=3)
+    params = init_conv_sbs_model(rng, cfg_x)
+    x = jax.random.uniform(jax.random.split(rng)[0], (3, 7, 7), jnp.float32)
+    y = jnp.array([1, 4, 9])
+
+    def loss(p, cfg):
+        logits = conv_sbs_model_forward(p, cfg, x)
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
+
+    gx = jax.grad(loss)(params, cfg_x)
+    for tuning in ((), ((256, 4, True), (128, None, True))):
+        cfg_p = ConvSBSModelConfig(
+            num_sbs_layers=2, bond_dim_size=3, backend="pallas_interpret",
+            kernel_tuning=tuning,
+        )
+        gp = jax.grad(loss)(params, cfg_p)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=3e-4, atol=3e-6,
+                err_msg=str(tuning),
+            )
