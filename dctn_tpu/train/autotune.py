@@ -841,7 +841,7 @@ def autotune_conv_sbs(
                 f"{hit['picks']} reused without re-measuring"
             )
             return (
-                tuple(tuple(p) for p in hit["picks"]),
+                tuple(tuple(p) if p else None for p in hit["picks"]),
                 [{**r, "cached": True} for r in hit.get("report", [])],
             )
 
