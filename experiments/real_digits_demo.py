@@ -72,11 +72,13 @@ def load_raw_splits(seed: int = 0):
 def train_legacy() -> dict:
     """The legacy ConvSBS (string-bond) model family on the same real
     images — mnist.py:169-284's architecture, fused Pallas TT-fold kernels
-    on TPU. Off by default (set DIGITS_LEGACY=1): measured at bond 2 and 4,
-    the snake-string family does not generalize from 1,200 8×8 samples
-    (train CE falls, val stays ~15% — it is sample-hungry at MNIST scale;
-    the reference itself superseded it with the EPS family). Kept as an
-    end-to-end pipeline exercise, not an accuracy claim."""
+    on TPU. Off by default (set DIGITS_LEGACY=1); this quick-demo config
+    (400 iters, khrulkov init) stays near chance — the family NEEDS the
+    reference's own recipe at this scale: min_random_eye init + layer
+    rescaling + Adam and ~24k iterations reach val 0.947 / test 0.929
+    (and the torch reference agrees to delta 0.007 —
+    legacy_digits_recipe_search.py found the recipe,
+    legacy_digits_oracle_learn.py is the two-stack proof)."""
     from dctn_tpu.models.conv_sbs_model import (
         ConvSBSModelConfig,
         init_conv_sbs_model,
