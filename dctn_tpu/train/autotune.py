@@ -620,14 +620,19 @@ def autotune_grad_accum(
     cap-satisfying value is not always the fastest (measured: deep-3 at
     bs 2048 caps at 2 → 12.62k img/s while accum 4 runs 12.84k). When the
     cap fired (``cap_pick > 1``), time the candidate accum values
-    ``cap_pick · 2^k`` (k ≤ max_extra) as per-layer fwd+bwd kernels at each
-    candidate's microbatch — the split autotuner's measurement machinery —
-    and charge each candidate ``accum × Σ_layers ms(microbatch)``. Returns
-    the measured winner. ``cap_pick == 1`` (nothing capped) short-circuits:
-    plain steps measured faster than any accumulation whenever saved-t fits.
+    ``cap_pick · 2^k`` (k ≤ max_extra) as the REAL assembled fast train
+    step (``make_fast_train_step`` with that ``grad_accum_steps`` — the
+    exact program the runner will execute, scan overheads included; a
+    per-layer-sum proxy was tried first and could NOT resolve the ~2%
+    full-step differences it must rank — grad_accum_auto_probe r5).
+    Returns the measured winner. ``cap_pick == 1`` (nothing capped)
+    short-circuits: plain steps measured faster than any accumulation
+    whenever saved-t fits. Multi-channel configs (``in_channels > 1``)
+    keep the cap-model pick (the synthetic-init full-step path is
+    single-channel).
     """
     log = log_fn or (lambda s: None)
-    if cap_pick <= 1 or plans is None:
+    if cap_pick <= 1 or plans is None or in_channels != 1:
         return max(1, cap_pick)
     interpret = cfg.train_backend == "pallas_interpret"
     cands = []
@@ -658,33 +663,72 @@ def autotune_grad_accum(
                 "(measured earlier)"
             )
             return int(hit["pick"])
+    import optax
+
+    from ..models.eps_plus_linear import (
+        fast_params_from_reference,
+        init_eps_plus_linear,
+    )
+    from .step import make_fast_train_step
+
     key = jax.random.PRNGKey(seed)
-    dims = _layer_dims(cfg, in_channels)
+    params = init_eps_plus_linear(key, cfg)
+    fast, _ = fast_params_from_reference(params, cfg, plans=plans)
+    opt = optax.sgd(1e-3)  # candidate-independent; smallest program
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(
+        k1, (1, per_device_batch, cfg.image_size, cfg.image_size, cfg.q0),
+        jnp.float32,
+    )
+    y = jax.random.randint(k2, (per_device_batch,), 0, 10)
     best_s, best_ms, rows = cap_pick, float("inf"), []
     for s in cands:
-        micro = per_device_batch // s
-        total = 0.0
+        t0 = time.perf_counter()
         try:
-            for i, ((c, q, h, w, kernel_size, out_size), p) in enumerate(
-                zip(dims, plans)
-            ):
-                key, sub = jax.random.split(key)
-                total += _measure_candidate(
-                    c, q, h, w, kernel_size, out_size, p["n1"], micro,
-                    cfg.compute_dtype, interpret, i == 0, sub,
+            step = make_fast_train_step(
+                cfg, opt, plans, "epswise", 1e-6, donate=False,
+                grad_accum_steps=s,
+            )
+            p_s = fast
+            o_s = opt.init(fast)
+            box = {}
+
+            def call():
+                nonlocal p_s, o_s
+                p_s, o_s, box["m"] = step(
+                    p_s, o_s, jax.random.PRNGKey(3), x, y
                 )
+                return box["m"]["loss"]
+
+            call()
+            float(box["m"]["loss"])  # fence the warmup/compile
+            if interpret:
+                t1 = time.perf_counter()
+                for _ in range(2):
+                    call()
+                float(box["m"]["loss"])
+                step_ms = (time.perf_counter() - t1) / 2 * 1e3
+            else:
+                iters, best = 8, float("inf")
+                for _ in range(2):
+                    s_per_iter, iters = _timed_window(
+                        lambda: call(), iters
+                    )
+                    best = min(best, s_per_iter)
+                step_ms = best * 1e3
         except Exception as e:  # a microbatch that fails to plan/compile
             log(
-                f"grad-accum autotune: accum {s} (microbatch {micro}) "
-                f"failed ({type(e).__name__}) — skipped"
+                f"grad-accum autotune: accum {s} (microbatch "
+                f"{per_device_batch // s}) failed ({type(e).__name__}) — "
+                "skipped"
             )
             rows.append({"accum": s, "failed": type(e).__name__})
             continue
-        step_ms = s * total
         rows.append({"accum": s, "step_ms": step_ms})
         log(
-            f"grad-accum autotune: accum {s} (microbatch {micro}) ≈ "
-            f"{step_ms:.2f} ms/step"
+            f"grad-accum autotune: accum {s} (microbatch "
+            f"{per_device_batch // s}) = {step_ms:.2f} ms full step "
+            f"(compile+measure {time.perf_counter() - t0:.0f}s)"
         )
         if step_ms < best_ms:
             best_s, best_ms = s, step_ms

@@ -464,35 +464,47 @@ def test_autotune_grad_accum_measured(tmp_path, monkeypatch):
         epses_specs=((3, 4), (2, 4)), image_size=10, q0=2,
         train_backend="pallas_interpret", eval_backend="pallas_interpret",
     )
+    import time as _time
+
+    import jax.numpy as jnp
+
     from dctn_tpu.models.eps_plus_linear import fast_layer_plans
+    from dctn_tpu.train import step as step_mod
 
     plans = fast_layer_plans(cfg, 1)
 
-    # fake per-candidate timings: make accum 4 the winner (per-microbatch
-    # time FALLS superlinearly with microbatch so s=4 wins: s * t(micro))
-    times = {8: 10.0, 4: 4.0, 2: 1.0}  # microbatch -> ms per layer
+    # fake the assembled-step factory with controlled per-candidate
+    # runtimes: accum 4 is the winner the cap model would never pick
+    sleeps = {2: 0.03, 4: 0.01, 8: 0.04}
+    built = []
 
-    def fake_measure(c, q, h, w, k, o, n1, micro, *a, **kw):
-        return times[micro]
+    def fake_factory(cfg_, opt_, plans_, reg_, coeff_, donate, grad_accum_steps):
+        built.append(grad_accum_steps)
 
-    monkeypatch.setattr(at, "_measure_candidate", fake_measure)
+        def step(p, o, rng, x, y):
+            _time.sleep(sleeps[grad_accum_steps])
+            return p, o, {"loss": jnp.float32(0.0)}
+
+        return step
+
+    monkeypatch.setattr(step_mod, "make_fast_train_step", fake_factory)
     logs = []
     cache = str(tmp_path / "ga_cache.json")
     pick = at.autotune_grad_accum(
         cfg, plans, 16, cap_pick=2, log_fn=logs.append, cache_path=cache
     )
-    # candidates: 2 (2*2*10=40ms), 4 (4*2*4=32ms), 8 (8*2*1=16ms) -> 8 wins
-    assert pick == 8
-    assert any("picked 8" in line for line in logs)
-    # cache hit: no re-measurement even with measurement broken
+    assert pick == 4
+    assert sorted(built) == [2, 4, 8]  # all candidates actually measured
+    assert any("picked 4" in line for line in logs)
+    # cache hit: no re-measurement even with the factory broken
     monkeypatch.setattr(
-        at, "_measure_candidate",
+        step_mod, "make_fast_train_step",
         lambda *a, **k: (_ for _ in ()).throw(RuntimeError("no measure")),
     )
     logs2 = []
     pick2 = at.autotune_grad_accum(
         cfg, plans, 16, cap_pick=2, log_fn=logs2.append, cache_path=cache
     )
-    assert pick2 == 8 and any("cache hit" in line for line in logs2)
+    assert pick2 == 4 and any("cache hit" in line for line in logs2)
     # cap_pick 1: short-circuit, never measures
     assert at.autotune_grad_accum(cfg, plans, 16, cap_pick=1) == 1
