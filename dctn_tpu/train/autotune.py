@@ -784,7 +784,7 @@ def _sbs_cache_key(cfg, image_size, batch_size, *, forward_only, interpret):
         "batch_size": batch_size,
         "objective": "serve" if forward_only else "train",
         "vmem_budget_mb": os.environ.get("DCTN_TPU_VMEM_BUDGET_MB", "56"),
-        "tuner": "greedy-v2",  # bump when the search strategy changes
+        "tuner": "greedy-v3",  # bump when the search strategy changes
     }
     return json.dumps(key, sort_keys=True)
 
@@ -1000,6 +1000,42 @@ def autotune_conv_sbs(
             {"layer": li, "candidates": rows, "picked": pick,
              "heuristic": list(heuristic), "best_ms": base_ms}
         )
+    # WHOLE-MODEL validation gate: per-layer winners do not always compose
+    # (measured r5: open-string serving per-layer picks were 50% SLOWER
+    # whole-model — sbs_serving_tune_probe_results.json). When any pick
+    # deviates, A/B the full model once and DISCARD the tuning unless it
+    # wins end to end; the discard is cached too, so consumers can never
+    # apply a composing-worse tuning.
+    if any(p for p in picks):
+        try:
+            ms_h = _measure_sbs_model(
+                cfg, (), image_size, batch_size, interpret, forward_only, key
+            )
+            ms_t = _measure_sbs_model(
+                cfg, tuple(picks), image_size, batch_size, interpret,
+                forward_only, key,
+            )
+            log(
+                f"conv_sbs autotune whole-model: heuristic {ms_h:.3f} ms vs "
+                f"tuned {ms_t:.3f} ms"
+            )
+            if not (ms_t is not None and ms_h is not None
+                    and ms_h / ms_t >= 1.0 + min_gain / 2):
+                log(
+                    "conv_sbs autotune: per-layer picks do not win "
+                    "whole-model — keeping heuristics"
+                )
+                picks = [None] * len(picks)
+            report.append(
+                {"whole_model": {"heuristic_ms": ms_h, "tuned_ms": ms_t,
+                                 "kept": bool(any(picks))}}
+            )
+        except Exception as e:  # validation must never lose the tuning run
+            log(
+                f"conv_sbs autotune: whole-model validation failed "
+                f"({type(e).__name__}) — keeping heuristics"
+            )
+            picks = [None] * len(picks)
     if cache_path:
         _cache_store(
             cache_path, ckey,
@@ -1010,3 +1046,57 @@ def autotune_conv_sbs(
             },
         )
     return tuple(tuple(p) if p else None for p in picks), report
+
+
+def _measure_sbs_model(
+    cfg, tuning, image_size, batch_size, interpret, forward_only, key
+):
+    """Whole-model ms of the legacy forward (serving) or fwd+bwd (training)
+    under a kernel_tuning — the composition check the per-layer search
+    cannot do."""
+    import dataclasses as _dc
+
+    from ..models.conv_sbs_model import (
+        conv_sbs_model_forward,
+        init_conv_sbs_model,
+    )
+
+    cfg_m = _dc.replace(cfg, kernel_tuning=tuple(tuning))
+    params = init_conv_sbs_model(key, cfg_m)
+    x = jax.random.uniform(key, (batch_size, image_size, image_size))
+    if forward_only:
+        fn = jax.jit(lambda p, xb: conv_sbs_model_forward(p, cfg_m, xb))
+        box = {}
+
+        def call():
+            box["v"] = fn(params, x)
+            return box["v"]
+
+    else:
+        grad_fn = jax.jit(
+            jax.value_and_grad(
+                lambda p, xb: jnp.sum(
+                    jnp.tanh(conv_sbs_model_forward(p, cfg_m, xb))
+                )
+            )
+        )
+        box = {}
+
+        def call():
+            box["v"], box["g"] = grad_fn(params, x)
+            return box["v"]
+
+    call()
+    float(jnp.sum(box["v"]))  # fence the warmup (relay-safe scalar fetch;
+    # block_until_ready is unreliable on the axon relay)
+    if interpret:
+        t0 = time.perf_counter()
+        for _ in range(2):
+            call()
+        float(jnp.sum(box["v"]))
+        return (time.perf_counter() - t0) / 2 * 1e3
+    iters, best = 32, float("inf")
+    for _ in range(2):
+        s_per_iter, iters = _timed_window(call, iters)
+        best = min(best, s_per_iter)
+    return best * 1e3

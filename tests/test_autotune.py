@@ -435,12 +435,17 @@ def test_autotune_conv_sbs_interpret(tmp_path):
     tuning, report = autotune_conv_sbs(
         cfg, 7, 3, log_fn=logs.append, cache_path=cache
     )
-    assert len(tuning) == 2 and len(report) == 2
-    for pick, rep in zip(tuning, report):
+    assert len(tuning) == 2
+    layer_reports = [r for r in report if "candidates" in r]
+    assert len(layer_reports) == 2
+    for pick, rep in zip(tuning, layer_reports):
         assert [r for r in rep["candidates"] if "ms" in r]
         if pick is not None:
             bn, mcut, dot, mim = pick
             assert bn >= 128 and isinstance(dot, bool) and isinstance(mim, bool)
+    # deviating picks must have passed the whole-model composition gate
+    if any(p for p in tuning):
+        assert any("whole_model" in r for r in report)
     # cache hit on the second call: no re-measurement
     logs2 = []
     tuning2, report2 = autotune_conv_sbs(
