@@ -707,8 +707,30 @@ def run(**kw):
 
         bss = parse_batch_sizes(kw["export_batch_sizes"])
         image_size = int(images.shape[1])
+        export_cfg = cfg
+        if kw["autotune_kernels"] and cfg.backend == "pallas":
+            # the artifact runs FORWARD only — re-tune with the serving
+            # objective at the largest export batch (training picks can
+            # differ; measured r5: ring serving 1.30→0.89 ms). The
+            # whole-model gate inside autotune_conv_sbs keeps heuristics
+            # unless the picks win end to end.
+            import dataclasses as _dc2
+
+            from ..train.autotune import autotune_conv_sbs as _tune_sbs
+            from ..train.autotune import default_cache_path as _dcp
+
+            serve_tuning, _srep = _tune_sbs(
+                cfg, image_size, max(bss), forward_only=True,
+                log_fn=logger.info,
+                cache_path=_dcp() if kw["autotune_cache"] else None,
+            )
+            if any(p for p in serve_tuning):
+                export_cfg = _dc2.replace(cfg, kernel_tuning=serve_tuning)
+                logger.info(
+                    "export: serving-objective kernel picks %s", serve_tuning
+                )
         serialized = export_conv_sbs_forward(
-            params, cfg, batch_sizes=bss, image_size=image_size
+            params, export_cfg, batch_sizes=bss, image_size=image_size
         )
         write_artifact(
             kw["export_artifact"], serialized,
