@@ -3,10 +3,13 @@ kernels vs the XLA chain-fold path, on the VERDICT-prescribed config
 (num_sbs_layers=2, bond_dim_size=4). Appends JSON results like the
 reference's micro-benchmark results.json files.
 
-Measured on one v5e chip (recorded in conv_sbs_benchmark_results.json),
-r3 post VMEM-budget lift: xla 7.6k/6.5k img/s (bs 100/512, ~14 GB HBM per
-step — bandwidth-bound), pallas 38.4k/40.2k img/s (5.0×/6.2×); trace_edge
-ring 11.1k vs 2.2k (5.2×).
+Measured on one v5e chip (recorded in conv_sbs_benchmark_results.json).
+r5 default path (heuristic picks + the layer-0 dead-cotangent skip):
+pallas 66.3k/70.9k img/s (bs 100/512 open), ring 25.5k — vs xla
+7.6k/6.5k/2.2k. With the autotuned kernel picks applied
+(`--autotune-kernels`, sbs_phase2_probe_results.json): 69.5k/96.3k open,
+40.5k ring. History: r3 sequential fold 38.4k/40.2k/11.1k; r4 MIM
+56.9k/70.3k/25.3k.
 """
 
 import json
