@@ -94,6 +94,25 @@ def grad_accum_scan(loss_fn, params, xb, yb, rng, steps: int,
     return loss_sum * inv, ce_sum * inv, reg, grads
 
 
+def _hoist_reg(loss, grads, params, reg_fn, reg_coeff):
+    """Add the parameter-only regularizer ONCE after a grad-accum scan.
+    Exact up to float reduction order: mean_i(ce_i) + c·reg equals
+    mean_i(ce_i + c·reg), and one c·∇reg equals the scan's averaged
+    per-microbatch copies — but computing reg inside the scan multiplied
+    its fwd+bwd cost by the accumulation count (the deep config's
+    composition reg is ~1.1 ms; accum 4 paid 3 extra copies, ~2% of the
+    step). Single-device factories only — the TP/SP steps keep reg inside
+    their per-shard losses, where the collective reduction rules for the
+    reg gradients are encoded (parallel/sp_tp.py docstring)."""
+    if reg_coeff == 0.0:
+        return loss, jnp.zeros_like(loss), grads
+    reg, reg_grads = jax.value_and_grad(reg_fn)(params)
+    grads = jax.tree_util.tree_map(
+        lambda g, rg: g + reg_coeff * rg.astype(g.dtype), grads, reg_grads
+    )
+    return loss + reg_coeff * reg, reg, grads
+
+
 def make_train_step(
     cfg: EPSesPlusLinearConfig,
     optimizer: optax.GradientTransformation,
@@ -140,6 +159,21 @@ def make_train_step(
         reg = reg_fn(params) if reg_coeff != 0.0 else jnp.zeros((), logits.dtype)
         return ce + reg_coeff * reg, (ce, reg, jnp.exp(per_sample))
 
+    # CE-only variants for the accumulation scan: the reg is added ONCE
+    # after the scan (_hoist_reg) instead of once per microbatch
+    def ce_only(params, xb, yb, rng):
+        logits = eps_plus_linear_forward(params, xb, cfg, training=True, rng=rng)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=1))
+        return ce, (ce, jnp.zeros_like(ce))
+
+    def ce_only_probs(params, xb, yb, rng):
+        logits = eps_plus_linear_forward(params, xb, cfg, training=True, rng=rng)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per_sample = jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+        ce = -jnp.mean(per_sample)
+        return ce, (ce, jnp.zeros_like(ce), jnp.exp(per_sample))
+
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, rng, xb, yb):
         fn = loss_with_probs if with_probs else loss_fn
@@ -148,15 +182,17 @@ def make_train_step(
                 params, xb, yb, rng
             )
         elif with_probs:
-            loss, ce, reg, grads, probs = grad_accum_scan(
-                loss_with_probs, params, xb, yb, rng, grad_accum_steps,
+            loss, ce, _z, grads, probs = grad_accum_scan(
+                ce_only_probs, params, xb, yb, rng, grad_accum_steps,
                 with_probs=True,
             )
+            loss, reg, grads = _hoist_reg(loss, grads, params, reg_fn, reg_coeff)
             aux = (ce, reg, probs)
         else:
-            loss, ce, reg, grads = grad_accum_scan(
-                loss_fn, params, xb, yb, rng, grad_accum_steps
+            loss, ce, _z, grads = grad_accum_scan(
+                ce_only, params, xb, yb, rng, grad_accum_steps
             )
+            loss, reg, grads = _hoist_reg(loss, grads, params, reg_fn, reg_coeff)
             aux = (ce, reg)
         grads = mask_frozen(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -234,6 +270,14 @@ def make_fast_train_step(
         )
         return {**grads, "epses_cmt": cmts}
 
+    def ce_only_probs(fast, xb, yb, rng):
+        # CE-only for the accumulation scan: reg is hoisted out (_hoist_reg)
+        logits = _fwd(fast, xb, cfg, plans, training=True, rng=rng)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per_sample = jnp.take_along_axis(logp, yb[:, None], axis=1)[:, 0]
+        ce = -jnp.mean(per_sample)
+        return ce, (ce, jnp.zeros_like(ce), jnp.exp(per_sample))
+
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(fast, opt_state, rng, xb, yb):
         if grad_accum_steps == 1:
@@ -241,17 +285,19 @@ def make_fast_train_step(
                 loss_fn, has_aux=True
             )(fast, xb, yb, rng)
         elif with_probs:
-            loss, ce, reg, grads, probs = grad_accum_scan(
-                loss_fn, fast, xb, yb, rng, grad_accum_steps,
+            loss, ce, _z, grads, probs = grad_accum_scan(
+                ce_only_probs, fast, xb, yb, rng, grad_accum_steps,
                 with_probs=True,
             )
+            loss, reg, grads = _hoist_reg(loss, grads, fast, reg_fn, reg_coeff)
         else:
-            loss, ce, reg, grads = grad_accum_scan(
+            loss, ce, _z, grads = grad_accum_scan(
                 lambda p, xs, ys, r: (lambda v: (v[0], v[1][:2]))(
-                    loss_fn(p, xs, ys, r)
+                    ce_only_probs(p, xs, ys, r)
                 ),
                 fast, xb, yb, rng, grad_accum_steps,
             )
+            loss, reg, grads = _hoist_reg(loss, grads, fast, reg_fn, reg_coeff)
             probs = None
         grads = mask_frozen(grads)
         updates, opt_state = optimizer.update(grads, opt_state, fast)
