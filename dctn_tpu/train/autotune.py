@@ -784,7 +784,7 @@ def _sbs_cache_key(cfg, image_size, batch_size, *, forward_only, interpret):
         "batch_size": batch_size,
         "objective": "serve" if forward_only else "train",
         "vmem_budget_mb": os.environ.get("DCTN_TPU_VMEM_BUDGET_MB", "56"),
-        "tuner": "greedy-v3",  # bump when the search strategy changes
+        "tuner": "greedy-v4",  # bump when the search strategy changes
     }
     return json.dumps(key, sort_keys=True)
 
@@ -1000,34 +1000,82 @@ def autotune_conv_sbs(
             {"layer": li, "candidates": rows, "picked": pick,
              "heuristic": list(heuristic), "best_ms": base_ms}
         )
-    # WHOLE-MODEL validation gate: per-layer winners do not always compose
-    # (measured r5: open-string serving per-layer picks were 50% SLOWER
-    # whole-model — sbs_serving_tune_probe_results.json). When any pick
-    # deviates, A/B the full model once and DISCARD the tuning unless it
-    # wins end to end; the discard is cached too, so consumers can never
-    # apply a composing-worse tuning.
+    # WHOLE-MODEL composition stage: per-layer winners do not always
+    # compose (measured r5: open-string serving per-layer picks were 50%
+    # SLOWER whole-model — sbs_serving_tune_probe_results.json). When any
+    # pick deviates, measure the heuristic baseline, the per-layer-winner
+    # combo, AND the cross product of each layer's top-2 candidates (capped
+    # at 8 combos, ranked by the sum of their per-layer times) — the
+    # whole-model winner must beat the baseline by min_gain/2 or the picks
+    # are discarded. The outcome is cached either way, so consumers can
+    # never apply a composing-worse tuning.
     if any(p for p in picks):
         try:
+            import itertools as _it
+
             ms_h = _measure_sbs_model(
                 cfg, (), image_size, batch_size, interpret, forward_only, key
             )
-            ms_t = _measure_sbs_model(
-                cfg, tuple(picks), image_size, batch_size, interpret,
-                forward_only, key,
-            )
-            log(
-                f"conv_sbs autotune whole-model: heuristic {ms_h:.3f} ms vs "
-                f"tuned {ms_t:.3f} ms"
-            )
-            if not (ms_t is not None and ms_h is not None
-                    and ms_h / ms_t >= 1.0 + min_gain / 2):
+            log(f"conv_sbs autotune whole-model baseline: {ms_h:.3f} ms")
+            # per-layer top-2 candidate picks (None = that layer's
+            # heuristic); one options list per MODEL layer, in order —
+            # unsupported layers contribute only their heuristic
+            layer_reports = {
+                li: r
+                for li, r in enumerate(r for r in report if "layer" in r)
+            }
+            layer_options = []
+            for li in range(len(picks)):
+                rep = layer_reports.get(li, {})
+                opts, seen = [(None, 0.0)], {None}
+                for r in sorted(
+                    (r for r in rep.get("candidates", ()) if "ms" in r),
+                    key=lambda r: r["ms"],
+                )[:2]:
+                    p = (r["bn"], r["mcut"], r["dcore_dot"], r["mim"])
+                    if tuple(rep.get("heuristic", ())) == p:
+                        p = None
+                    if p not in seen:
+                        seen.add(p)
+                        opts.append((p, r["ms"]))
+                layer_options.append(opts)
+            combos = sorted(
+                _it.product(*layer_options),
+                key=lambda combo: sum(ms for _, ms in combo),
+            )[:8]
+            best_combo, best_ms = None, None
+            for combo in combos:
+                combo_picks = tuple(p for p, _ in combo)
+                if not any(combo_picks):
+                    continue  # the all-heuristic baseline, already measured
+                ms_c = _measure_sbs_model(
+                    cfg, combo_picks, image_size, batch_size, interpret,
+                    forward_only, key,
+                )
                 log(
-                    "conv_sbs autotune: per-layer picks do not win "
+                    f"conv_sbs autotune whole-model combo {combo_picks}: "
+                    f"{ms_c:.3f} ms"
+                )
+                if ms_c is not None and (best_ms is None or ms_c < best_ms):
+                    best_combo, best_ms = combo_picks, ms_c
+            if (
+                best_combo is None
+                or not ms_h / best_ms >= 1.0 + min_gain / 2
+            ):
+                best_ms = ms_h
+                log(
+                    "conv_sbs autotune: no combo beats the heuristic "
                     "whole-model — keeping heuristics"
                 )
                 picks = [None] * len(picks)
+            else:
+                picks = list(best_combo)
+                log(
+                    f"conv_sbs autotune: whole-model winner {best_combo} "
+                    f"({ms_h:.3f} -> {best_ms:.3f} ms)"
+                )
             report.append(
-                {"whole_model": {"heuristic_ms": ms_h, "tuned_ms": ms_t,
+                {"whole_model": {"heuristic_ms": ms_h, "best_ms": best_ms,
                                  "kept": bool(any(picks))}}
             )
         except Exception as e:  # validation must never lose the tuning run
