@@ -1058,9 +1058,12 @@ def autotune_conv_sbs(
                 )
                 if ms_c is not None and (best_ms is None or ms_c < best_ms):
                     best_combo, best_ms = combo_picks, ms_c
+            # full min_gain margin: sub-ms whole-model steps carry ~2-5%
+            # run-to-run noise (measured: a 2.5% open-string "win" inside
+            # the tuner did not replicate on re-measurement)
             if (
                 best_combo is None
-                or not ms_h / best_ms >= 1.0 + min_gain / 2
+                or not ms_h / best_ms >= 1.0 + min_gain
             ):
                 best_ms = ms_h
                 log(
